@@ -1,0 +1,140 @@
+"""Posting-list codec: delta encoding, varint compression, block-max skips.
+
+This is the native replacement for the index encoding the reference delegates
+to Elasticsearch/Lucene (the reference only *specifies* mappings —
+/root/reference/src/search-ingest/schemas.cr:50-83 — and ships documents;
+posting-list construction happens inside ES).  Per the north rule we build it
+from scratch: docids are delta-encoded and varint-compressed in blocks of
+``BLOCK`` postings, with per-block skip metadata (last docid, byte offsets,
+block-max BM25 score) enabling Block-Max WAND.
+
+All encode/decode paths are numpy-vectorized — no Python loop per posting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # postings per block (block-max granularity)
+
+_SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-varint encode a uint64 array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # exact byte count per value: 1 + #thresholds passed
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    groups = ((v[:, None] >> _SHIFTS[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    col = np.arange(10)
+    keep = col[None, :] < nbytes[:, None]
+    cont = col[None, :] < (nbytes - 1)[:, None]
+    groups[cont] |= 0x80
+    return groups[keep].tobytes()
+
+
+def decode_varint(buf, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128-varint stream to uint64 (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    offsets = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    vals7 = (b & np.uint8(0x7F)).astype(np.uint64) << (offsets.astype(np.uint64) * np.uint64(7))
+    out = np.add.reduceat(vals7, starts)
+    if count is not None and out.size != count:
+        raise ValueError(f"decoded {out.size} values, expected {count}")
+    return out
+
+
+def encode_postings(docids: np.ndarray, tfs: np.ndarray, scores: np.ndarray | None = None):
+    """Encode one term's posting list.
+
+    ``docids`` must be sorted ascending, non-negative int64/uint64;
+    ``tfs`` parallel term frequencies; ``scores`` optional parallel exact
+    BM25 contributions (used only for the per-block max — the skip bound).
+
+    Returns a dict of plain-python/numpy values ready to be stored as one
+    Arrow row:
+      ``doc_blob``/``tf_blob`` (bytes), ``df`` (int),
+      ``skip_last`` (uint64[]), ``skip_doc_off``/``skip_tf_off`` (int32[] —
+      byte offset of each block's start), ``skip_max_score`` (float32[]).
+
+    Each block's deltas restart from the previous block's last docid, so a
+    block is independently decodable given ``skip_last[b-1]``.
+    """
+    d = np.ascontiguousarray(docids, dtype=np.uint64)
+    t = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = d.size
+    if n == 0:
+        raise ValueError("empty posting list")
+    if n > 1 and not np.all(d[1:] > d[:-1]):
+        raise ValueError("docids must be strictly increasing")
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+
+    nblocks = (n + BLOCK - 1) // BLOCK
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    skip_doc_off = np.empty(nblocks, dtype=np.int32)
+    skip_tf_off = np.empty(nblocks, dtype=np.int32)
+    skip_last = np.empty(nblocks, dtype=np.uint64)
+    skip_max_score = np.zeros(nblocks, dtype=np.float32)
+    doff = toff = 0
+    for b in range(nblocks):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
+        skip_doc_off[b] = doff
+        skip_tf_off[b] = toff
+        skip_last[b] = d[hi - 1]
+        dp = encode_varint(deltas[lo:hi])
+        tp = encode_varint(t[lo:hi])
+        doc_parts.append(dp)
+        tf_parts.append(tp)
+        doff += len(dp)
+        toff += len(tp)
+        if scores is not None:
+            skip_max_score[b] = np.float32(scores[lo:hi].max())
+    return {
+        "df": int(n),
+        "doc_blob": b"".join(doc_parts),
+        "tf_blob": b"".join(tf_parts),
+        "skip_last": skip_last,
+        "skip_doc_off": skip_doc_off,
+        "skip_tf_off": skip_tf_off,
+        "skip_max_score": skip_max_score,
+    }
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int):
+    """Full decode of one posting list → (docids uint64[], tfs uint64[])."""
+    deltas = decode_varint(doc_blob, count=df)
+    docids = np.cumsum(deltas, dtype=np.uint64)
+    tfs = decode_varint(tf_blob, count=df)
+    return docids, tfs
+
+
+def decode_block(doc_blob: bytes, tf_blob: bytes, df: int, block_idx: int,
+                 skip_last: np.ndarray, skip_doc_off: np.ndarray, skip_tf_off: np.ndarray):
+    """Decode a single block (for block-skipping iterators)."""
+    nblocks = len(skip_doc_off)
+    lo = int(skip_doc_off[block_idx])
+    hi = int(skip_doc_off[block_idx + 1]) if block_idx + 1 < nblocks else len(doc_blob)
+    tlo = int(skip_tf_off[block_idx])
+    thi = int(skip_tf_off[block_idx + 1]) if block_idx + 1 < nblocks else len(tf_blob)
+    count = min(BLOCK, df - block_idx * BLOCK)
+    deltas = decode_varint(np.frombuffer(doc_blob, dtype=np.uint8)[lo:hi], count=count)
+    base = np.uint64(skip_last[block_idx - 1]) if block_idx > 0 else np.uint64(0)
+    docids = np.cumsum(deltas, dtype=np.uint64) + base
+    tfs = decode_varint(np.frombuffer(tf_blob, dtype=np.uint8)[tlo:thi], count=count)
+    return docids, tfs

@@ -1,0 +1,60 @@
+"""Analyzer parity with the reference's analysis spec
+(/root/reference/src/search-ingest/schemas.cr:61-77): standard tokenize →
+lowercase → asciifolding with preserve_original."""
+
+from search_ingest_ray.analyzer import (
+    analyze_docs, ascii_fold, token_counts, tokenize_simple, tokenize_standard,
+)
+
+
+def test_standard_lowercases():
+    assert tokenize_standard("Foo BAR Baz") == ["foo", "bar", "baz"]
+
+
+def test_standard_splits_on_punct_keeps_underscore_digits():
+    assert tokenize_standard("foo-bar foo_bar 42!x") == ["foo", "bar", "foo_bar", "42", "x"]
+
+
+def test_preserve_original_emits_both_forms():
+    # asciifolding with preserve_original: folded AND original token emitted
+    assert tokenize_standard("café") == ["cafe", "café"]
+    assert tokenize_standard("straße") == ["strasse", "straße"]
+    # pure-ASCII tokens emitted once
+    assert tokenize_standard("cafe") == ["cafe"]
+
+
+def test_ascii_fold_special_chars():
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("Ølsen") == "Olsen"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("日本") == "日本"  # non-Latin passes through
+
+
+def test_simple_is_sql_parity():
+    # must equal duckdb regexp_extract_all(lower(x), '[a-z0-9]+')
+    import duckdb
+    s = "The Quick-Brown FOX_42 jumps; straße café"
+    sql = duckdb.sql(
+        "select regexp_extract_all(lower($$%s$$), '[a-z0-9]+')" % s
+    ).fetchone()[0]
+    assert tokenize_simple(s) == sql
+
+
+def test_token_counts():
+    c = token_counts("a b a c a b")
+    assert c == {"a": 3, "b": 2, "c": 1}
+
+
+def test_analyze_docs_flat_arrays():
+    terms, tfs, lens, idx = analyze_docs(["a b a", "café"])
+    assert lens == [3, 2]  # café → 2 tokens (folded + original)
+    by_doc = {}
+    for t, f, i in zip(terms, tfs, idx):
+        by_doc.setdefault(i, {})[t] = f
+    assert by_doc[0] == {"a": 2, "b": 1}
+    assert by_doc[1] == {"cafe": 1, "café": 1}
+
+
+def test_analyze_docs_handles_none():
+    terms, tfs, lens, idx = analyze_docs([None, "x"])
+    assert lens == [0, 1]
