@@ -57,18 +57,22 @@ def decode_varint(buf, count: int | None = None) -> np.ndarray:
     return out
 
 
-def encode_postings(docids: np.ndarray, tfs: np.ndarray, scores: np.ndarray | None = None):
+def encode_postings(docids: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray | None = None,
+                    scores: np.ndarray | None = None):
     """Encode one term's posting list.
 
     ``docids`` must be sorted ascending, non-negative int64/uint64;
-    ``tfs`` parallel term frequencies; ``scores`` optional parallel exact
-    BM25 contributions (used only for the per-block max — the skip bound).
+    ``tfs`` parallel term frequencies; ``dls`` optional parallel document
+    lengths (needed for exact query-time BM25 without a docid join);
+    ``scores`` optional parallel exact BM25 contributions (used only for the
+    per-block max — the skip bound).
 
     Returns a dict of plain-python/numpy values ready to be stored as one
-    Arrow row:
-      ``doc_blob``/``tf_blob`` (bytes), ``df`` (int),
-      ``skip_last`` (uint64[]), ``skip_doc_off``/``skip_tf_off`` (int32[] —
-      byte offset of each block's start), ``skip_max_score`` (float32[]).
+    Arrow row: ``doc_blob``/``tf_blob``/``dl_blob`` (bytes), ``df`` (int),
+    ``skip_last`` (uint64[]), ``skip_doc_off``/``skip_tf_off``/
+    ``skip_dl_off`` (int32[] — byte offset of each block's start),
+    ``skip_max_score`` (float32[]).
 
     Each block's deltas restart from the previous block's last docid, so a
     block is independently decodable given ``skip_last[b-1]``.
@@ -83,19 +87,23 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, scores: np.ndarray | No
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = d[0]
     np.subtract(d[1:], d[:-1], out=deltas[1:])
+    dl = None if dls is None else np.ascontiguousarray(dls, dtype=np.uint64)
 
     nblocks = (n + BLOCK - 1) // BLOCK
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
     skip_doc_off = np.empty(nblocks, dtype=np.int32)
     skip_tf_off = np.empty(nblocks, dtype=np.int32)
+    skip_dl_off = np.empty(nblocks, dtype=np.int32)
     skip_last = np.empty(nblocks, dtype=np.uint64)
     skip_max_score = np.zeros(nblocks, dtype=np.float32)
-    doff = toff = 0
+    doff = toff = loff = 0
     for b in range(nblocks):
         lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
         skip_doc_off[b] = doff
         skip_tf_off[b] = toff
+        skip_dl_off[b] = loff
         skip_last[b] = d[hi - 1]
         dp = encode_varint(deltas[lo:hi])
         tp = encode_varint(t[lo:hi])
@@ -103,38 +111,53 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, scores: np.ndarray | No
         tf_parts.append(tp)
         doff += len(dp)
         toff += len(tp)
+        if dl is not None:
+            lp = encode_varint(dl[lo:hi])
+            dl_parts.append(lp)
+            loff += len(lp)
         if scores is not None:
             skip_max_score[b] = np.float32(scores[lo:hi].max())
     return {
         "df": int(n),
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
+        "dl_blob": b"".join(dl_parts) if dl is not None else b"",
         "skip_last": skip_last,
         "skip_doc_off": skip_doc_off,
         "skip_tf_off": skip_tf_off,
+        "skip_dl_off": skip_dl_off,
         "skip_max_score": skip_max_score,
     }
 
 
-def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int):
-    """Full decode of one posting list → (docids uint64[], tfs uint64[])."""
+def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int,
+                    dl_blob: bytes | None = None):
+    """Full decode of one posting list → (docids, tfs[, dls]) uint64[]."""
     deltas = decode_varint(doc_blob, count=df)
     docids = np.cumsum(deltas, dtype=np.uint64)
     tfs = decode_varint(tf_blob, count=df)
+    if dl_blob:
+        return docids, tfs, decode_varint(dl_blob, count=df)
     return docids, tfs
 
 
+def _block_slice(blob: bytes, offs: np.ndarray, block_idx: int) -> np.ndarray:
+    lo = int(offs[block_idx])
+    hi = int(offs[block_idx + 1]) if block_idx + 1 < len(offs) else len(blob)
+    return np.frombuffer(blob, dtype=np.uint8)[lo:hi]
+
+
 def decode_block(doc_blob: bytes, tf_blob: bytes, df: int, block_idx: int,
-                 skip_last: np.ndarray, skip_doc_off: np.ndarray, skip_tf_off: np.ndarray):
+                 skip_last: np.ndarray, skip_doc_off: np.ndarray,
+                 skip_tf_off: np.ndarray, dl_blob: bytes | None = None,
+                 skip_dl_off: np.ndarray | None = None):
     """Decode a single block (for block-skipping iterators)."""
-    nblocks = len(skip_doc_off)
-    lo = int(skip_doc_off[block_idx])
-    hi = int(skip_doc_off[block_idx + 1]) if block_idx + 1 < nblocks else len(doc_blob)
-    tlo = int(skip_tf_off[block_idx])
-    thi = int(skip_tf_off[block_idx + 1]) if block_idx + 1 < nblocks else len(tf_blob)
     count = min(BLOCK, df - block_idx * BLOCK)
-    deltas = decode_varint(np.frombuffer(doc_blob, dtype=np.uint8)[lo:hi], count=count)
+    deltas = decode_varint(_block_slice(doc_blob, skip_doc_off, block_idx), count=count)
     base = np.uint64(skip_last[block_idx - 1]) if block_idx > 0 else np.uint64(0)
     docids = np.cumsum(deltas, dtype=np.uint64) + base
-    tfs = decode_varint(np.frombuffer(tf_blob, dtype=np.uint8)[tlo:thi], count=count)
+    tfs = decode_varint(_block_slice(tf_blob, skip_tf_off, block_idx), count=count)
+    if dl_blob is not None and skip_dl_off is not None:
+        dls = decode_varint(_block_slice(dl_blob, skip_dl_off, block_idx), count=count)
+        return docids, tfs, dls
     return docids, tfs

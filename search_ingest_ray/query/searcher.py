@@ -1,0 +1,229 @@
+"""BM25 top-k query serving over the segmented index (operator E10).
+
+Replaces the query half the reference delegates to Elasticsearch.  The
+scorer is exact (rank- AND score-identical to the brute-force oracle in
+``bm25.oracle_topk``) while pruning posting blocks with block-max metadata —
+a vectorized MaxScore/Block-Max-WAND hybrid:
+
+1.  Analyze the query with the index's analyzer; resolve each term's
+    posting lists (a hot term has up to S salted sub-lists living in
+    different term partitions — see build.py E12).
+2.  Fully score the term with the greatest list max; the k-th best partial
+    score is a valid LOWER bound θ on the true k-th best total (true scores
+    only grow as more terms accumulate).
+3.  For every remaining list, a block b can contain a top-k doc only if
+    ``block_max(b) + Σ_{other terms} term_max < θ`` is false — any doc whose
+    blocks are all pruned has true score < θ and cannot enter the top-k; any
+    doc that survives in every term containing it gets an EXACT score.
+    Hence results (ids and scores) are exactly those of exhaustive scoring.
+4.  Accumulate decoded (docid, contribution) pairs with np.unique +
+    np.add.at; top-k by (-score, docid) — the deterministic tie-break that
+    rank-identity requires.
+
+The Searcher is designed to be held inside a Ray actor pool
+(``map_batches(QueryScorer, concurrency=N)``) — segment handles, stats and
+the analyzer load once per actor (the analog of the reference's pooled
+long-lived ES clients, /root/reference/src/search-ingest/elastic.cr:62-93).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analyzer import get_analyzer
+from ..codec import BLOCK, decode_varint
+from ..util import read_json, term_partition
+from .bm25 import BM25Params, term_scores
+
+
+class Searcher:
+    def __init__(self, index_root: str, epoch: int = 0):
+        ed = os.path.join(index_root, "epochs", f"e{epoch:04d}")
+        self.stats = read_json(os.path.join(ed, "stats.json"))
+        self.meta = read_json(os.path.join(index_root, "index_meta.json"))
+        self.segments_dir = os.path.join(ed, "segments")
+        self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"],
+                                 n_docs=self.stats["n_docs"],
+                                 avgdl=self.stats["avgdl"])
+        self.P = self.stats["num_term_partitions"]
+        self.S = self.stats["hot_salt"]
+        self.hot = self.stats["hot_terms"]
+        self.analyze = get_analyzer(self.stats["analyzer"])
+        self._files: dict[int, pq.ParquetFile | None] = {}
+
+    # -- segment access ------------------------------------------------------
+
+    def _file(self, tpart: int):
+        f = self._files.get(tpart, -1)
+        if f == -1:
+            path = os.path.join(self.segments_dir, f"tpart={tpart:05d}",
+                                "segment.parquet")
+            f = pq.ParquetFile(path) if os.path.exists(path) else None
+            self._files[tpart] = f
+        return f
+
+    def _lookup(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Fetch posting-list rows for terms, grouped per term.  One parquet
+        read per touched partition; row groups pruned via term min/max stats
+        (rows are term-sorted at build)."""
+        by_part: dict[int, set[str]] = {}
+        for t in terms:
+            if t in self.hot:
+                for s in range(self.S):
+                    by_part.setdefault(term_partition(t, self.P, salt=s), set()).add(t)
+            else:
+                by_part.setdefault(term_partition(t, self.P), set()).add(t)
+        out: dict[str, list[dict]] = {t: [] for t in terms}
+        for tp, tset in by_part.items():
+            f = self._file(tp)
+            if f is None:
+                continue
+            want = pa.array(sorted(tset), pa.string())
+            groups = []
+            for rg in range(f.num_row_groups):
+                st = f.metadata.row_group(rg).column(0).statistics
+                if st is None or st.min is None:
+                    groups.append(rg)
+                elif any(st.min <= t <= st.max for t in tset):
+                    groups.append(rg)
+            if not groups:
+                continue
+            tbl = f.read_row_groups(groups)
+            tbl = tbl.filter(pc.is_in(tbl["term"], value_set=want))
+            for row in tbl.to_pylist():
+                out[row["term"]].append(row)
+        return out
+
+    # -- scoring -------------------------------------------------------------
+
+    @staticmethod
+    def _decode_list(row: dict, prune_rest: float = 0.0, theta: float = -np.inf):
+        """Decode a posting-list row, skipping blocks whose upper bound
+        (skip_max + prune_rest) < theta.  Returns (docids, tfs, dls)."""
+        n = row["n"]
+        skip_max = np.asarray(row["skip_max"], dtype=np.float32)
+        nblocks = len(skip_max)
+        keep = (skip_max.astype(np.float64) + prune_rest) >= theta
+        if not keep.any():
+            e = np.empty(0, dtype=np.uint64)
+            return e, e, e
+        doc_off = np.asarray(row["skip_doc_off"])
+        tf_off = np.asarray(row["skip_tf_off"])
+        dl_off = np.asarray(row["skip_dl_off"])
+        last = np.asarray(row["skip_last"], dtype=np.uint64)
+        doc_blob = np.frombuffer(row["doc_blob"], dtype=np.uint8)
+        tf_blob = np.frombuffer(row["tf_blob"], dtype=np.uint8)
+        dl_blob = np.frombuffer(row["dl_blob"], dtype=np.uint8)
+
+        if keep.all():
+            deltas = decode_varint(doc_blob, count=n)
+            docids = np.cumsum(deltas, dtype=np.uint64)
+            tfs = decode_varint(tf_blob, count=n)
+            dls = decode_varint(dl_blob, count=n)
+            return docids, tfs, dls
+
+        d_parts, t_parts, l_parts = [], [], []
+        for b in np.flatnonzero(keep):
+            b = int(b)
+            lo, hi = int(doc_off[b]), int(doc_off[b + 1]) if b + 1 < nblocks else len(doc_blob)
+            cnt = min(BLOCK, n - b * BLOCK)
+            deltas = decode_varint(doc_blob[lo:hi], count=cnt)
+            base = last[b - 1] if b > 0 else np.uint64(0)
+            d_parts.append(np.cumsum(deltas, dtype=np.uint64) + base)
+            tlo = int(tf_off[b])
+            thi = int(tf_off[b + 1]) if b + 1 < nblocks else len(tf_blob)
+            t_parts.append(decode_varint(tf_blob[tlo:thi], count=cnt))
+            llo = int(dl_off[b])
+            lhi = int(dl_off[b + 1]) if b + 1 < nblocks else len(dl_blob)
+            l_parts.append(decode_varint(dl_blob[llo:lhi], count=cnt))
+        return (np.concatenate(d_parts), np.concatenate(t_parts),
+                np.concatenate(l_parts))
+
+    def search_terms(self, terms: list[str], k: int = 10):
+        """Top-k for an OR (match) query over analyzed terms.
+
+        Returns (docids int64[], scores float64[]) sorted by (-score, docid).
+        """
+        # duplicate query terms contribute multiplied scores (Lucene semantics)
+        mult: dict[str, int] = {}
+        for t in terms:
+            mult[t] = mult.get(t, 0) + 1
+        uniq_terms = list(mult)
+        rows_by_term = self._lookup(uniq_terms)
+        rows_by_term = {t: r for t, r in rows_by_term.items() if r}
+        if not rows_by_term:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        term_max = {t: mult[t] * max(r["max_score"] for r in rows)
+                    for t, rows in rows_by_term.items()}
+        order = sorted(rows_by_term, key=lambda t: -term_max[t])
+        total_rest = sum(term_max.values())
+
+        all_docids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        theta = -np.inf
+        p = self.params
+        for i, t in enumerate(order):
+            rest = total_rest - term_max[t]
+            for row in rows_by_term[t]:
+                if i == 0:
+                    d, tf, dl = self._decode_list(row)  # full decode seeds θ
+                else:
+                    d, tf, dl = self._decode_list(row, prune_rest=rest, theta=theta)
+                if d.size == 0:
+                    continue
+                sc = mult[t] * term_scores(tf, dl, row["df"], p)
+                all_docids.append(d)
+                all_scores.append(sc)
+            if i == 0 and all_scores:
+                seed = np.concatenate(all_scores)
+                if seed.size >= k:
+                    theta = float(np.partition(seed, -k)[-k])
+
+        docids = np.concatenate(all_docids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(docids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        kk = min(k, uniq.size)
+        # top-k by (-score, docid): lexsort last key is primary
+        top = np.lexsort((uniq, -acc))[:kk]
+        return uniq[top].astype(np.int64), acc[top]
+
+    def search(self, query: str, k: int = 10):
+        """Analyze a free-text query with the index analyzer, then top-k."""
+        return self.search_terms(self.analyze(query), k=k)
+
+
+class QueryScorer:
+    """Actor-pool stage: score a batch of queries against the index.
+
+    ``map_batches(QueryScorer, fn_constructor_kwargs=dict(index_root=...),
+    concurrency=N, batch_format="pyarrow")`` over a dataset with columns
+    ``(query_id, query)`` → rows ``(query_id, rank, docid, score)``.
+    """
+
+    def __init__(self, index_root: str, epoch: int = 0, k: int = 10):
+        self.searcher = Searcher(index_root, epoch)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        for qid, q in zip(batch["query_id"].to_pylist(),
+                          batch["query"].to_pylist()):
+            d, s = self.searcher.search(q, k=self.k)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docids.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "docid": pa.array(docids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        })

@@ -1,0 +1,102 @@
+"""Analysis stages: text extraction (E1) and posting emission (E2+E4).
+
+Both are ``map_batches`` stages over zero-copy Arrow batches.  The analyzer
+stage is a callable CLASS (actor pool): the compiled tokenizer/regex state is
+built once per actor in ``__init__`` and reused per batch — the Ray analog of
+the reference sharing one immutable ``Schemas`` instance and a client pool
+across all work (/root/reference/src/search-ingest/elastic.cr:62-93).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..analyzer import get_analyzer
+from ..corpus import extract_text
+from ..util import hash_ids
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("docid", pa.int64()),
+    ("tf", pa.int32()),
+    ("dl", pa.int32()),
+])
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """E1: derive ``text`` from ``html`` (byte-identical per url — the
+    input_hint invariant).  Stateless task; drops the heavy ``html`` column
+    immediately so it never enters the shuffle (SURVEY §7 hard part 7)."""
+    texts = [extract_text(h) if h is not None else "" for h in batch["html"].to_pylist()]
+    out = batch.drop_columns(["html"])
+    if "text" in out.column_names:
+        out = out.drop_columns(["text"])
+    return out.append_column("text", pa.array(texts, pa.string()))
+
+
+class PostingEmitter:
+    """E2+E4 fused: analyze text → one output row per distinct (term, doc).
+
+    Output columns: ``term, docid, tf, dl`` — ``dl`` (doc token count) rides
+    along so BM25 block-max scores can be computed at segment build time
+    without a docid join.  ``docid`` is either a stable 63-bit hash of the
+    ``id_col`` (string keys, e.g. url) or the integer column itself.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "url",
+                 id_is_int: bool = False, analyzer: str = "standard"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.id_is_int = id_is_int
+        self.analyze = get_analyzer(analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        if self.id_is_int:
+            docids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            docids = np.array(hash_ids(batch[self.id_col].to_pylist()), dtype=np.int64)
+
+        analyze = self.analyze
+        terms: list[str] = []
+        tfs: list[int] = []
+        out_docids: list[np.ndarray] = []
+        out_dls: list[np.ndarray] = []
+        from collections import Counter
+        for i, text in enumerate(texts):
+            toks = analyze(text) if text else []
+            if not toks:
+                continue
+            c = Counter(toks)
+            k = len(c)
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+            out_docids.append(np.full(k, docids[i], dtype=np.int64))
+            out_dls.append(np.full(k, len(toks), dtype=np.int32))
+        if not terms:
+            return POSTINGS_SCHEMA.empty_table()
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "docid": pa.array(np.concatenate(out_docids)),
+            "tf": pa.array(np.array(tfs, dtype=np.int32)),
+            "dl": pa.array(np.concatenate(out_dls)),
+        })
+
+
+class DoclenEmitter:
+    """Per-document length/id rows (docid, dl) — used for corpus stats when
+    zero-token docs must still count toward N/avgdl."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "url",
+                 id_is_int: bool = False, analyzer: str = "standard"):
+        self.inner = PostingEmitter(text_col, id_col, id_is_int, analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.inner.text_col].to_pylist()
+        if self.inner.id_is_int:
+            docids = batch[self.inner.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            docids = np.array(hash_ids(batch[self.inner.id_col].to_pylist()), dtype=np.int64)
+        dls = np.array([len(self.inner.analyze(t)) if t else 0 for t in texts], dtype=np.int32)
+        return pa.table({"docid": pa.array(docids), "dl": pa.array(dls)})

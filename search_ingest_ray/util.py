@@ -1,0 +1,52 @@
+"""Small shared utilities: stable hashing, atomic file writes."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+
+_MASK63 = (1 << 63) - 1
+
+
+def doc_id_hash(key: str | bytes) -> int:
+    """Stable 63-bit document id from a string key (url).
+
+    Stable across processes/machines (blake2b, no interpreter hash salt).
+    Collision note (documented design trade): at 10^12 docs the expected
+    number of colliding pairs is ~n^2/2^64 ≈ 5e4, a 1e-7 fraction; ids stay
+    stable under re-ingest, which is what makes epoch upserts (E9) cheap.
+    """
+    if isinstance(key, str):
+        key = key.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big") & _MASK63
+
+
+def hash_ids(keys) -> list[int]:
+    """Vectorized-ish batch form of :func:`doc_id_hash`."""
+    b2 = hashlib.blake2b
+    fb = int.from_bytes
+    return [fb(b2(k.encode("utf-8"), digest_size=8).digest(), "big") & _MASK63
+            for k in keys]
+
+
+def term_partition(term: str, num_partitions: int, salt: int = 0) -> int:
+    """Deterministic term → partition assignment (crc32; salt spreads hot
+    terms across partitions — operator E12)."""
+    h = zlib.crc32(term.encode("utf-8"))
+    if salt:
+        h = zlib.crc32(salt.to_bytes(4, "big"), h)
+    return h % num_partitions
+
+
+def atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)

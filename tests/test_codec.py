@@ -40,7 +40,7 @@ def _random_list(n, seed=0):
 @pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 5000])
 def test_postings_roundtrip(n):
     d, tf, sc = _random_list(n, seed=n)
-    enc = encode_postings(d, tf, sc)
+    enc = encode_postings(d, tf, dls=None, scores=sc)
     dd, tt = decode_postings(enc["doc_blob"], enc["tf_blob"], enc["df"])
     assert np.array_equal(dd, d)
     assert np.array_equal(tt, tf)
@@ -48,7 +48,7 @@ def test_postings_roundtrip(n):
 
 def test_block_access_matches_full_decode():
     d, tf, sc = _random_list(1000, seed=7)
-    enc = encode_postings(d, tf, sc)
+    enc = encode_postings(d, tf, dls=None, scores=sc)
     nblocks = len(enc["skip_doc_off"])
     for b in range(nblocks):
         bd, bt = decode_block(enc["doc_blob"], enc["tf_blob"], enc["df"], b,

@@ -1,0 +1,131 @@
+"""End-to-end index build + BM25 query vs the brute-force oracle —
+rank- and score-identity (the north-rule correctness gate), plus
+resumability and hot-term salting."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_ingest_ray.corpus import query_set
+from search_ingest_ray.index.build import build_index, reindex
+from search_ingest_ray.query.bm25 import oracle_topk
+from search_ingest_ray.query.searcher import Searcher
+from search_ingest_ray.util import hash_ids
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, corpus_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index(corpus_dir, root, html_col="html",
+                           chunk_files=2, num_term_partitions=4,
+                           hot_df_threshold=150, hot_salt=2)
+    return root, manifest, corpus_dir
+
+
+def _load_corpus(corpus_dir):
+    import pyarrow.parquet as pq
+    tables = [pq.read_table(os.path.join(corpus_dir, f))
+              for f in sorted(os.listdir(corpus_dir)) if f.endswith(".parquet")]
+    import pyarrow as pa
+    t = pa.concat_tables(tables)
+    return t["text"].to_pylist(), hash_ids(t["url"].to_pylist())
+
+
+def test_manifest_and_stats(built):
+    root, manifest, corpus_dir = built
+    assert manifest["status"] == "done"
+    assert sum(c["rows"] for c in manifest["chunks"].values()) == 400
+    st = manifest["stats"]
+    assert st["n_docs"] == 400
+    assert st["avgdl"] > 0
+    assert len(manifest["segments"]) >= 1
+    # hot terms exist at this threshold (base vocab in most docs)
+    assert len(st["hot_terms"]) > 0
+
+
+def test_rank_and_score_identity_vs_oracle(built):
+    root, manifest, corpus_dir = built
+    texts, ids = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    checked = 0
+    for terms in query_set(seed=42, n=24):
+        d_eng, sc_eng = s.search_terms(terms, k=10)
+        d_or, sc_or = oracle_topk(texts, ids, terms, k=10)
+        assert np.array_equal(d_eng, d_or), f"docids differ for {terms}"
+        assert np.allclose(sc_eng, sc_or, rtol=1e-9, atol=1e-12), \
+            f"scores differ for {terms}"
+        checked += 1 if len(d_eng) else 0
+    assert checked >= 10  # most queries must actually match docs
+
+
+def test_free_text_search_analyzed(built):
+    root, _, corpus_dir = built
+    s = Searcher(root)
+    # non-ASCII query term matches via preserve_original; folded query term
+    # matches folded form of the same docs
+    d1, _ = s.search("straße", k=5)
+    d2, _ = s.search("strasse", k=5)
+    assert len(d1) > 0 and len(d2) > 0
+
+
+def test_hot_term_salted_lists_agree_with_oracle(built):
+    root, manifest, corpus_dir = built
+    hot = list(manifest["stats"]["hot_terms"])
+    assert hot
+    texts, ids = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    term = hot[0]
+    d_eng, sc_eng = s.search_terms([term], k=20)
+    d_or, sc_or = oracle_topk(texts, ids, [term], k=20)
+    assert np.array_equal(d_eng, d_or)
+    assert np.allclose(sc_eng, sc_or, rtol=1e-9)
+
+
+def test_resume_skips_done_chunks(built, tmp_path):
+    root, manifest, corpus_dir = built
+    # simulate crash: wipe segments + stage-2 manifest state, keep chunks
+    ed = os.path.join(root, "epochs", "e0000")
+    mpath = os.path.join(ed, "manifest.json")
+    m = json.load(open(mpath))
+    m["segments"] = {}
+    m["status"] = "building"
+    json.dump(m, open(mpath, "w"))
+    shutil.rmtree(os.path.join(ed, "segments"))
+    m2 = build_index(corpus_dir, root, html_col="html",
+                     chunk_files=2, num_term_partitions=4,
+                     hot_df_threshold=150, hot_salt=2)
+    # chunk records unchanged (not re-tokenized), wall_s values identical
+    assert m2["chunks"] == manifest["chunks"]
+    assert m2["status"] == "done"
+    # and the index still answers correctly
+    texts, ids = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    terms = query_set(seed=1, n=1)[0]
+    d_eng, _ = s.search_terms(terms, k=5)
+    d_or, _ = oracle_topk(texts, ids, terms, k=5)
+    assert np.array_equal(d_eng, d_or)
+
+
+def test_meta_change_forces_rebuild(ray_session, corpus_dir, tmp_path):
+    root = str(tmp_path / "idx")
+    build_index(corpus_dir, root, html_col="html", chunk_files=4,
+                num_term_partitions=2)
+    # different analyzer → meta mismatch → epoch dropped and rebuilt
+    m = build_index(corpus_dir, root, html_col="html", chunk_files=4,
+                    num_term_partitions=2, analyzer="simple")
+    assert m["stats"]["analyzer"] == "simple"
+    meta = json.load(open(os.path.join(root, "index_meta.json")))
+    assert meta["analyzer"] == "simple"
+
+
+def test_reindex_empties_epoch_keeps_meta(ray_session, corpus_dir, tmp_path):
+    root = str(tmp_path / "idx2")
+    build_index(corpus_dir, root, html_col="html", chunk_files=4,
+                num_term_partitions=2)
+    reindex(root)
+    assert os.path.exists(os.path.join(root, "index_meta.json"))
+    assert not os.path.exists(os.path.join(root, "epochs", "e0000"))
