@@ -1,44 +1,377 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native search/index engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship build+query pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2),
+``oracle_sql()`` the DuckDB-equivalent SQL for the SQL-expressible ones.
+Column names/types match between each Ray result and its oracle.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# A fixed 2-term query for the BM25 oracle: 2-term float sums are
+# order-insensitive bit-exact, so engine and SQL agree without tolerance.
+BM25_QUERY_TERMS = ("merge", "scan")
+BM25_K = 10
+STOP_SQL = "('the','and','of','a','to','in','is','it','for','on')"
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# individual query implementations
+
+
+def q_doc_count_by_lang(sf_dir: str):
+    ds = _docs(sf_dir).groupby("lang").count()
+    return ds.map_batches(lambda t: t.rename_columns(["lang", "n"]),
+                          batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    from search_ingest_ray.functions.textstats import token_count_batch
+    ds = _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def q_corpus_stats(sf_dir: str):
+    from search_ingest_ray.functions.textstats import token_count_batch
+    ds = _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+    n_docs = ds.count()
+    total = ds.sum("n_tokens") if n_docs else 0
+    avgdl_micro = int(np.floor(total / n_docs * 1e6)) if n_docs else 0
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([int(total)], pa.int64()),
+        "avgdl_micro": pa.array([avgdl_micro], pa.int64()),
+    })
+
+
+def _postings(sf_dir: str):
+    from search_ingest_ray.stages.analyze import PostingEmitter
+    emitter = PostingEmitter(text_col="text", id_col="doc_id",
+                             id_is_int=True, analyzer="simple")
+    return _docs(sf_dir).map_batches(emitter, batch_format="pyarrow",
+                                     batch_size=512, concurrency=4)
+
+
+def q_term_df(sf_dir: str):
+    ds = _postings(sf_dir).groupby("term").count()
+    return ds.map_batches(lambda t: t.rename_columns(["term", "df"]),
+                          batch_format="pyarrow")
+
+
+def q_top_terms(sf_dir: str):
+    ds = _postings(sf_dir).groupby("term").sum("tf")
+    ds = ds.map_batches(
+        lambda t: pa.table({"term": t["term"],
+                            "cf": t["sum(tf)"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return ds.sort(["cf", "term"], descending=[True, False]).limit(20)
+
+
+def q_bm25_topk(sf_dir: str):
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple")
+    s = Searcher(root)
+    d, sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
+def q_dedup_exact(sf_dir: str):
+    from search_ingest_ray.functions.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def q_events_fold(sf_dir: str):
+    import ray.data as rd
+    from search_ingest_ray.stages.fold import fold_last_write_wins
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = fold_last_write_wins(ev, "user_id", ["ts", "event_id"])
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "last_type": t["event_type"],
+                            "last_value": t["value"]}),
+        batch_format="pyarrow")
+
+
+def q_events_fold_tombstone(sf_dir: str):
+    """E9 with deletes: event_type 'error' acts as a tombstone."""
+    import ray.data as rd
+    from search_ingest_ray.stages.fold import fold_last_write_wins
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_action(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        act = pc.if_else(pc.equal(t["event_type"], "error"),
+                         pa.scalar("deleted"), pa.scalar("created"))
+        return t.append_column("action", act)
+
+    ev = ev.map_batches(add_action, batch_format="pyarrow")
+    out = fold_last_write_wins(ev, "user_id", ["ts", "event_id"],
+                               action_col="action")
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "last_type": t["event_type"]}),
+        batch_format="pyarrow")
+
+
+def q_replicate_orders(sf_dir: str):
+    import ray.data as rd
+    from search_ingest_ray.schemas import ParentRelation, TableConfig
+    from search_ingest_ray.stages.replicate import replicate
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cfg = TableConfig("orders", id_field="o_orderkey", doc_type="Order",
+                      parents=[ParentRelation("Customer", "customer", "o_custkey")])
+    return replicate(orders, cfg)
+
+
+def q_ann_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+    from search_ingest_ray.functions.similarity import knn_cosine
+    import ray.data as rd
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    ds = rd.read_parquet(emb_path)
+    out = knn_cosine(ds, [q], k=10, round_to=None)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"],
+            "cos_micro": pa.array(
+                np.round(np.asarray(t["cos"]) * 1e4).astype(np.int64)),
+        }), batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from search_ingest_ray.functions.textstats import quality_batch
+    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_len", "n_tokens",
+                              "stopword_ratio_micro", "mean_token_len_micro"])
+
+
+# -- rows-only operators (no SQL equivalent; driver records row counts) ------
+
+
+def q_minhash_pairs(sf_dir: str):
+    from search_ingest_ray.functions.dedup import minhash_candidate_pairs
+    return minhash_candidate_pairs(_docs(sf_dir), num_perm=32, bands=8)
+
+
+def q_simhash(sf_dir: str):
+    from search_ingest_ray.functions.dedup import simhash_batch
+    ds = _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "simhash"])
+
+
+def q_langid(sf_dir: str):
+    from search_ingest_ray.functions.textstats import LangId
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                   concurrency=2)
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    from search_ingest_ray.functions.textstats import fingerprint_batch
+    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import ann_lsh
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    return ann_lsh(rd.read_parquet(emb_path), [q], k=10, nbits=4)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing: documents' text bytes stand in for image
+    binaries (decode stage stubbed — see functions/multimodal.py)."""
+    from search_ingest_ray.functions.multimodal import ImageFeatureStage
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        data = pa.array([x.encode() for x in t["text"].to_pylist()], pa.binary())
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()), "data": data})
+
+    ds = _docs(sf_dir).map_batches(to_binary, batch_format="pyarrow")
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+def q_webpage_build(sf_dir: str):
+    """F0 corpus: extract html→text (byte-identity) + index build smoke on
+    a small deterministic synthetic corpus (rows-only; the real assertions
+    live in tests/test_index.py)."""
+    from search_ingest_ray.corpus import write_corpus
+    from search_ingest_ray.index.build import build_index
+    from search_ingest_ray.query.searcher import Searcher
+    cdir = "/tmp/search_ingest_ray_cache/webcorpus400"
+    write_corpus(cdir, num_docs=400, num_files=4, seed=42)
+    root = "/tmp/search_ingest_ray_cache/webindex400"
+    build_index(cdir, root, html_col="html", chunk_files=2,
+                num_term_partitions=4, hot_df_threshold=150, hot_salt=2)
+    s = Searcher(root)
+    d, sc = s.search("straße merge", k=10)
+    return pa.table({"docid": pa.array(d, pa.int64()),
+                     "score": pa.array(sc, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the documents index at sf0.001 and serve the seeded
+    query set; returns (query_id, rank, doc_id, score) rows."""
+    from search_ingest_ray.pipelines.flagship import documents_index, run_query_set
+    sf_dir = "/root/testdata/sf0.001"
+    root = documents_index(sf_dir, analyzer="simple")
+    queries = [["merge", "scan"], ["window", "hash", "join"], ["spark"],
+               ["stream", "batch"], ["table", "sort"], ["dup", "key"]]
+    return run_query_set(root, queries, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_count_by_lang": q_doc_count_by_lang,
+        "token_count": q_token_count,
+        "corpus_stats": q_corpus_stats,
+        "term_df": q_term_df,
+        "top_terms": q_top_terms,
+        "bm25_topk": q_bm25_topk,
+        "dedup_exact": q_dedup_exact,
+        "events_fold": q_events_fold,
+        "events_fold_tombstone": q_events_fold_tombstone,
+        "replicate_orders": q_replicate_orders,
+        "ann_cosine": q_ann_cosine,
+        "quality": q_quality,
+        # rows-only (non-SQL-expressible)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "image_features": q_image_features,
+        "webpage_build": q_webpage_build,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k1, b = 1.2, 0.75
+    t1, t2 = BM25_QUERY_TERMS
+    bm25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({k1} + 1)
+              / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT {BM25_K}
+"""
+    return {
+        "doc_count_by_lang":
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "token_count":
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
+        "corpus_stats": f"""
+            SELECT cast(count(*) AS bigint) AS n_docs,
+                   cast(coalesce(sum(len({_TOKS})), 0) AS bigint) AS total_tokens,
+                   cast(floor(coalesce(sum(len({_TOKS})), 0)::double
+                        / count(*) * 1e6) AS bigint) AS avgdl_micro
+            FROM documents""",
+        "term_df": f"""
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term""",
+        "top_terms": f"""
+            SELECT term, count(*) AS cf
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
+        "bm25_topk": bm25,
+        "dedup_exact": """
+            SELECT cast(min(doc_id) AS bigint) AS doc_id
+            FROM documents GROUP BY text""",
+        "events_fold": """
+            SELECT user_id, event_type AS last_type, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1""",
+        "events_fold_tombstone": """
+            SELECT user_id, event_type AS last_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1 AND event_type != 'error'""",
+        "replicate_orders": """
+            SELECT o_orderkey, o_custkey,
+                   'orders' AS target_index,
+                   cast(o_orderkey AS varchar) AS route,
+                   'Order' AS doc_type,
+                   cast(NULL AS varchar) AS join_name,
+                   cast(NULL AS varchar) AS join_parent
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   'customer', cast(o_custkey AS varchar), 'Order',
+                   'Order', cast(o_custkey AS varchar)
+            FROM orders""",
+        "ann_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   cast(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                        q.qe) * 1e4) AS bigint) AS cos_micro
+            FROM embeddings e CROSS JOIN q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                     e.vec_id
+            LIMIT 10""",
+        "quality": f"""
+            SELECT doc_id,
+                   cast(length(text) AS bigint) AS text_len,
+                   len(toks) AS n_tokens,
+                   cast(floor(len(list_filter(toks, x -> x IN {STOP_SQL}))::double
+                        / greatest(len(toks), 1) * 1e6) AS bigint)
+                     AS stopword_ratio_micro,
+                   cast(floor(coalesce(list_sum(list_transform(toks,
+                        x -> length(x))), 0)::double
+                        / greatest(len(toks), 1) * 1e6) AS bigint)
+                     AS mean_token_len_micro
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+    }

@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast once via
+  ``ray.put``; every batch does one numpy matmul and emits only its local
+  top-k candidates, so the final exact reduce sees ≤ k×num_blocks rows —
+  never the full corpus (the "broadcast small side, never shuffle the big
+  side" join pattern).
+- LSH-bucketed variant (scale path): random-hyperplane signatures bucket
+  vectors; queries probe only their own bucket (+ optional multiprobe),
+  trading recall for a ~num_buckets× read reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+_QCACHE: dict = {}
+
+
+def _topk_partial(batch: pa.Table, *, q_ref, k: int, id_col: str,
+                  vec_col: str, round_to: int | None) -> pa.Table:
+    key = q_ref.hex() if hasattr(q_ref, "hex") else id(q_ref)
+    qn = _QCACHE.get(key)
+    if qn is None:
+        q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+        qn = _QCACHE[key] = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+    m = _normalize(_as_matrix(batch[vec_col]))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sims = qn @ m.T  # (Q, B)
+    if round_to is not None:
+        sims = np.round(sims, round_to)
+    qids_out, ids_out, cos_out = [], [], []
+    kk = min(k, sims.shape[1])
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        # local top-k with deterministic (-cos, id) order
+        idx = np.lexsort((ids, -row))[:kk]
+        qids_out.append(np.full(kk, qi, dtype=np.int64))
+        ids_out.append(ids[idx])
+        cos_out.append(row[idx])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(qids_out)),
+        "vec_id": pa.array(np.concatenate(ids_out)),
+        "cos": pa.array(np.concatenate(cos_out)),
+    })
+
+
+def knn_cosine(ds, query_vecs, k: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding", round_to: int | None = None):
+    """Exact cosine top-k per query vector.  Returns a Dataset with columns
+    (query_id, vec_id, cos) — k rows per query, sorted by (-cos, vec_id)."""
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    q_ref = ray.put(q)
+    partial = ds.map_batches(
+        _topk_partial, batch_format="pyarrow", batch_size=4096,
+        fn_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col,
+                       round_to=round_to))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# -- LSH-bucketed ANN (scale path) ------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,
+                     vec_col: str = "embedding") -> pa.Table:
+    """Random-hyperplane signature → bucket id column."""
+    m = _as_matrix(batch[vec_col])
+    bits = (m @ planes.T) > 0  # (B, nbits)
+    buckets = np.zeros(len(m), dtype=np.int64)
+    for i in range(planes.shape[0]):
+        buckets |= bits[:, i].astype(np.int64) << i
+    return batch.append_column("bucket", pa.array(buckets))
+
+
+def ann_lsh(ds, query_vecs, k: int = 10, nbits: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 11):
+    """Approximate top-k: probe only each query's LSH bucket.
+
+    Partitioning assumption (documented per SURVEY §2.2 custom-operator
+    rule): vectors are grouped by ``bucket``; recall depends on nbits and
+    data distribution — this is the 10^12-scale path where brute force is
+    infeasible; the brute-force `knn_cosine` is the correctness baseline."""
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    planes = _hyperplanes(q.shape[1], nbits, seed)
+    bucketed = ds.map_batches(lsh_bucket_batch, batch_format="pyarrow",
+                              fn_kwargs=dict(planes=planes, vec_col=vec_col))
+    qbits = (q @ planes.T) > 0
+    qbuckets = np.zeros(len(q), dtype=np.int64)
+    for i in range(nbits):
+        qbuckets |= qbits[:, i].astype(np.int64) << i
+    wanted = set(qbuckets.tolist())
+    cand = bucketed.filter(lambda row: row["bucket"] in wanted)
+    qn = _normalize(q)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        qidx = [i for i, qb in enumerate(qbuckets.tolist()) if qb == b]
+        if not qidx:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        sims = qn[qidx] @ m.T
+        out_q, out_v, out_c = [], [], []
+        ids = g[id_col].to_numpy()
+        for row_i, qi in enumerate(qidx):
+            row = sims[row_i]
+            idx = np.lexsort((ids, -row))[:k]
+            out_q.extend([qi] * len(idx))
+            out_v.extend(ids[idx])
+            out_c.extend(row[idx])
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
+
+    return cand.groupby("bucket").map_groups(score, batch_format="pandas")
