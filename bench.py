@@ -1,0 +1,214 @@
+"""Benchmark driver — prints ONE JSON line on stdout.
+
+Headline: full inverted-index build (extract html→text → analyze → term
+shuffle → block-max segments) over a deterministic synthetic web corpus
+(input_hint schema), plus BM25 query serving (p50/p99/QPS) — the
+north-star workload.  Also times the driver-facing sf-dir queries.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), BENCH_DOCS (default 1_200_000 — sized so the 8-cpu build
+runs ≥60 s).
+
+``--scaling``: runs the bench twice in fresh processes (8 then 32 cpus) on
+the SAME corpus and reports throughputs + scaling efficiency (the sandbox
+evidence for the north rule's N→4N criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "1200000"))
+NUM_FILES = 64
+CORPUS_DIR = f"/tmp/search_ingest_ray_bench/corpus_{BENCH_DOCS}"
+QUERY_ROUNDS = 4  # the 32-query seeded set, repeated
+
+
+def ensure_corpus() -> str:
+    """Deterministic corpus, generated in parallel with Ray tasks (content
+    depends only on (seed, start, n) — identical for any worker count)."""
+    import ray
+    from search_ingest_ray.corpus import generate_pages
+
+    marker = os.path.join(CORPUS_DIR, "_COMPLETE")
+    stamp = f"{BENCH_DOCS}:{NUM_FILES}:42:v2"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return CORPUS_DIR
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+
+    @ray.remote
+    def gen(i: int, n: int, start: int) -> str:
+        import pyarrow.parquet as pq
+        t = generate_pages(n, seed=42, start=start)
+        p = os.path.join(CORPUS_DIR, f"pages-{i:05d}.parquet")
+        pq.write_table(t, p)
+        return p
+
+    per = BENCH_DOCS // NUM_FILES
+    refs = []
+    for i in range(NUM_FILES):
+        n = per if i < NUM_FILES - 1 else BENCH_DOCS - per * (NUM_FILES - 1)
+        refs.append(gen.remote(i, n, i * per))
+    ray.get(refs)
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return CORPUS_DIR
+
+
+def bench_build(ncpu: int) -> dict:
+    from search_ingest_ray.index.build import build_index
+
+    index_root = f"/tmp/search_ingest_ray_bench/index_{ncpu}"
+    shutil.rmtree(index_root, ignore_errors=True)  # never resume in a bench
+    t0 = time.monotonic()
+    manifest = build_index(
+        CORPUS_DIR, index_root, html_col="html", analyzer="standard",
+        chunk_files=32, batch_size=2048,
+        hot_df_threshold=max(10_000, BENCH_DOCS // 10), hot_salt=8)
+    build_s = time.monotonic() - t0
+    st = manifest["stats"]
+    return {
+        "index_root": index_root,
+        "build_sec": round(build_s, 3),
+        "docs_per_sec": round(st["n_docs"] / build_s, 1),
+        "n_docs": st["n_docs"],
+        "n_postings": st["n_postings"],
+        "n_term_partitions": st["num_term_partitions"],
+        "hot_terms": len(st["hot_terms"]),
+    }
+
+
+def bench_query(index_root: str, ncpu: int) -> dict:
+    import ray.data as rd
+    import pyarrow as pa
+    from search_ingest_ray.corpus import query_set
+    from search_ingest_ray.query.searcher import QueryScorer, Searcher
+
+    queries = query_set(seed=42, n=32)
+    # latency: sequential single-searcher (p50/p99)
+    s = Searcher(index_root)
+    lat = []
+    for terms in queries:
+        t0 = time.monotonic()
+        s.search_terms(terms, k=10)
+        lat.append(time.monotonic() - t0)
+    lat_ms = np.array(lat) * 1000.0
+
+    # throughput: actor-pool scoring of the repeated query set
+    qtexts = [" ".join(t) for t in queries] * QUERY_ROUNDS
+    qds = rd.from_arrow(pa.table({
+        "query_id": pa.array(range(len(qtexts)), pa.int64()),
+        "query": pa.array(qtexts, pa.string()),
+    })).repartition(max(4, ncpu))
+    pool = min(8, max(2, ncpu // 2))
+    t0 = time.monotonic()
+    out = qds.map_batches(QueryScorer, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(index_root=index_root, k=10),
+                          batch_size=8, concurrency=pool, num_cpus=1)
+    n_out = out.count()
+    wall = time.monotonic() - t0
+    return {
+        "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+        "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+        "qps": round(len(qtexts) / wall, 1),
+        "query_wall_sec": round(wall, 3),
+        "result_rows": int(n_out),
+    }
+
+
+def bench_sf_queries(sf_dir: str) -> dict:
+    """Time the driver-facing queries over the sf dir (seconds each)."""
+    import __ray_entry__ as e
+    times = {}
+    for name in ["doc_count_by_lang", "token_count", "term_df", "top_terms",
+                 "bm25_topk", "dedup_exact", "events_fold",
+                 "replicate_orders", "ann_cosine", "quality",
+                 "minhash_pairs", "simhash"]:
+        fn = e.queries()[name]
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def run_once() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_corpus()
+    # warm page cache so both parallelism levels measure compute+shuffle
+    for f in os.listdir(CORPUS_DIR):
+        with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    build = bench_build(ncpu)
+    query = bench_query(build["index_root"], ncpu)
+    qtimes = bench_sf_queries(sf_dir)
+
+    result = {
+        "metric": "index_build_plus_query_sec",
+        "value": round(build["build_sec"] + query["query_wall_sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "bench_docs": BENCH_DOCS,
+        "build": {k: v for k, v in build.items() if k != "index_root"},
+        "query": query,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 cpus on the same corpus."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["build"]["docs_per_sec"]
+    tput_hi = r_hi["build"]["docs_per_sec"]
+    eff = tput_hi / (tput_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "docs_per_sec_lo": tput_lo, "docs_per_sec_hi": tput_hi,
+        "build_sec_lo": r_lo["build"]["build_sec"],
+        "build_sec_hi": r_hi["build"]["build_sec"],
+        "qps_lo": r_lo["query"]["qps"], "qps_hi": r_hi["query"]["qps"],
+        "p50_ms_hi": r_hi["query"]["query_p50_ms"],
+        "p99_ms_hi": r_hi["query"]["query_p99_ms"],
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -21,21 +21,35 @@ _SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))
 _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-varint encode a uint64 array (vectorized)."""
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Exact encoded byte count per value: 1 + #thresholds passed."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # exact byte count per value: 1 + #thresholds passed
     nbytes = np.ones(v.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)
-    groups = ((v[:, None] >> _SHIFTS[None, :]) & np.uint64(0x7F)).astype(np.uint8)
-    col = np.arange(10)
+    return nbytes
+
+
+def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-varint encode a uint64 array (vectorized); also returns the
+    per-value byte lengths so callers can slice the stream at value
+    boundaries (used by the batched segment builder)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = varint_lengths(v)
+    m = int(nbytes.max())  # only materialize the byte columns actually used
+    groups = ((v[:, None] >> _SHIFTS[None, :m]) & np.uint64(0x7F)).astype(np.uint8)
+    col = np.arange(m)
     keep = col[None, :] < nbytes[:, None]
     cont = col[None, :] < (nbytes - 1)[:, None]
     groups[cont] |= 0x80
-    return groups[keep].tobytes()
+    return groups[keep].tobytes(), nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-varint encode a uint64 array (vectorized)."""
+    return encode_varint_with_lengths(values)[0]
 
 
 def decode_varint(buf, count: int | None = None) -> np.ndarray:

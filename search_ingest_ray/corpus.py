@@ -49,9 +49,15 @@ _LANG_WORDS = {
 LANGS = ["en", "de", "fr", "es"]
 _LANG_P = [0.55, 0.17, 0.15, 0.13]
 
+# Long-tail derived vocabulary: web text has a Zipfian term space far larger
+# than any word list; these synthetic forms give the index a realistic
+# distinct-term count (term-shuffle width, segment sizes, df spread).
+VOCAB_EXTRA = 20_000
+_EXTRA_WORDS = [f"w{i:x}" for i in range(VOCAB_EXTRA)]
+
 
 def vocabulary(lang: str) -> list[str]:
-    return _BASE_WORDS + _LANG_WORDS[lang]
+    return _BASE_WORDS + _LANG_WORDS[lang] + _EXTRA_WORDS
 
 
 # --- HTML wrapping / extraction contract ------------------------------------
@@ -125,7 +131,7 @@ def write_corpus(out_dir: str, num_docs: int, num_files: int = 8, seed: int = 42
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_COMPLETE")
-    stamp = f"{num_docs}:{num_files}:{seed}:v1"
+    stamp = f"{num_docs}:{num_files}:{seed}:v2"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
                       if f.endswith(".parquet"))

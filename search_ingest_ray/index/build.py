@@ -46,7 +46,7 @@ import ray
 import ray.data as rd
 
 from ..analyzer import get_analyzer
-from ..codec import encode_postings
+from ..codec import BLOCK, encode_varint_with_lengths
 from ..corpus import EXTRACTOR_VERSION
 from ..query.bm25 import B_DEFAULT, K1_DEFAULT, BM25Params, term_scores
 from ..util import atomic_write_json, read_json, term_partition
@@ -93,33 +93,105 @@ def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer) -> pa.Table
 # stage-2 helpers
 
 _HOT_CACHE: dict = {}
+_TOTAL_SENTINEL = "\x00__total_tokens__"
+
+
+def _sample_files(files: list[str], target_rows: int) -> tuple[list[str], int]:
+    """Pick an evenly spaced file subset covering ≥ target_rows (or all)."""
+    rows = [pq.read_metadata(f).num_rows for f in files]
+    total = sum(rows)
+    if total <= 2 * target_rows:
+        return files, total
+    want_files = max(1, len(files) * target_rows // total)
+    stride = max(1, len(files) // want_files)
+    picked, covered = [], 0
+    for i in range(0, len(files), stride):
+        picked.append(files[i])
+        covered += rows[i]
+        if covered >= target_rows:
+            break
+    return picked, covered
+
+
+def _hot_candidates_batch(batch: pa.Table, *, threshold: int,
+                          total_rows: int) -> pa.Table:
+    """Per-batch candidate filter: keep terms whose in-batch count
+    extrapolates to ≥ threshold/4 globally."""
+    r = batch.num_rows
+    cut = max(2, int(0.25 * threshold * r / max(1, total_rows)))
+    vc = pc.value_counts(batch.column("term"))
+    terms = vc.field("values")
+    counts = vc.field("counts")
+    mask = pc.greater_equal(counts, cut)
+    return pa.table({"term": terms.filter(mask),
+                     "cnt": counts.filter(mask).cast(pa.int64())})
+
+
+_CAND_CACHE: dict = {}
+
+
+def _exact_stats_batch(batch: pa.Table, *, cand_ref) -> pa.Table:
+    """Per-batch partials: exact counts of candidate terms + token sum."""
+    key = cand_ref.hex() if hasattr(cand_ref, "hex") else id(cand_ref)
+    cands = _CAND_CACHE.get(key)
+    if cands is None:
+        lst = ray.get(cand_ref)
+        cands = _CAND_CACHE[key] = pa.array(lst, pa.string()) if lst else None
+    tf_sum = pc.sum(batch.column("tf")).as_py() or 0
+    out_t, out_c = [_TOTAL_SENTINEL], [int(tf_sum)]
+    if cands is not None and len(cands):
+        tcol = batch.column("term")
+        mask = pc.is_in(tcol, value_set=cands)
+        vc = pc.value_counts(tcol.filter(mask) if isinstance(tcol, pa.ChunkedArray)
+                             else pc.filter(tcol, mask))
+        out_t.extend(vc.field("values").to_pylist())
+        out_c.extend(vc.field("counts").to_pylist())
+    return pa.table({"term": pa.array(out_t, pa.string()),
+                     "cnt": pa.array(out_c, pa.int64())})
+
+
+_TP_CACHE: dict = {}
 
 
 def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
                   hot_ref) -> pa.Table:
     """Add (tpart, salt) columns.  Hot terms get salt = docid % S and a
     partition derived from (term, salt) so their postings spread over up to
-    S distinct partitions (E12)."""
+    S distinct partitions (E12).
+
+    Vectorized: crc32 is computed once per DISTINCT term (cached across
+    batches per worker), then gathered to rows with numpy take."""
     key = hot_ref.hex() if hasattr(hot_ref, "hex") else id(hot_ref)
     hot = _HOT_CACHE.get(key)
     if hot is None:
         hot = _HOT_CACHE[key] = ray.get(hot_ref) if hot_ref is not None else {}
-    terms = batch["term"].to_pylist()
+    terms = np.asarray(batch["term"].to_pylist(), dtype=object)
     docids = batch["docid"].to_numpy()
-    salts = np.zeros(len(terms), dtype=np.int32)
-    tparts = np.empty(len(terms), dtype=np.int32)
-    tp_cache: dict = {}
-    for i, t in enumerate(terms):
-        if t in hot:
-            s = int(docids[i]) % hot_salt
-            salts[i] = s
-            ck = (t, s)
-        else:
-            ck = (t, 0)
-        v = tp_cache.get(ck)
-        if v is None:
-            v = tp_cache[ck] = term_partition(t, num_partitions, salt=ck[1])
-        tparts[i] = v
+    uniq, codes = np.unique(terms, return_inverse=True)
+
+    base = np.empty(len(uniq), dtype=np.int32)
+    # hot terms get a (S,) row of salted partitions; cold terms S× base
+    salted = np.empty((len(uniq), hot_salt), dtype=np.int32)
+    is_hot = np.zeros(len(uniq), dtype=bool)
+    cache = _TP_CACHE.setdefault((key, num_partitions, hot_salt), {})
+    for i, t in enumerate(uniq):
+        ent = cache.get(t)
+        if ent is None:
+            if t in hot:
+                row = np.array([term_partition(t, num_partitions, salt=s)
+                                for s in range(hot_salt)], dtype=np.int32)
+                ent = (True, row)
+            else:
+                ent = (False, np.full(hot_salt, term_partition(t, num_partitions),
+                                      dtype=np.int32))
+            cache[t] = ent
+        is_hot[i] = ent[0]
+        salted[i] = ent[1]
+        base[i] = ent[1][0]
+
+    row_hot = is_hot[codes]
+    salts = np.where(row_hot, (docids % hot_salt).astype(np.int32), np.int32(0))
+    tparts = salted[codes, salts]
     return (batch.append_column("salt", pa.array(salts))
                  .append_column("tpart", pa.array(tparts)))
 
@@ -129,84 +201,124 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     """groupby(tpart).map_groups body: build all posting lists of one term
     partition and write the segment file atomically (tmp + rename, so task
     retries are idempotent); returns a one-row summary — the per-partition
-    lineage record (E11)."""
+    lineage record (E11).
+
+    Fully vectorized: every numeric stream (deltas, tfs, dls, scores, block
+    maxes, byte offsets) is computed for the WHOLE partition in single numpy
+    passes; the only per-list work is slicing the three encoded byte streams
+    at precomputed offsets."""
     t0 = time.monotonic()
     tpart = int(group["tpart"][0].as_py())
-    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+
+    tcol = group.column("term").combine_chunks()
+    dic = pc.dictionary_encode(tcol)
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
     salts = group["salt"].to_numpy()
     docids = group["docid"].to_numpy()
-    tfs = group["tf"].to_numpy()
-    dls = group["dl"].to_numpy()
+    tfs = group["tf"].to_numpy().astype(np.int64)
+    dls = group["dl"].to_numpy().astype(np.int64)
 
-    # order by (term, salt, docid); term via factorize for numeric lexsort
-    uniq, codes = np.unique(terms, return_inverse=True)
     order = np.lexsort((docids, salts, codes))
     codes, salts, docids, tfs, dls = (codes[order], salts[order],
                                       docids[order], tfs[order], dls[order])
-    # boundaries where (term, salt) changes
+
+    # duplicate (term, salt, docid) rows (docid hash collisions / duplicate
+    # source keys): rare — resolve keep-max-tf with a loop over flagged rows
+    dup = ((np.diff(codes) == 0) & (np.diff(salts) == 0)
+           & (np.diff(docids) == 0))
+    if dup.any():
+        keep = np.ones(codes.size, dtype=bool)
+        for j in np.flatnonzero(dup):
+            if tfs[j + 1] < tfs[j]:
+                tfs[j + 1] = tfs[j]
+            keep[j] = False
+        codes, salts, docids, tfs, dls = (codes[keep], salts[keep],
+                                          docids[keep], tfs[keep], dls[keep])
+
+    n = codes.size
     change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(salts) != 0))
     starts = np.concatenate([[0], change + 1])
-    ends = np.concatenate([change + 1, [len(codes)]])
+    ends = np.concatenate([change + 1, [n]])
+    lens = ends - starts
 
-    # local df per term (sum over salts) for non-hot global df
+    # global df per row: hot terms use the exact global count (their
+    # postings are spread over salted partitions); cold terms are entirely
+    # local, so the local count IS the global df
     local_df = np.bincount(codes, minlength=len(uniq))
+    gdf_uniq = np.array([hot_df.get(t, local_df[i])
+                         for i, t in enumerate(uniq)], dtype=np.int64)
+    gdf_rows = gdf_uniq[codes]
 
-    rows = {k: [] for k in ("term", "salt", "df", "n", "max_score",
-                             "doc_blob", "tf_blob", "dl_blob", "skip_last",
-                             "skip_doc_off", "skip_tf_off", "skip_dl_off",
-                             "skip_max")}
     p = params
-    for lo, hi in zip(starts, ends):
-        term = uniq[codes[lo]]
-        salt = int(salts[lo])
-        d, t, l = docids[lo:hi], tfs[lo:hi], dls[lo:hi]
-        # guard against duplicate (term, docid) (docid hash collisions /
-        # duplicate source keys): keep max tf
-        if hi - lo > 1:
-            dup = np.flatnonzero(np.diff(d) == 0)
-            if dup.size:
-                keep = np.ones(d.size, dtype=bool)
-                for j in dup:
-                    if t[j + 1] < t[j]:
-                        t[j + 1] = t[j]
-                    keep[j] = False
-                d, t, l = d[keep], t[keep], l[keep]
-        gdf = int(hot_df.get(term, local_df[codes[lo]]))
-        scores = term_scores(t, l, gdf, p)
-        enc = encode_postings(d.astype(np.uint64), t.astype(np.uint64),
-                              dls=l.astype(np.uint64),
-                              scores=scores.astype(np.float32))
-        rows["term"].append(term)
-        rows["salt"].append(salt)
-        rows["df"].append(gdf)
-        rows["n"].append(enc["df"])
-        rows["max_score"].append(float(scores.max()))
-        rows["doc_blob"].append(enc["doc_blob"])
-        rows["tf_blob"].append(enc["tf_blob"])
-        rows["dl_blob"].append(enc["dl_blob"])
-        rows["skip_last"].append(enc["skip_last"])
-        rows["skip_doc_off"].append(enc["skip_doc_off"])
-        rows["skip_tf_off"].append(enc["skip_tf_off"])
-        rows["skip_dl_off"].append(enc["skip_dl_off"])
-        rows["skip_max"].append(enc["skip_max_score"])
+    scores = term_scores(tfs, dls, gdf_rows, p).astype(np.float64)
+
+    # delta streams (restart at each list start; blocks slice the stream)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (docids[1:] - docids[:-1]).astype(np.uint64)
+    deltas[starts] = docids[starts].astype(np.uint64)
+
+    doc_blob_all, doc_len = encode_varint_with_lengths(deltas)
+    tf_blob_all, tf_len = encode_varint_with_lengths(tfs.astype(np.uint64))
+    dl_blob_all, dl_len = encode_varint_with_lengths(dls.astype(np.uint64))
+    doc_cum = np.concatenate([[0], np.cumsum(doc_len)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_len)])
+    dl_cum = np.concatenate([[0], np.cumsum(dl_len)])
+
+    # block structure (BLOCK postings per block, per list)
+    nblocks = (lens + BLOCK - 1) // BLOCK
+    block_starts = np.concatenate(
+        [np.arange(s, e, BLOCK) for s, e in zip(starts, ends)])
+    run_of_block = np.repeat(np.arange(len(starts)), nblocks)
+    block_ends = np.minimum(block_starts + BLOCK, ends[run_of_block])
+    skip_last_all = docids[block_ends - 1].astype(np.uint64)
+    skip_max_all = np.maximum.reduceat(scores, block_starts).astype(np.float32)
+    run_max = np.maximum.reduceat(scores, starts).astype(np.float32)
+    block_run_bounds = np.concatenate([[0], np.cumsum(nblocks)])
+    run_of_block2 = run_of_block  # alias for clarity below
+
+    terms_out = uniq[codes[starts]]
+    salts_out = salts[starts].astype(np.int32)
+
+    # zero-copy assembly: the encoded streams are already laid out run-after-
+    # run, so blob columns are just offset vectors over the big buffers, and
+    # the skip columns are ListArrays over flat per-block vectors
+    nruns = len(starts)
+
+    def _blob_col(blob: bytes, cum: np.ndarray) -> pa.Array:
+        offs = cum[np.concatenate([starts, [n]])].astype(np.int64)
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), nruns,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+
+    def _list_col(values: np.ndarray, dtype) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(block_run_bounds.astype(np.int32)),
+            pa.array(values, dtype))
+
+    rel_doc = (doc_cum[block_starts] - doc_cum[starts][run_of_block2]).astype(np.int32)
+    rel_tf = (tf_cum[block_starts] - tf_cum[starts][run_of_block2]).astype(np.int32)
+    rel_dl = (dl_cum[block_starts] - dl_cum[starts][run_of_block2]).astype(np.int32)
 
     seg = pa.table({
-        "term": pa.array(rows["term"], pa.string()),
-        "salt": pa.array(rows["salt"], pa.int32()),
-        "df": pa.array(rows["df"], pa.int64()),
-        "n": pa.array(rows["n"], pa.int64()),
-        "max_score": pa.array(rows["max_score"], pa.float32()),
-        "doc_blob": pa.array(rows["doc_blob"], pa.binary()),
-        "tf_blob": pa.array(rows["tf_blob"], pa.binary()),
-        "dl_blob": pa.array(rows["dl_blob"], pa.binary()),
-        "skip_last": pa.array([np.asarray(x) for x in rows["skip_last"]], pa.list_(pa.uint64())),
-        "skip_doc_off": pa.array([np.asarray(x) for x in rows["skip_doc_off"]], pa.list_(pa.int32())),
-        "skip_tf_off": pa.array([np.asarray(x) for x in rows["skip_tf_off"]], pa.list_(pa.int32())),
-        "skip_dl_off": pa.array([np.asarray(x) for x in rows["skip_dl_off"]], pa.list_(pa.int32())),
-        "skip_max": pa.array([np.asarray(x) for x in rows["skip_max"]], pa.list_(pa.float32())),
+        "term": pa.array(terms_out, pa.string()),
+        "salt": pa.array(salts_out),
+        "df": pa.array(gdf_uniq[codes[starts]], pa.int64()),
+        "n": pa.array(lens, pa.int64()),
+        "max_score": pa.array(run_max, pa.float32()),
+        "doc_blob": _blob_col(doc_blob_all, doc_cum),
+        "tf_blob": _blob_col(tf_blob_all, tf_cum),
+        "dl_blob": _blob_col(dl_blob_all, dl_cum),
+        "skip_last": _list_col(skip_last_all, pa.uint64()),
+        "skip_doc_off": _list_col(rel_doc, pa.int32()),
+        "skip_tf_off": _list_col(rel_tf, pa.int32()),
+        "skip_dl_off": _list_col(rel_dl, pa.int32()),
+        "skip_max": _list_col(skip_max_all, pa.float32()),
     })
-    # rows already term-sorted → parquet row-group min/max stats prune
-    # term lookups at query time
+    # lexicographic term order → parquet row-group min/max stats prune term
+    # lookups at query time (dictionary order is first-appearance, so sort)
+    seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
+                                                   ("salt", "ascending")]))
     out_dir = os.path.join(segments_dir, f"tpart={tpart:05d}")
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "segment.parquet.tmp")
@@ -214,10 +326,10 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     os.replace(tmp, os.path.join(out_dir, "segment.parquet"))
     return pa.table({
         "tpart": pa.array([tpart], pa.int32()),
-        "n_terms": pa.array([len(rows["term"])], pa.int64()),
-        "n_postings": pa.array([int(len(codes))], pa.int64()),
-        "bytes": pa.array([sum(map(len, rows["doc_blob"])) +
-                           sum(map(len, rows["tf_blob"]))], pa.int64()),
+        "n_terms": pa.array([len(starts)], pa.int64()),
+        "n_postings": pa.array([int(n)], pa.int64()),
+        "bytes": pa.array([len(doc_blob_all) + len(tf_blob_all)
+                           + len(dl_blob_all)], pa.int64()),
         "wall_s": pa.array([time.monotonic() - t0], pa.float64()),
     })
 
@@ -311,26 +423,56 @@ def build_index(input_paths, index_root: str, *,
     n_docs = sum(c["rows"] for c in manifest["chunks"].values())
 
     # --- stage 1.5: corpus stats (E6) --------------------------------------
-    postings = rd.read_parquet(postings_dir)
-    n_postings = postings.count()
-    total_tokens = postings.select_columns(["tf"]).sum("tf") if n_postings else 0
-    avgdl = (total_tokens / n_docs) if n_docs else 1.0
-    params = BM25Params(k1=k1, b=b, n_docs=n_docs, avgdl=avgdl)
+    # row counts come free from Parquet footers — no Ray job
+    post_files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(postings_dir)
+        for f in fs if f.endswith(".parquet"))
+    n_postings = sum(pq.read_metadata(f).num_rows for f in post_files)
 
     if num_term_partitions is None:
         num_term_partitions = int(min(256, max(8, n_postings // 4_000_000)))
     P = num_term_partitions
-
-    # --- stage 2a: df partial-aggregate → hot terms (E12) ------------------
     if hot_df_threshold is None:
         hot_df_threshold = max(10_000, n_docs // 10)
-    df_ds = postings.groupby("term").count()
-    hot_tbl = df_ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["count()"], hot_df_threshold)),
-        batch_format="pyarrow")
-    hot_rows = hot_tbl.take_all()  # small by construction (df ≥ threshold)
-    hot_df = {r["term"]: int(r["count()"]) for r in hot_rows}
+
+    # --- stage 2a: hot-term detection + exact stats (E12) ------------------
+    # A full groupby(term).count() would shuffle every posting row.  Instead:
+    # (a) CANDIDATE pass over a file sample: per-batch value_counts keeps
+    #     terms whose in-batch count could plausibly extrapolate to the hot
+    #     threshold (4x safety margin).  Mis-detection only shifts skew
+    #     handling, never correctness (cold terms compute exact df locally
+    #     in their single partition).
+    # (b) EXACT pass over all postings, projected to (term, tf): exact
+    #     global df for candidates only + the global token sum, emitted as
+    #     tiny per-batch partials summed on the driver.
+    candidates: set = set()
+    if n_postings:
+        sample_files, sampled_rows = _sample_files(post_files, 2_000_000)
+        cand_rows = rd.read_parquet(sample_files, columns=["term"]).map_batches(
+            _hot_candidates_batch, batch_format="pyarrow", batch_size=131072,
+            fn_kwargs=dict(threshold=hot_df_threshold,
+                           total_rows=n_postings)).take_all()
+        candidates = {r["term"] for r in cand_rows}
+        if len(candidates) > 200_000:
+            log.warning("hot-candidate set unexpectedly large (%d); keeping "
+                        "top by partial count", len(candidates))
+
+    total_tokens = 0
+    hot_df: dict = {}
+    if n_postings:
+        cand_ref = ray.put(sorted(candidates))
+        partials = rd.read_parquet(postings_dir, columns=["term", "tf"]).map_batches(
+            _exact_stats_batch, batch_format="pyarrow", batch_size=131072,
+            fn_kwargs=dict(cand_ref=cand_ref)).take_all()
+        sums: dict = {}
+        for r in partials:
+            sums[r["term"]] = sums.get(r["term"], 0) + int(r["cnt"])
+        total_tokens = sums.pop(_TOTAL_SENTINEL, 0)
+        hot_df = {t: c for t, c in sums.items() if c >= hot_df_threshold}
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    params = BM25Params(k1=k1, b=b, n_docs=n_docs, avgdl=avgdl)
     hot_ref = ray.put(hot_df)
+    postings = rd.read_parquet(postings_dir)
 
     # --- stage 2b: partition assignment + segment build --------------------
     done_tparts = {int(k) for k, v in manifest["segments"].items()

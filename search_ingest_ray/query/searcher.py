@@ -55,6 +55,8 @@ class Searcher:
         self.hot = self.stats["hot_terms"]
         self.analyze = get_analyzer(self.stats["analyzer"])
         self._files: dict[int, pq.ParquetFile | None] = {}
+        self._term_cache: dict[str, list[dict]] = {}
+        self._term_cache_cap = 100_000
 
     # -- segment access ------------------------------------------------------
 
@@ -70,7 +72,12 @@ class Searcher:
     def _lookup(self, terms: list[str]) -> dict[str, list[dict]]:
         """Fetch posting-list rows for terms, grouped per term.  One parquet
         read per touched partition; row groups pruned via term min/max stats
-        (rows are term-sorted at build)."""
+        (rows are term-sorted at build).  Results are cached per term — the
+        actor-pool analog of a warm OS/segment cache."""
+        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        terms = [t for t in terms if t not in cached]
+        if not terms:
+            return cached
         by_part: dict[int, set[str]] = {}
         for t in terms:
             if t in self.hot:
@@ -97,6 +104,9 @@ class Searcher:
             tbl = tbl.filter(pc.is_in(tbl["term"], value_set=want))
             for row in tbl.to_pylist():
                 out[row["term"]].append(row)
+        if len(self._term_cache) < self._term_cache_cap:
+            self._term_cache.update(out)
+        out.update(cached)
         return out
 
     # -- scoring -------------------------------------------------------------
