@@ -6,7 +6,7 @@ shuffle → block-max segments) over a deterministic synthetic web corpus
 north-star workload.  Also times the driver-facing sf-dir queries.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), BENCH_DOCS (default 1_200_000 — sized so the 8-cpu build
+(default 32), BENCH_DOCS (default 600_000 — sized so the 8-cpu build
 runs ≥60 s).
 
 ``--scaling``: runs the bench twice in fresh processes (8 then 32 cpus) on
@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "1200000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "600000"))
 NUM_FILES = 64
 CORPUS_DIR = f"/tmp/search_ingest_ray_bench/corpus_{BENCH_DOCS}"
 QUERY_ROUNDS = 4  # the 32-query seeded set, repeated

@@ -65,6 +65,9 @@ def ascii_fold(token: str) -> str:
     return folded
 
 
+_FOLD_CACHE: dict[str, str] = {}
+
+
 def tokenize_standard(text: str) -> list[str]:
     """standard tokenizer + lowercase + asciifolding(preserve_original).
 
@@ -72,16 +75,27 @@ def tokenize_standard(text: str) -> list[str]:
     folding changes it, BOTH the folded and the original (lowercased) form
     are emitted.  Order: folded form first (Lucene emits the folded token at
     the original position and the preserved original as a stacked token).
+
+    Hot path: lowercase once per document (C), findall (C); folding runs
+    only for non-ASCII tokens through a process-level memo.
     """
+    toks = _WORD_RE.findall(text.lower())
+    if all(map(str.isascii, toks)):
+        return toks
     out: list[str] = []
-    for m in _WORD_RE.finditer(text):
-        tok = m.group().lower()
-        folded = ascii_fold(tok)
+    cache = _FOLD_CACHE
+    for tok in toks:
+        if tok.isascii():
+            out.append(tok)
+            continue
+        folded = cache.get(tok)
+        if folded is None:
+            if len(cache) > 1_000_000:
+                cache.clear()
+            folded = cache[tok] = ascii_fold(tok)
         if folded != tok:
             out.append(folded)
-            out.append(tok)
-        else:
-            out.append(tok)
+        out.append(tok)
     return out
 
 

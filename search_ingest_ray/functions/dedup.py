@@ -188,10 +188,14 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3):
-    """Near-dup candidate pairs by SimHash banding: 4 chunks of 16 bits —
-    any doc pair within hamming ≤ 3 shares at least one chunk (pigeonhole);
-    candidates verified by exact hamming distance."""
+                       max_hamming: int = 7, chunks: int = 8):
+    """Near-dup candidate pairs by SimHash banding: ``chunks`` equal bit
+    slices of the 64-bit signature — any pair within hamming < ``chunks``
+    shares at least one slice (pigeonhole), so recall is complete for
+    ``max_hamming`` ≤ chunks-1; candidates verified by exact hamming."""
+    assert 64 % chunks == 0
+    bits = 64 // chunks
+    mask = np.uint64((1 << bits) - 1)
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
 
@@ -199,14 +203,15 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         sh = batch["simhash"].to_numpy().astype(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(sh)
-        chunk = np.repeat(np.arange(4, dtype=np.int32), n)
-        chunk_val = np.concatenate([((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-                                    for c in range(4)])
+        chunk = np.repeat(np.arange(chunks, dtype=np.int32), n)
+        chunk_val = np.concatenate(
+            [((sh >> np.uint64(bits * c)) & mask).astype(np.int64)
+             for c in range(chunks)])
         return pa.table({
             "chunk": pa.array(chunk),
             "chunk_val": pa.array(chunk_val),
-            "id": pa.array(np.tile(ids, 4)),
-            "simhash": pa.array(np.tile(sh.astype(np.int64), 4)),
+            "id": pa.array(np.tile(ids, chunks)),
+            "simhash": pa.array(np.tile(sh.astype(np.int64), chunks)),
         })
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
