@@ -422,6 +422,8 @@ def build_index(input_paths, index_root: str, *,
 
     n_docs = sum(c["rows"] for c in manifest["chunks"].values())
 
+    _t_stage1_done = time.monotonic()
+
     # --- stage 1.5: corpus stats (E6) --------------------------------------
     # row counts come free from Parquet footers — no Ray job
     post_files = sorted(
@@ -474,6 +476,8 @@ def build_index(input_paths, index_root: str, *,
     hot_ref = ray.put(hot_df)
     postings = rd.read_parquet(postings_dir)
 
+    _t_stats_done = time.monotonic()
+
     # --- stage 2b: partition assignment + segment build --------------------
     done_tparts = {int(k) for k, v in manifest["segments"].items()
                    if v.get("status") == "done"} if resume else set()
@@ -500,6 +504,11 @@ def build_index(input_paths, index_root: str, *,
             "wall_s": round(float(s["wall_s"]), 3),
         }
 
+    _t_build_done = time.monotonic()
+    manifest["stage_walls"] = {
+        "stats_and_hot_s": round(_t_stats_done - _t_stage1_done, 3),
+        "shuffle_and_segments_s": round(_t_build_done - _t_stats_done, 3),
+    }
     manifest["stats"] = {
         "n_docs": int(n_docs), "n_postings": int(n_postings),
         "total_tokens": int(total_tokens), "avgdl": float(avgdl),
