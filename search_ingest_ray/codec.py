@@ -38,13 +38,23 @@ def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
     nbytes = varint_lengths(v)
-    m = int(nbytes.max())  # only materialize the byte columns actually used
-    groups = ((v[:, None] >> _SHIFTS[None, :m]) & np.uint64(0x7F)).astype(np.uint8)
-    col = np.arange(m)
-    keep = col[None, :] < nbytes[:, None]
-    cont = col[None, :] < (nbytes - 1)[:, None]
-    groups[cont] |= 0x80
-    return groups[keep].tobytes(), nbytes
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.empty(v.size, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    # process values grouped by encoded length: small dense matrices, no
+    # giant boolean masks — minimal memory traffic
+    for k in np.unique(nbytes):
+        k = int(k)
+        sel = nbytes == k
+        vv = v[sel]
+        g = ((vv[:, None] >> _SHIFTS[None, :k]) & np.uint64(0x7F)).astype(np.uint8)
+        if k > 1:
+            g[:, :k - 1] |= 0x80
+        pos = starts[sel][:, None] + np.arange(k, dtype=np.int64)[None, :]
+        out[pos.ravel()] = g.ravel()
+    return out.tobytes(), nbytes
 
 
 def encode_varint(values: np.ndarray) -> bytes:

@@ -27,7 +27,7 @@ Design notes for 100 TB scale:
   (term, partial_count) rows shuffle — not the postings;
 - hot terms (df ≥ threshold) are salted into ``hot_salt`` sub-lists spread
   over distinct partitions, bounding the largest term partition (E12);
-- term-partition count defaults to postings_rows / 4M, clamped — segment
+- term-partition count defaults to postings_rows / 2M, clamped — segment
   groups stay ~hundreds of MB regardless of corpus size.
 """
 
@@ -54,15 +54,18 @@ from ..stages.analyze import PostingEmitter, extract_batch
 
 log = logging.getLogger(__name__)
 
+# Term-dictionary schema (segment.parquet).  The posting byte streams live
+# in the sibling postings.bin, addressed by (off, len) — Lucene-style
+# term-dict + postings-file split so query lookups never scan row groups.
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("salt", pa.int32()),
     ("df", pa.int64()),          # GLOBAL df (idf input; != n for salted lists)
     ("n", pa.int64()),           # postings in this (term, salt) list
     ("max_score", pa.float32()),
-    ("doc_blob", pa.binary()),
-    ("tf_blob", pa.binary()),
-    ("dl_blob", pa.binary()),
+    ("doc_off", pa.int64()), ("doc_len", pa.int64()),
+    ("tf_off", pa.int64()), ("tf_len", pa.int64()),
+    ("dl_off", pa.int64()), ("dl_len", pa.int64()),
     ("skip_last", pa.list_(pa.uint64())),
     ("skip_doc_off", pa.list_(pa.int32())),
     ("skip_tf_off", pa.list_(pa.int32())),
@@ -192,8 +195,16 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
     row_hot = is_hot[codes]
     salts = np.where(row_hot, (docids % hot_salt).astype(np.int32), np.int32(0))
     tparts = salted[codes, salts]
-    return (batch.append_column("salt", pa.array(salts))
-                 .append_column("tpart", pa.array(tparts)))
+    # project to exactly the shuffle payload — hive partition columns from
+    # the postings read (e.g. "chunk") must not ride through the exchange
+    return pa.table({
+        "term": batch["term"],
+        "docid": batch["docid"],
+        "tf": batch["tf"],
+        "dl": batch["dl"],
+        "salt": pa.array(salts),
+        "tpart": pa.array(tparts),
+    })
 
 
 def build_segment_group(group: pa.Table, *, segments_dir: str,
@@ -208,6 +219,10 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     passes; the only per-list work is slicing the three encoded byte streams
     at precomputed offsets."""
     t0 = time.monotonic()
+    # the group arrives as a zero-copy slice of the sort output — often
+    # hundreds of tiny chunks backed by object-store memory; consolidate
+    # once so every to_numpy below is a single contiguous zero-copy view
+    group = group.combine_chunks()
     tpart = int(group["tpart"][0].as_py())
 
     tcol = group.column("term").combine_chunks()
@@ -280,16 +295,15 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     terms_out = uniq[codes[starts]]
     salts_out = salts[starts].astype(np.int32)
 
-    # zero-copy assembly: the encoded streams are already laid out run-after-
-    # run, so blob columns are just offset vectors over the big buffers, and
-    # the skip columns are ListArrays over flat per-block vectors
+    # Lucene-style two-file layout per term partition:
+    #   postings.bin     [doc stream][tf stream][dl stream] — read at query
+    #                    time by byte range (mmap), no row-group scans
+    #   segment.parquet  term dictionary: per-(term,salt) metadata, absolute
+    #                    byte offsets into postings.bin, block-max skips
     nruns = len(starts)
-
-    def _blob_col(blob: bytes, cum: np.ndarray) -> pa.Array:
-        offs = cum[np.concatenate([starts, [n]])].astype(np.int64)
-        return pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), nruns,
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+    doc_base = 0
+    tf_base = len(doc_blob_all)
+    dl_base = tf_base + len(tf_blob_all)
 
     def _list_col(values: np.ndarray, dtype) -> pa.Array:
         return pa.ListArray.from_arrays(
@@ -300,29 +314,39 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     rel_tf = (tf_cum[block_starts] - tf_cum[starts][run_of_block2]).astype(np.int32)
     rel_dl = (dl_cum[block_starts] - dl_cum[starts][run_of_block2]).astype(np.int32)
 
+    run_doc_off = doc_base + doc_cum[starts]
+    run_tf_off = tf_base + tf_cum[starts]
+    run_dl_off = dl_base + dl_cum[starts]
     seg = pa.table({
         "term": pa.array(terms_out, pa.string()),
         "salt": pa.array(salts_out),
         "df": pa.array(gdf_uniq[codes[starts]], pa.int64()),
         "n": pa.array(lens, pa.int64()),
         "max_score": pa.array(run_max, pa.float32()),
-        "doc_blob": _blob_col(doc_blob_all, doc_cum),
-        "tf_blob": _blob_col(tf_blob_all, tf_cum),
-        "dl_blob": _blob_col(dl_blob_all, dl_cum),
+        "doc_off": pa.array(run_doc_off.astype(np.int64)),
+        "doc_len": pa.array(np.diff(doc_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
+        "tf_off": pa.array(run_tf_off.astype(np.int64)),
+        "tf_len": pa.array(np.diff(tf_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
+        "dl_off": pa.array(run_dl_off.astype(np.int64)),
+        "dl_len": pa.array(np.diff(dl_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
         "skip_last": _list_col(skip_last_all, pa.uint64()),
         "skip_doc_off": _list_col(rel_doc, pa.int32()),
         "skip_tf_off": _list_col(rel_tf, pa.int32()),
         "skip_dl_off": _list_col(rel_dl, pa.int32()),
         "skip_max": _list_col(skip_max_all, pa.float32()),
     })
-    # lexicographic term order → parquet row-group min/max stats prune term
-    # lookups at query time (dictionary order is first-appearance, so sort)
     seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
                                                    ("salt", "ascending")]))
     out_dir = os.path.join(segments_dir, f"tpart={tpart:05d}")
     os.makedirs(out_dir, exist_ok=True)
+    btmp = os.path.join(out_dir, "postings.bin.tmp")
+    with open(btmp, "wb") as f:
+        f.write(doc_blob_all)
+        f.write(tf_blob_all)
+        f.write(dl_blob_all)
+    os.replace(btmp, os.path.join(out_dir, "postings.bin"))
     tmp = os.path.join(out_dir, "segment.parquet.tmp")
-    pq.write_table(seg, tmp, row_group_size=2048)
+    pq.write_table(seg, tmp)
     os.replace(tmp, os.path.join(out_dir, "segment.parquet"))
     return pa.table({
         "tpart": pa.array([tpart], pa.int32()),
@@ -332,6 +356,30 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
                            + len(dl_blob_all)], pa.int64()),
         "wall_s": pa.array([time.monotonic() - t0], pa.float64()),
     })
+
+
+_SUMMARY_SCHEMA = pa.schema([
+    ("tpart", pa.int32()), ("n_terms", pa.int64()), ("n_postings", pa.int64()),
+    ("bytes", pa.int64()), ("wall_s", pa.float64()),
+])
+
+
+def _build_segments_block(block: pa.Table, *, segments_dir: str,
+                          params: BM25Params, hot_df: dict) -> pa.Table:
+    """Split a tpart-sorted block at partition boundaries and build each
+    term partition's segment (a block may carry several tparts when P is
+    small or hashes collide)."""
+    if block.num_rows == 0:
+        return _SUMMARY_SCHEMA.empty_table()
+    block = block.combine_chunks()
+    tp = block["tpart"].to_numpy()
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(tp)) + 1, [len(tp)]])
+    outs = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        outs.append(build_segment_group(block.slice(lo, hi - lo),
+                                        segments_dir=segments_dir,
+                                        params=params, hot_df=hot_df))
+    return pa.concat_tables(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +480,7 @@ def build_index(input_paths, index_root: str, *,
     n_postings = sum(pq.read_metadata(f).num_rows for f in post_files)
 
     if num_term_partitions is None:
-        num_term_partitions = int(min(256, max(8, n_postings // 4_000_000)))
+        num_term_partitions = int(min(512, max(8, n_postings // 2_000_000)))
     P = num_term_partitions
     if hot_df_threshold is None:
         hot_df_threshold = max(10_000, n_docs // 10)
@@ -474,29 +522,49 @@ def build_index(input_paths, index_root: str, *,
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
     params = BM25Params(k1=k1, b=b, n_docs=n_docs, avgdl=avgdl)
     hot_ref = ray.put(hot_df)
-    postings = rd.read_parquet(postings_dir)
+    # the stage-2 exchange uses Ray's hash-shuffle (a straight key exchange;
+    # the default sort-shuffle would run a full global sort).  The context is
+    # snapshotted at dataset creation, so set it before read_parquet.
+    from ray.data.context import DataContext, ShuffleStrategy
+    _ctx = DataContext.get_current()
+    _prev_strategy = _ctx.shuffle_strategy
+    _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        postings = rd.read_parquet(postings_dir)
 
-    _t_stats_done = time.monotonic()
+        _t_stats_done = time.monotonic()
 
-    # --- stage 2b: partition assignment + segment build --------------------
-    done_tparts = {int(k) for k, v in manifest["segments"].items()
-                   if v.get("status") == "done"} if resume else set()
+        # --- stage 2b: partition assignment + segment build --------------------
+        done_tparts = {int(k) for k, v in manifest["segments"].items()
+                       if v.get("status") == "done"} if resume else set()
 
-    with_parts = postings.map_batches(
-        _assign_tpart, batch_format="pyarrow", batch_size=65536,
-        fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt, hot_ref=hot_ref))
-    if done_tparts:
-        done_arr = list(done_tparts)
-        with_parts = with_parts.map_batches(
-            lambda t, d=done_arr: t.filter(
-                pc.invert(pc.is_in(t["tpart"], value_set=pa.array(d, pa.int32())))),
-            batch_format="pyarrow")
+        with_parts = postings.map_batches(
+            _assign_tpart, batch_format="pyarrow", batch_size=65536,
+            fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt, hot_ref=hot_ref))
+        pending = n_postings
+        if done_tparts:
+            done_arr = list(done_tparts)
+            with_parts = with_parts.map_batches(
+                lambda t, d=done_arr: t.filter(
+                    pc.invert(pc.is_in(t["tpart"], value_set=pa.array(d, pa.int32())))),
+                batch_format="pyarrow")
+            # an empty exchange crashes the hash-shuffle finalizer; on resume
+            # count what is actually left (runs the cheap map side once)
+            pending = with_parts.count()
 
-    import functools
-    builder = functools.partial(build_segment_group, segments_dir=segments_dir,
-                                params=params, hot_df=hot_df)
-    summaries = with_parts.groupby("tpart").map_groups(
-        builder, batch_format="pyarrow").take_all()
+        if pending:
+            # hash-repartition on tpart (straight exchange — cheaper than the
+            # global sort a groupby would run), rows sorted by tpart within
+            # each block, then split blocks at tpart boundaries per segment
+            shuffled = with_parts.repartition(P, keys=["tpart"], sort=True)
+            summaries = shuffled.map_batches(
+                _build_segments_block, batch_size=None, batch_format="pyarrow",
+                fn_kwargs=dict(segments_dir=segments_dir, params=params,
+                               hot_df=hot_df)).take_all()
+        else:
+            summaries = []
+    finally:
+        _ctx.shuffle_strategy = _prev_strategy
     for s in summaries:
         manifest["segments"][str(int(s["tpart"]))] = {
             "status": "done", "n_terms": int(s["n_terms"]),

@@ -54,56 +54,61 @@ class Searcher:
         self.S = self.stats["hot_salt"]
         self.hot = self.stats["hot_terms"]
         self.analyze = get_analyzer(self.stats["analyzer"])
-        self._files: dict[int, pq.ParquetFile | None] = {}
+        self._parts: dict[int, tuple | None] = {}
         self._term_cache: dict[str, list[dict]] = {}
         self._term_cache_cap = 100_000
 
     # -- segment access ------------------------------------------------------
 
-    def _file(self, tpart: int):
-        f = self._files.get(tpart, -1)
-        if f == -1:
-            path = os.path.join(self.segments_dir, f"tpart={tpart:05d}",
-                                "segment.parquet")
-            f = pq.ParquetFile(path) if os.path.exists(path) else None
-            self._files[tpart] = f
-        return f
+    def _part(self, tpart: int):
+        """Load a term partition's dictionary + mmap its postings file —
+        once per Searcher (the actor-pool analog of an open Lucene segment:
+        term dict in memory, postings read by byte range)."""
+        ent = self._parts.get(tpart, -1)
+        if ent != -1:
+            return ent
+        d = os.path.join(self.segments_dir, f"tpart={tpart:05d}")
+        meta_path = os.path.join(d, "segment.parquet")
+        if not os.path.exists(meta_path):
+            self._parts[tpart] = None
+            return None
+        tbl = pq.read_table(meta_path)
+        index: dict[str, list[int]] = {}
+        for i, t in enumerate(tbl["term"].to_pylist()):
+            index.setdefault(t, []).append(i)
+        data = np.memmap(os.path.join(d, "postings.bin"), dtype=np.uint8,
+                         mode="r")
+        ent = (tbl, index, data)
+        self._parts[tpart] = ent
+        return ent
+
+    def _rows_for(self, ent, term: str) -> list[dict]:
+        tbl, index, data = ent
+        rows = []
+        for i in index.get(term, ()):
+            r = tbl.slice(i, 1).to_pylist()[0]
+            r["doc_blob"] = bytes(data[r["doc_off"]:r["doc_off"] + r["doc_len"]])
+            r["tf_blob"] = bytes(data[r["tf_off"]:r["tf_off"] + r["tf_len"]])
+            r["dl_blob"] = bytes(data[r["dl_off"]:r["dl_off"] + r["dl_len"]])
+            rows.append(r)
+        return rows
 
     def _lookup(self, terms: list[str]) -> dict[str, list[dict]]:
-        """Fetch posting-list rows for terms, grouped per term.  One parquet
-        read per touched partition; row groups pruned via term min/max stats
-        (rows are term-sorted at build).  Results are cached per term — the
-        actor-pool analog of a warm OS/segment cache."""
+        """Fetch posting-list rows for terms, grouped per term.  The term
+        dictionary of each touched partition loads once; postings come from
+        the mmap by byte range.  Results cached per term."""
         cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
         terms = [t for t in terms if t not in cached]
         if not terms:
             return cached
-        by_part: dict[int, set[str]] = {}
-        for t in terms:
-            if t in self.hot:
-                for s in range(self.S):
-                    by_part.setdefault(term_partition(t, self.P, salt=s), set()).add(t)
-            else:
-                by_part.setdefault(term_partition(t, self.P), set()).add(t)
         out: dict[str, list[dict]] = {t: [] for t in terms}
-        for tp, tset in by_part.items():
-            f = self._file(tp)
-            if f is None:
-                continue
-            want = pa.array(sorted(tset), pa.string())
-            groups = []
-            for rg in range(f.num_row_groups):
-                st = f.metadata.row_group(rg).column(0).statistics
-                if st is None or st.min is None:
-                    groups.append(rg)
-                elif any(st.min <= t <= st.max for t in tset):
-                    groups.append(rg)
-            if not groups:
-                continue
-            tbl = f.read_row_groups(groups)
-            tbl = tbl.filter(pc.is_in(tbl["term"], value_set=want))
-            for row in tbl.to_pylist():
-                out[row["term"]].append(row)
+        for t in terms:
+            parts = ([term_partition(t, self.P, salt=s) for s in range(self.S)]
+                     if t in self.hot else [term_partition(t, self.P)])
+            for tp in dict.fromkeys(parts):
+                ent = self._part(tp)
+                if ent is not None:
+                    out[t].extend(self._rows_for(ent, t))
         if len(self._term_cache) < self._term_cache_cap:
             self._term_cache.update(out)
         out.update(cached)
