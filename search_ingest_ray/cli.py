@@ -1,0 +1,128 @@
+"""CLI entry points — the Ray-native restatement of the reference's service
+surface (/root/reference/src/api.cr:25-40 REST routes + src/app.cr CLI
+flags): ``build`` (reindex+backfill), ``query``, ``status``, ``reindex``.
+
+Run as ``python -m search_ingest_ray.cli <cmd> ...`` (locally) or via
+``ray job submit -- python -m search_ingest_ray.cli build ...`` on a
+cluster.  Owns its Ray session (guarded init, shutdown at exit) — library
+code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_session()
+    try:
+        from .index.build import build_index
+        manifest = build_index(
+            args.input, args.index_root, text_col=args.text_col,
+            id_col=args.id_col, id_is_int=args.id_is_int,
+            html_col=args.html_col, analyzer=args.analyzer,
+            epoch=args.epoch, resume=not args.no_resume)
+        print(json.dumps({"status": manifest["status"],
+                          "stats": manifest["stats"]}, indent=1))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_query(args) -> int:
+    from .query.searcher import Searcher
+    s = Searcher(args.index_root, epoch=args.epoch)
+    d, sc = s.search(args.query, k=args.k)
+    for rank, (docid, score) in enumerate(zip(d.tolist(), sc.tolist()), 1):
+        print(json.dumps({"rank": rank, "docid": docid,
+                          "score": round(score, 6)}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    """Health/status — the analog of GET / and GET /ready (api.cr:59-90)."""
+    from .util import read_json
+    root = args.index_root
+    out = {"index_root": root, "ready": False}
+    meta = os.path.join(root, "index_meta.json")
+    if os.path.exists(meta):
+        out["index_meta"] = read_json(meta)
+    ed = os.path.join(root, "epochs")
+    if os.path.isdir(ed):
+        epochs = {}
+        for e in sorted(os.listdir(ed)):
+            mp = os.path.join(ed, e, "manifest.json")
+            if os.path.exists(mp):
+                m = read_json(mp)
+                epochs[e] = {"status": m.get("status"),
+                             "chunks_done": sum(1 for c in m.get("chunks", {}).values()
+                                                if c.get("status") == "done"),
+                             "segments_done": len(m.get("segments", {})),
+                             "stats": m.get("stats")}
+        out["epochs"] = epochs
+        out["ready"] = any(e.get("status") == "done" for e in epochs.values())
+    print(json.dumps(out, indent=1))
+    return 0 if out["ready"] else 1
+
+
+def cmd_reindex(args) -> int:
+    """Drop epoch data, keep mapping (table.cr:61-76 semantics)."""
+    from .index.build import reindex
+    reindex(args.index_root, epoch=args.epoch)
+    print(json.dumps({"reindexed": args.index_root, "epoch": args.epoch}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="search_ingest_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="backfill: build the index for an epoch")
+    b.add_argument("input", help="parquet file/dir of documents")
+    b.add_argument("index_root")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default="url")
+    b.add_argument("--id-is-int", action="store_true")
+    b.add_argument("--html-col", default=None)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--epoch", type=int, default=0)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("index_root")
+    q.add_argument("query")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--epoch", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("status", help="index health/progress")
+    st.add_argument("index_root")
+    st.set_defaults(fn=cmd_status)
+
+    r = sub.add_parser("reindex", help="drop epoch data, keep mapping")
+    r.add_argument("index_root")
+    r.add_argument("--epoch", type=int, default=0)
+    r.set_defaults(fn=cmd_reindex)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,7 +27,7 @@ Design notes for 100 TB scale:
   (term, partial_count) rows shuffle — not the postings;
 - hot terms (df ≥ threshold) are salted into ``hot_salt`` sub-lists spread
   over distinct partitions, bounding the largest term partition (E12);
-- term-partition count defaults to postings_rows / 2M, clamped — segment
+- term-partition count defaults to postings_rows / 4M, clamped — segment
   groups stay ~hundreds of MB regardless of corpus size.
 """
 
@@ -480,7 +480,7 @@ def build_index(input_paths, index_root: str, *,
     n_postings = sum(pq.read_metadata(f).num_rows for f in post_files)
 
     if num_term_partitions is None:
-        num_term_partitions = int(min(512, max(8, n_postings // 2_000_000)))
+        num_term_partitions = int(min(512, max(8, n_postings // 4_000_000)))
     P = num_term_partitions
     if hot_df_threshold is None:
         hot_df_threshold = max(10_000, n_docs // 10)
@@ -557,8 +557,11 @@ def build_index(input_paths, index_root: str, *,
             # global sort a groupby would run), rows sorted by tpart within
             # each block, then split blocks at tpart boundaries per segment
             shuffled = with_parts.repartition(P, keys=["tpart"], sort=True)
+            # num_cpus=2: segment building is memory-bandwidth-bound —
+            # capping concurrent builders beats running one per core
             summaries = shuffled.map_batches(
                 _build_segments_block, batch_size=None, batch_format="pyarrow",
+                num_cpus=2,
                 fn_kwargs=dict(segments_dir=segments_dir, params=params,
                                hot_df=hot_df)).take_all()
         else:

@@ -42,14 +42,24 @@ class PostingEmitter:
     along so BM25 block-max scores can be computed at segment build time
     without a docid join.  ``docid`` is either a stable 63-bit hash of the
     ``id_col`` (string keys, e.g. url) or the integer column itself.
+
+    Language-aware analysis (the reference's per-table analyzer spec is
+    global, but SURVEY E2 calls for lang-keyed variants): pass ``lang_col``
+    and ``lang_analyzers`` (lang value → analyzer name) to select the chain
+    per row; unmatched languages use the default ``analyzer``.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "url",
-                 id_is_int: bool = False, analyzer: str = "standard"):
+                 id_is_int: bool = False, analyzer: str = "standard",
+                 lang_col: str | None = None,
+                 lang_analyzers: dict[str, str] | None = None):
         self.text_col = text_col
         self.id_col = id_col
         self.id_is_int = id_is_int
         self.analyze = get_analyzer(analyzer)
+        self.lang_col = lang_col if lang_analyzers else None
+        self.lang_analyzers = {k: get_analyzer(v)
+                               for k, v in (lang_analyzers or {}).items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -57,14 +67,21 @@ class PostingEmitter:
             docids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             docids = np.array(hash_ids(batch[self.id_col].to_pylist()), dtype=np.int64)
+        if self.lang_col is not None and self.lang_col in batch.column_names:
+            langs = batch[self.lang_col].to_pylist()
+        else:
+            langs = None
 
-        analyze = self.analyze
+        default_analyze = self.analyze
+        by_lang = self.lang_analyzers
         terms: list[str] = []
         tfs: list[int] = []
         out_docids: list[np.ndarray] = []
         out_dls: list[np.ndarray] = []
         from collections import Counter
         for i, text in enumerate(texts):
+            analyze = (by_lang.get(langs[i], default_analyze)
+                       if langs is not None else default_analyze)
             toks = analyze(text) if text else []
             if not toks:
                 continue
