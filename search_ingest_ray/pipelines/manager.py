@@ -1,0 +1,92 @@
+"""Multi-table orchestration — the analog of the reference's TableManager
+(/root/reference/src/search-ingest/table_manager.cr).
+
+The reference runs one ``Table`` per managed model and fans work out with
+``Promise.map(tables, &.backfill/reindex)`` (table_manager.cr:75-94), with a
+startup state machine (initialise_indices → watch → load_complete,
+table_manager.cr:31-61) and a consistency check that triggers reindex-all
+when any mapping drifts (table_manager.cr:66-73).
+
+Ray-native: each table is an independent Dataset pipeline; concurrent
+tables are driven from a thread pool (each thread drives its own streaming
+execution; Ray schedules them jointly with backpressure).  Consistency =
+the per-index ``index_meta.json`` fingerprint check inside build_index.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from ..index.build import build_index, reindex
+from ..util import read_json
+
+
+@dataclass
+class ManagedTable:
+    """One managed table → one index (the MANAGED_TABLES entry analog,
+    /root/reference/src/config.cr:10-41)."""
+    name: str
+    input_paths: object           # str dir or list of parquet files
+    build_kwargs: dict = field(default_factory=dict)
+
+
+class TableManager:
+    def __init__(self, index_base: str, tables: list[ManagedTable],
+                 max_concurrent: int = 4):
+        self.index_base = index_base
+        self.tables = {t.name: t for t in tables}
+        self.max_concurrent = max_concurrent
+        self.load_state: str = "pending"   # pending → loading → complete/error
+        self.load_error: Exception | None = None
+
+    def index_root(self, table: str) -> str:
+        return os.path.join(self.index_base, table)
+
+    # -- lifecycle (table_manager.cr:75-94 analogs) --------------------------
+
+    def backfill_all(self, epoch: int = 0) -> dict[str, dict]:
+        """All tables concurrently; all-success aggregation — a failed table
+        raises after the others finish (vs the reference's boolean)."""
+        self.load_state = "loading"
+        results: dict[str, dict] = {}
+        errors: dict[str, Exception] = {}
+
+        def one(t: ManagedTable):
+            try:
+                results[t.name] = build_index(
+                    t.input_paths, self.index_root(t.name), epoch=epoch,
+                    **t.build_kwargs)
+            except Exception as e:  # noqa: BLE001 — aggregated below
+                errors[t.name] = e
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrent) as ex:
+            list(ex.map(one, self.tables.values()))
+        if errors:
+            self.load_state = "error"
+            self.load_error = next(iter(errors.values()))
+            raise RuntimeError(f"backfill failed for {sorted(errors)}") \
+                from self.load_error
+        self.load_state = "complete"
+        return results
+
+    def reindex_all(self, epoch: int = 0) -> None:
+        for name in self.tables:
+            reindex(self.index_root(name), epoch=epoch)
+
+    def consistent_indices(self) -> bool:
+        """True when every table has a committed epoch manifest — the
+        rebuild-vs-resume decision input (table.cr:190-204 analog; mapping
+        drift itself is detected inside build_index via the meta
+        fingerprint)."""
+        for name in self.tables:
+            mp = os.path.join(self.index_root(name), "epochs", "e0000",
+                              "manifest.json")
+            if not (os.path.exists(mp)
+                    and read_json(mp).get("status") == "done"):
+                return False
+        return True
+
+    def load_success(self) -> bool:
+        return self.load_state == "complete"

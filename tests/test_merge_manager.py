@@ -1,0 +1,82 @@
+"""Segment merge (E7) + multi-table orchestration (G6) tests.
+
+Merge invariant: an index merged from two disjoint halves is rank- AND
+score-identical to an index built over the whole corpus in one shot."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_ingest_ray.corpus import generate_pages, query_set
+from search_ingest_ray.index.build import build_index
+from search_ingest_ray.index.merge import merge_indexes
+from search_ingest_ray.pipelines.manager import ManagedTable, TableManager
+from search_ingest_ray.query.searcher import Searcher
+
+
+def _write(dirpath, table):
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(table, os.path.join(dirpath, "part.parquet"))
+    return dirpath
+
+
+def test_merge_equals_single_shot(ray_session, tmp_path):
+    a = generate_pages(150, seed=5, start=0)
+    b = generate_pages(150, seed=5, start=150)
+    full_dir = str(tmp_path / "full")
+    os.makedirs(full_dir)
+    pq.write_table(a, os.path.join(full_dir, "a.parquet"))
+    pq.write_table(b, os.path.join(full_dir, "b.parquet"))
+    kw = dict(html_col="html", chunk_files=4, num_term_partitions=4,
+              hot_df_threshold=10**9)  # salting disabled for merge scope
+    root_full = str(tmp_path / "ifull")
+    build_index(full_dir, root_full, **kw)
+    root_a = str(tmp_path / "ia")
+    root_b = str(tmp_path / "ib")
+    build_index(_write(str(tmp_path / "da"), a), root_a, **kw)
+    build_index(_write(str(tmp_path / "db"), b), root_b, **kw)
+
+    root_m = str(tmp_path / "imerged")
+    m = merge_indexes([root_a, root_b], root_m, concurrency=2)
+    assert m["status"] == "done"
+
+    s_full, s_m = Searcher(root_full), Searcher(root_m)
+    assert s_m.stats["n_docs"] == 300
+    checked = 0
+    for terms in query_set(seed=9, n=12):
+        d1, sc1 = s_full.search_terms(terms, k=10)
+        d2, sc2 = s_m.search_terms(terms, k=10)
+        assert np.array_equal(d1, d2), terms
+        assert np.allclose(sc1, sc2, rtol=1e-9), terms
+        checked += bool(len(d1))
+    assert checked >= 5
+
+
+def test_merge_rejects_mismatched_config(ray_session, tmp_path):
+    a = generate_pages(50, seed=6)
+    da = _write(str(tmp_path / "d"), a)
+    r1, r2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(da, r1, html_col="html", num_term_partitions=2,
+                hot_df_threshold=10**9)
+    build_index(da, r2, html_col="html", num_term_partitions=4,
+                hot_df_threshold=10**9)
+    with pytest.raises(ValueError):
+        merge_indexes([r1, r2], str(tmp_path / "out"))
+
+
+def test_table_manager_backfill_all(ray_session, corpus_dir, tmp_path):
+    kw = dict(html_col="html", chunk_files=4, num_term_partitions=2)
+    mgr = TableManager(str(tmp_path / "base"), [
+        ManagedTable("pages_a", corpus_dir, kw),
+        ManagedTable("pages_b", corpus_dir, kw),
+    ], max_concurrent=2)
+    assert not mgr.consistent_indices()
+    results = mgr.backfill_all()
+    assert set(results) == {"pages_a", "pages_b"}
+    assert mgr.load_success()
+    assert mgr.consistent_indices()
+    # reindex_all empties (G4/S8 analog)
+    mgr.reindex_all()
+    assert not mgr.consistent_indices()
