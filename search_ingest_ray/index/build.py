@@ -134,14 +134,17 @@ _CAND_CACHE: dict = {}
 
 
 def _exact_stats_batch(batch: pa.Table, *, cand_ref) -> pa.Table:
-    """Per-batch partials: exact counts of candidate terms + token sum."""
+    """Per-batch partials: exact counts of candidate terms (+ token sum when
+    a ``tf`` column is present)."""
     key = cand_ref.hex() if hasattr(cand_ref, "hex") else id(cand_ref)
     cands = _CAND_CACHE.get(key)
     if cands is None:
         lst = ray.get(cand_ref)
         cands = _CAND_CACHE[key] = pa.array(lst, pa.string()) if lst else None
-    tf_sum = pc.sum(batch.column("tf")).as_py() or 0
-    out_t, out_c = [_TOTAL_SENTINEL], [int(tf_sum)]
+    out_t, out_c = [], []
+    if "tf" in batch.column_names:
+        out_t.append(_TOTAL_SENTINEL)
+        out_c.append(int(pc.sum(batch.column("tf")).as_py() or 0))
     if cands is not None and len(cands):
         tcol = batch.column("term")
         mask = pc.is_in(tcol, value_set=cands)
@@ -462,13 +465,18 @@ def build_index(input_paths, index_root: str, *,
         import shutil
         shutil.rmtree(out, ignore_errors=True)  # clear partial output
         ds.write_parquet(out)
+        # per-chunk token sum: a cheap projected read-back of one int32
+        # column, recorded in the lineage so corpus stats need no extra
+        # full pass later
+        chunk_tokens = int(rd.read_parquet(out, columns=["tf"]).sum("tf") or 0)
         manifest["chunks"][cid] = {
-            "files": files, "rows": int(n_rows), "status": "done",
-            "wall_s": round(time.monotonic() - t0, 3),
+            "files": files, "rows": int(n_rows), "tokens": chunk_tokens,
+            "status": "done", "wall_s": round(time.monotonic() - t0, 3),
         }
         atomic_write_json(manifest_path, manifest)
 
     n_docs = sum(c["rows"] for c in manifest["chunks"].values())
+    total_tokens = sum(c.get("tokens", 0) for c in manifest["chunks"].values())
 
     _t_stage1_done = time.monotonic()
 
@@ -507,17 +515,24 @@ def build_index(input_paths, index_root: str, *,
             log.warning("hot-candidate set unexpectedly large (%d); keeping "
                         "top by partial count", len(candidates))
 
-    total_tokens = 0
+    if any("tokens" not in c for c in manifest["chunks"].values()):
+        # manifest predates per-chunk token sums (resume from an older
+        # build): one projected scan recovers the total
+        total_tokens = int(rd.read_parquet(postings_dir, columns=["tf"])
+                           .sum("tf") or 0) if n_postings else 0
+
     hot_df: dict = {}
-    if n_postings:
+    if n_postings and candidates:
+        # exact df for candidate terms only — a term-column-only scan with
+        # tiny per-batch partials
         cand_ref = ray.put(sorted(candidates))
-        partials = rd.read_parquet(postings_dir, columns=["term", "tf"]).map_batches(
+        partials = rd.read_parquet(postings_dir, columns=["term"]).map_batches(
             _exact_stats_batch, batch_format="pyarrow", batch_size=131072,
             fn_kwargs=dict(cand_ref=cand_ref)).take_all()
         sums: dict = {}
         for r in partials:
             sums[r["term"]] = sums.get(r["term"], 0) + int(r["cnt"])
-        total_tokens = sums.pop(_TOTAL_SENTINEL, 0)
+        sums.pop(_TOTAL_SENTINEL, None)
         hot_df = {t: c for t, c in sums.items() if c >= hot_df_threshold}
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
     params = BM25Params(k1=k1, b=b, n_docs=n_docs, avgdl=avgdl)
