@@ -572,11 +572,15 @@ def build_index(input_paths, index_root: str, *,
             # global sort a groupby would run), rows sorted by tpart within
             # each block, then split blocks at tpart boundaries per segment
             shuffled = with_parts.repartition(P, keys=["tpart"], sort=True)
-            # num_cpus=2: segment building is memory-bandwidth-bound —
-            # capping concurrent builders beats running one per core
+            # Segment building is memory-bandwidth-bound: on big clusters
+            # reserve 2 CPUs per task to cap concurrent builders.  On tiny
+            # clusters reserve 1 — the hash-shuffle aggregator actors hold
+            # ~CPU/2 and a 2-CPU task would deadlock a 2-CPU cluster.
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            builder_cpus = 2 if cluster_cpus >= 16 else 1
             summaries = shuffled.map_batches(
                 _build_segments_block, batch_size=None, batch_format="pyarrow",
-                num_cpus=2,
+                num_cpus=builder_cpus,
                 fn_kwargs=dict(segments_dir=segments_dir, params=params,
                                hot_df=hot_df)).take_all()
         else:
