@@ -170,6 +170,39 @@ def q_quality(sf_dir: str):
                               "stopword_ratio_micro", "mean_token_len_micro"])
 
 
+def q_token_jaccard(sf_dir: str):
+    """Token-set Jaccard of every doc vs doc_id 0 (n-gram Jaccard dedup
+    operator at n=1, SQL-oracled; word-shingle variants are rows-only)."""
+    import duckdb  # only to read the reference doc deterministically
+    import pyarrow.parquet as pq
+    from search_ingest_ray.analyzer import tokenize_simple
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    t0_text = pq.read_table(doc_path, filters=[("doc_id", "=", 0)])["text"][0].as_py()
+    t0 = frozenset(tokenize_simple(t0_text))
+    n0 = len(t0)
+
+    def jac(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(batch["text"].to_pylist()):
+            s_ = set(tokenize_simple(txt or ""))
+            inter = len(s_ & t0)
+            out[i] = int(np.floor(inter / (n0 + len(s_) - inter) * 1e6)) \
+                if (n0 + len(s_) - inter) else 0
+        return pa.table({"doc_id": pa.array(ids), "jac_micro": pa.array(out)})
+
+    return _docs(sf_dir).map_batches(jac, batch_format="pyarrow")
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import embedding_near_dup
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # random synthetic embeddings peak near cos≈0.48 — a 0.35
+    # threshold exercises the pair machinery with a non-empty result
+    return embedding_near_dup(ds, threshold=0.35, nbits=2)
+
+
 # -- rows-only operators (no SQL equivalent; driver records row counts) ------
 
 
@@ -266,7 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replicate_orders": q_replicate_orders,
         "ann_cosine": q_ann_cosine,
         "quality": q_quality,
+        "token_jaccard": q_token_jaccard,
         # rows-only (non-SQL-expressible)
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -362,6 +397,23 @@ ORDER BY s DESC, doc_id LIMIT {BM25_K}
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
                      e.vec_id
             LIMIT 10""",
+        "token_jaccard": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            t0 AS (SELECT term FROM dt WHERE doc_id = 0),
+            st AS (
+              SELECT d.doc_id,
+                     count(*) FILTER (WHERE d.term IN (SELECT term FROM t0))
+                       AS inter,
+                     count(*) AS sz
+              FROM dt d GROUP BY d.doc_id
+            )
+            SELECT doc_id,
+                   cast(floor(inter::double
+                        / ((SELECT count(*) FROM t0) + sz - inter) * 1e6)
+                     AS bigint) AS jac_micro
+            FROM st""",
         "quality": f"""
             SELECT doc_id,
                    cast(length(text) AS bigint) AS text_len,

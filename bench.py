@@ -93,8 +93,9 @@ def bench_query(index_root: str, ncpu: int) -> dict:
     from search_ingest_ray.query.searcher import QueryScorer, Searcher
 
     queries = query_set(seed=42, n=32)
-    # latency: sequential single-searcher (p50/p99)
+    # latency: sequential single-searcher, warm dictionaries (p50/p99)
     s = Searcher(index_root)
+    s.warm()
     lat = []
     for terms in queries:
         t0 = time.monotonic()

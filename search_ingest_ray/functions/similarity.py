@@ -85,6 +85,36 @@ def knn_cosine(ds, query_vecs, k: int = 10, id_col: str = "vec_id",
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding", nbits: int = 6, seed: int = 11):
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    Scale shape: LSH-bucket the vectors (random hyperplanes), compute exact
+    pairwise cosines only within buckets.  High-threshold near-dups almost
+    always share a bucket (few sign flips across hyperplanes); recall-vs-
+    cost is tuned by nbits.  The per-bucket work is one numpy gram matrix.
+    """
+    dim = len(ds.take(1)[0][vec_col])
+    planes = _hyperplanes(dim, nbits, seed)
+    bucketed = ds.map_batches(lsh_bucket_batch, batch_format="pyarrow",
+                              fn_kwargs=dict(planes=planes, vec_col=vec_col))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g[vec_col]]))
+        sims = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        mask = sims[iu] >= threshold
+        a = np.minimum(ids[iu[0][mask]], ids[iu[1][mask]])
+        b = np.maximum(ids[iu[0][mask]], ids[iu[1][mask]])
+        return pd.DataFrame({"a": a, "b": b, "cos": sims[iu][mask]})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
 
 

@@ -82,6 +82,15 @@ class Searcher:
         self._parts[tpart] = ent
         return ent
 
+    def warm(self) -> int:
+        """Preload every partition's term dictionary (actors call this once
+        at startup so serving latency excludes cold dictionary loads)."""
+        n = 0
+        for tp in range(self.P):
+            if self._part(tp) is not None:
+                n += 1
+        return n
+
     def _rows_for(self, ent, term: str) -> list[dict]:
         tbl, index, data = ent
         rows = []
@@ -223,8 +232,11 @@ class QueryScorer:
     ``(query_id, query)`` → rows ``(query_id, rank, docid, score)``.
     """
 
-    def __init__(self, index_root: str, epoch: int = 0, k: int = 10):
+    def __init__(self, index_root: str, epoch: int = 0, k: int = 10,
+                 warm: bool = True):
         self.searcher = Searcher(index_root, epoch)
+        if warm:
+            self.searcher.warm()
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
