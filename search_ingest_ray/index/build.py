@@ -540,10 +540,16 @@ def build_index(input_paths, index_root: str, *,
     # the stage-2 exchange uses Ray's hash-shuffle (a straight key exchange;
     # the default sort-shuffle would run a full global sort).  The context is
     # snapshotted at dataset creation, so set it before read_parquet.
+    # On tiny clusters (<8 CPUs) the hash-shuffle aggregator actors starve /
+    # hit multi-minute finalization waits — fall back to the sort-based
+    # groupby exchange there (task-only, no actor reservations).
     from ray.data.context import DataContext, ShuffleStrategy
+    _cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    _use_hash = _cluster_cpus >= 8
     _ctx = DataContext.get_current()
     _prev_strategy = _ctx.shuffle_strategy
-    _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if _use_hash:
+        _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         postings = rd.read_parquet(postings_dir)
 
@@ -567,7 +573,7 @@ def build_index(input_paths, index_root: str, *,
             # count what is actually left (runs the cheap map side once)
             pending = with_parts.count()
 
-        if pending:
+        if pending and _use_hash:
             # hash-repartition on tpart (straight exchange — cheaper than the
             # global sort a groupby would run), rows sorted by tpart within
             # each block, then split blocks at tpart boundaries per segment
@@ -576,13 +582,19 @@ def build_index(input_paths, index_root: str, *,
             # reserve 2 CPUs per task to cap concurrent builders.  On tiny
             # clusters reserve 1 — the hash-shuffle aggregator actors hold
             # ~CPU/2 and a 2-CPU task would deadlock a 2-CPU cluster.
-            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-            builder_cpus = 2 if cluster_cpus >= 16 else 1
+            builder_cpus = 2 if _cluster_cpus >= 16 else 1
             summaries = shuffled.map_batches(
                 _build_segments_block, batch_size=None, batch_format="pyarrow",
                 num_cpus=builder_cpus,
                 fn_kwargs=dict(segments_dir=segments_dir, params=params,
                                hot_df=hot_df)).take_all()
+        elif pending:
+            import functools
+            builder = functools.partial(build_segment_group,
+                                        segments_dir=segments_dir,
+                                        params=params, hot_df=hot_df)
+            summaries = with_parts.groupby("tpart").map_groups(
+                builder, batch_format="pyarrow").take_all()
         else:
             summaries = []
     finally:

@@ -132,7 +132,10 @@ class Searcher:
         n = row["n"]
         skip_max = np.asarray(row["skip_max"], dtype=np.float32)
         nblocks = len(skip_max)
-        keep = (skip_max.astype(np.float64) + prune_rest) >= theta
+        # stored block maxes are float32 and may round DOWN vs the true
+        # float64 max; inflate by 1 ulp-ish so the bound stays an upper bound
+        ub = skip_max.astype(np.float64) * (1.0 + 1e-6) + 1e-12
+        keep = (ub + prune_rest) >= theta
         if not keep.any():
             e = np.empty(0, dtype=np.uint64)
             return e, e, e
@@ -183,7 +186,10 @@ class Searcher:
         if not rows_by_term:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
+        # list maxes are stored float32 (may round down); inflate so they
+        # remain sound upper bounds for the pruning arithmetic
         term_max = {t: mult[t] * max(r["max_score"] for r in rows)
+                       * (1.0 + 1e-6) + 1e-12
                     for t, rows in rows_by_term.items()}
         order = sorted(rows_by_term, key=lambda t: -term_max[t])
         total_rest = sum(term_max.values())
