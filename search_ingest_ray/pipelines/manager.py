@@ -54,12 +54,21 @@ class TableManager:
         errors: dict[str, Exception] = {}
 
         def one(t: ManagedTable):
-            try:
-                results[t.name] = build_index(
-                    t.input_paths, self.index_root(t.name), epoch=epoch,
-                    **t.build_kwargs)
-            except Exception as e:  # noqa: BLE001 — aggregated below
-                errors[t.name] = e
+            # concurrent first-reads can race Ray's lazy fsspec import
+            # (partial module → ImportError not caught upstream); one retry
+            # lands after the import settles
+            for attempt in range(2):
+                try:
+                    results[t.name] = build_index(
+                        t.input_paths, self.index_root(t.name), epoch=epoch,
+                        **t.build_kwargs)
+                    return
+                except ImportError:
+                    if attempt == 1:
+                        errors[t.name] = ImportError("import race persisted")
+                except Exception as e:  # noqa: BLE001 — aggregated below
+                    errors[t.name] = e
+                    return
 
         with ThreadPoolExecutor(max_workers=self.max_concurrent) as ex:
             list(ex.map(one, self.tables.values()))
