@@ -75,8 +75,10 @@ class TableManager:
         if errors:
             self.load_state = "error"
             self.load_error = next(iter(errors.values()))
-            raise RuntimeError(f"backfill failed for {sorted(errors)}") \
-                from self.load_error
+            raise RuntimeError(
+                f"backfill failed for {sorted(errors)}: "
+                f"{ {k: repr(v)[:300] for k, v in errors.items()} }"
+            ) from self.load_error
         self.load_state = "complete"
         return results
 
