@@ -61,12 +61,20 @@ def q_corpus_stats(sf_dir: str):
     })
 
 
+def _pool(cap: int = 4) -> int:
+    """Actor-pool size that always leaves CPU headroom for upstream stages
+    (a pool reserving every CPU deadlocks 2-CPU sessions)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(cap, cpus - 1, cpus // 2)) or 1
+
+
 def _postings(sf_dir: str):
     from search_ingest_ray.stages.analyze import PostingEmitter
     emitter = PostingEmitter(text_col="text", id_col="doc_id",
                              id_is_int=True, analyzer="simple")
     return _docs(sf_dir).map_batches(emitter, batch_format="pyarrow",
-                                     batch_size=512, concurrency=4)
+                                     batch_size=512, concurrency=_pool())
 
 
 def q_term_df(sf_dir: str):
@@ -208,7 +216,8 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_minhash_pairs(sf_dir: str):
     from search_ingest_ray.functions.dedup import minhash_candidate_pairs
-    return minhash_candidate_pairs(_docs(sf_dir), num_perm=32, bands=8)
+    return minhash_candidate_pairs(_docs(sf_dir), num_perm=32, bands=8,
+                                   concurrency=_pool())
 
 
 def q_simhash(sf_dir: str):
@@ -220,7 +229,7 @@ def q_simhash(sf_dir: str):
 def q_langid(sf_dir: str):
     from search_ingest_ray.functions.textstats import LangId
     ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                   concurrency=2)
+                                   concurrency=_pool(2))
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
@@ -250,7 +259,7 @@ def q_image_features(sf_dir: str):
 
     ds = _docs(sf_dir).map_batches(to_binary, batch_format="pyarrow")
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=2)
+                          batch_size=64, concurrency=_pool(2))
 
 
 def q_webpage_build(sf_dir: str):

@@ -109,7 +109,9 @@ def bench_query(index_root: str, ncpu: int) -> dict:
         "query_id": pa.array(range(len(qtexts)), pa.int64()),
         "query": pa.array(qtexts, pa.string()),
     })).repartition(max(4, ncpu))
-    pool = min(8, max(2, ncpu // 2))
+    # pool must leave headroom for upstream tasks (a pool holding
+    # every CPU deadlocks the pipeline on tiny clusters)
+    pool = max(1, min(8, ncpu - 1, ncpu // 2)) or 1
     t0 = time.monotonic()
     out = qds.map_batches(QueryScorer, batch_format="pyarrow",
                           fn_constructor_kwargs=dict(index_root=index_root, k=10),
