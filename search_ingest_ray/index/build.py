@@ -623,8 +623,15 @@ def build_index(input_paths, index_root: str, *,
         # would serialize every partition build into one task
         parts_ds = rd.from_items([{"tpart": p} for p in pending_tparts]) \
             .repartition(len(pending_tparts))
+        # builders are memory-bandwidth-bound: reserving 2 CPUs per task on
+        # ≥8-CPU clusters halves concurrent builders and measures ~5% faster
+        # than 1-per-core (SI_BUILDER_CPUS overrides)
+        _cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+        builder_cpus = float(os.environ.get(
+            "SI_BUILDER_CPUS", "2" if _cluster_cpus >= 8 else "1"))
         summaries = parts_ds.map_batches(
-            builder, batch_size=1, batch_format="pyarrow").take_all()
+            builder, batch_size=1, batch_format="pyarrow",
+            num_cpus=builder_cpus).take_all()
         _shutil.rmtree(exchange_dir, ignore_errors=True)
     else:
         summaries = []
