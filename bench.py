@@ -28,7 +28,7 @@ import numpy as np
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "300000"))
 NUM_FILES = 64
 CORPUS_DIR = f"/tmp/search_ingest_ray_bench/corpus_{BENCH_DOCS}"
-QUERY_ROUNDS = 4  # the 32-query seeded set, repeated
+QUERY_ROUNDS = 16  # the 32-query seeded set, repeated (amortizes pool init)
 
 
 def ensure_corpus() -> str:
@@ -115,7 +115,7 @@ def bench_query(index_root: str, ncpu: int) -> dict:
     t0 = time.monotonic()
     out = qds.map_batches(QueryScorer, batch_format="pyarrow",
                           fn_constructor_kwargs=dict(index_root=index_root, k=10),
-                          batch_size=8, concurrency=pool, num_cpus=1)
+                          batch_size=16, concurrency=pool, num_cpus=1)
     n_out = out.count()
     wall = time.monotonic() - t0
     return {
