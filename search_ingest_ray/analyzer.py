@@ -76,10 +76,16 @@ def tokenize_standard(text: str) -> list[str]:
     are emitted.  Order: folded form first (Lucene emits the folded token at
     the original position and the preserved original as a stacked token).
 
-    Hot path: lowercase once per document (C), findall (C); folding runs
-    only for non-ASCII tokens through a process-level memo.
+    Hot path: ASCII documents lowercase+tokenize in two C calls; non-ASCII
+    documents tokenize FIRST and lowercase per token (lowercasing the whole
+    document first would change tokenization for characters like 'İ', whose
+    lowercase form introduces a combining mark that splits the token —
+    Lucene's LowerCaseFilter runs after the tokenizer).  Folding runs only
+    for non-ASCII tokens through a process-level memo.
     """
-    toks = _WORD_RE.findall(text.lower())
+    if text.isascii():
+        return _WORD_RE.findall(text.lower())
+    toks = list(map(str.lower, _WORD_RE.findall(text)))
     if all(map(str.isascii, toks)):
         return toks
     out: list[str] = []

@@ -475,7 +475,7 @@ def build_index(input_paths, index_root: str, *,
     meta = {
         "analyzer": analyzer, "extractor": EXTRACTOR_VERSION,
         "text_col": text_col, "id_col": id_col, "id_is_int": id_is_int,
-        "k1": k1, "b": b, "format": "v1",
+        "k1": k1, "b": b, "format": "v2-termdict-bin",
     }
     if os.path.exists(meta_path):
         existing = read_json(meta_path)

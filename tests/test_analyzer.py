@@ -58,3 +58,46 @@ def test_analyze_docs_flat_arrays():
 def test_analyze_docs_handles_none():
     terms, tfs, lens, idx = analyze_docs([None, "x"])
     assert lens == [0, 1]
+
+
+# -- property tests: fast path vs a slow reference implementation -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import re as _re
+import unicodedata as _ud
+
+
+def _slow_reference_tokenize(text):
+    """Direct transcription of the analyzer spec (schemas.cr:61-77):
+    per-token lowercase then asciifold with preserve_original."""
+    out = []
+    for m in _re.finditer(r"\w+", text, _re.UNICODE):
+        tok = m.group().lower()
+        folded = ascii_fold(tok)
+        if folded != tok:
+            out.append(folded)
+        out.append(tok)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenize_standard_matches_slow_reference(text):
+    assert tokenize_standard(text) == _slow_reference_tokenize(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="aåbçdéfüßñ 12._-!", max_size=100))
+def test_fold_idempotent_and_ascii_closed(text):
+    for tok in tokenize_standard(text):
+        f = ascii_fold(tok)
+        assert ascii_fold(f) == f  # folding is idempotent
+
+
+def test_lowercase_after_tokenize_spec_order():
+    # 'İ'.lower() introduces a combining mark; lowering the whole doc first
+    # would re-split the token — the spec order is tokenize THEN lowercase
+    assert tokenize_standard("İstanbul") == _slow_reference_tokenize("İstanbul")
+    assert len(tokenize_standard("İstanbul")) == 2  # folded + original
