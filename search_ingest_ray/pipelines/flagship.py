@@ -23,7 +23,11 @@ def documents_index(sf_dir: str, analyzer: str = "simple",
     The cache key includes path + analyzer; build_index's own meta check
     rebuilds if the spec changed."""
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.sha1(f"{doc_path}:{analyzer}".encode()).hexdigest()[:16]
+    # include the index format in the cache key: the _BUILT marker bypasses
+    # build_index (and with it the meta consistency check), so a format
+    # bump must land in a fresh directory
+    key = hashlib.sha1(
+        f"{doc_path}:{analyzer}:v2-termdict-bin".encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-{key}")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
