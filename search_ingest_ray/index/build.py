@@ -521,9 +521,14 @@ def build_index(input_paths, index_root: str, *,
         # column, recorded in the lineage so corpus stats need no extra
         # full pass later
         chunk_tokens = int(rd.read_parquet(out, columns=["tf"]).sum("tf") or 0)
+        try:  # per-stage Ray Data execution breakdown → lineage metrics
+            ray_stats = ds.stats()[:1500]
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            ray_stats = ""
         manifest["chunks"][cid] = {
             "files": files, "rows": int(n_rows), "tokens": chunk_tokens,
             "status": "done", "wall_s": round(time.monotonic() - t0, 3),
+            "ray_stats": ray_stats,
         }
         atomic_write_json(manifest_path, manifest)
 
