@@ -178,6 +178,20 @@ def q_quality(sf_dir: str):
                               "stopword_ratio_micro", "mean_token_len_micro"])
 
 
+PHRASE_TERMS = ("scan", "merge")
+
+
+def q_phrase_match(sf_dir: str):
+    """Exact-phrase match via the positional index (documents are
+    space-separated simple tokens, so the SQL oracle is a substring test)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d, _ = s.match_phrase(list(PHRASE_TERMS), k=10**9)
+    return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
+
+
 def q_token_jaccard(sf_dir: str):
     """Token-set Jaccard of every doc vs doc_id 0 (n-gram Jaccard dedup
     operator at n=1, SQL-oracled; word-shingle variants are rows-only)."""
@@ -309,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": q_ann_cosine,
         "quality": q_quality,
         "token_jaccard": q_token_jaccard,
+        "phrase_match": q_phrase_match,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -406,6 +421,9 @@ ORDER BY s DESC, doc_id LIMIT {BM25_K}
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
                      e.vec_id
             LIMIT 10""",
+        "phrase_match": f"""
+            SELECT doc_id FROM documents
+            WHERE ' ' || lower(text) || ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'""",
         "token_jaccard": f"""
             WITH dt AS (
               SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -84,11 +84,14 @@ def epoch_dir(index_root: str, epoch: int) -> str:
 _EMITTERS: dict = {}
 
 
-def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer) -> pa.Table:
-    key = (text_col, id_col, id_is_int, analyzer)
+def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer,
+          with_positions=False) -> pa.Table:
+    key = (text_col, id_col, id_is_int, analyzer, with_positions)
     em = _EMITTERS.get(key)
     if em is None:
-        em = _EMITTERS[key] = PostingEmitter(text_col, id_col, id_is_int, analyzer)
+        em = _EMITTERS[key] = PostingEmitter(text_col, id_col, id_is_int,
+                                             analyzer,
+                                             with_positions=with_positions)
     return em(batch)
 
 
@@ -200,14 +203,17 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
     tparts = salted[codes, salts]
     # project to exactly the shuffle payload — hive partition columns from
     # the postings read (e.g. "chunk") must not ride through the exchange
-    return pa.table({
+    cols = {
         "term": batch["term"],
         "docid": batch["docid"],
         "tf": batch["tf"],
         "dl": batch["dl"],
         "salt": pa.array(salts),
         "tpart": pa.array(tparts),
-    })
+    }
+    if "pos" in batch.column_names:
+        cols["pos"] = batch["pos"]
+    return pa.table(cols)
 
 
 def build_segment_group(group: pa.Table, *, segments_dir: str,
@@ -237,9 +243,15 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     tfs = group["tf"].to_numpy().astype(np.int64)
     dls = group["dl"].to_numpy().astype(np.int64)
 
+    has_pos = "pos" in group.column_names
+    pos_sorted = None
+
     order = np.lexsort((docids, salts, codes))
     codes, salts, docids, tfs, dls = (codes[order], salts[order],
                                       docids[order], tfs[order], dls[order])
+    if has_pos:
+        pos_sorted = group.column("pos").combine_chunks().take(
+            pa.array(order, pa.int64()))
 
     # duplicate (term, salt, docid) rows (docid hash collisions / duplicate
     # source keys): rare — resolve keep-max-tf with a loop over flagged rows
@@ -253,6 +265,8 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
             keep[j] = False
         codes, salts, docids, tfs, dls = (codes[keep], salts[keep],
                                           docids[keep], tfs[keep], dls[keep])
+        if has_pos:
+            pos_sorted = pos_sorted.take(pa.array(np.flatnonzero(keep), pa.int64()))
 
     n = codes.size
     change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(salts) != 0))
@@ -282,6 +296,25 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     doc_cum = np.concatenate([[0], np.cumsum(doc_len)])
     tf_cum = np.concatenate([[0], np.cumsum(tf_len)])
     dl_cum = np.concatenate([[0], np.cumsum(dl_len)])
+
+    # optional positions: a fourth stream of within-posting position deltas
+    # (first position absolute per posting); per-run byte ranges derived
+    # from the flattened value counts (= tf per posting)
+    pos_blob_all = b""
+    run_pos_off = run_pos_len = None
+    if has_pos:
+        pvals = pos_sorted.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        poffsets = pos_sorted.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pdeltas = pvals.copy()
+        firsts = poffsets[:-1]
+        pdeltas[1:] -= pvals[:-1]
+        pdeltas[firsts] = pvals[firsts]
+        pos_blob_all, pos_vlen = encode_varint_with_lengths(
+            pdeltas.astype(np.uint64))
+        pos_vcum = np.concatenate([[0], np.cumsum(pos_vlen)])
+        # run r covers flattened values poffsets[starts[r]] .. poffsets[ends[r]]
+        run_pos_off = pos_vcum[poffsets[starts]]
+        run_pos_len = pos_vcum[poffsets[ends]] - run_pos_off
 
     # block structure (BLOCK postings per block, per list)
     nblocks = (lens + BLOCK - 1) // BLOCK
@@ -338,6 +371,12 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
         "skip_dl_off": _list_col(rel_dl, pa.int32()),
         "skip_max": _list_col(skip_max_all, pa.float32()),
     })
+    if has_pos:
+        pos_base = dl_base + len(dl_blob_all)
+        seg = (seg.append_column("pos_off",
+                                 pa.array((pos_base + run_pos_off).astype(np.int64)))
+                  .append_column("pos_len",
+                                 pa.array(run_pos_len.astype(np.int64))))
     seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
                                                    ("salt", "ascending")]))
     out_dir = os.path.join(segments_dir, f"tpart={tpart:05d}")
@@ -347,6 +386,8 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
         f.write(doc_blob_all)
         f.write(tf_blob_all)
         f.write(dl_blob_all)
+        if has_pos:
+            f.write(pos_blob_all)
     os.replace(btmp, os.path.join(out_dir, "postings.bin"))
     tmp = os.path.join(out_dir, "segment.parquet.tmp")
     pq.write_table(seg, tmp)
@@ -449,7 +490,8 @@ def build_index(input_paths, index_root: str, *,
                 hot_df_threshold: int | None = None, hot_salt: int = 8,
                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                 epoch: int = 0, resume: bool = True,
-                batch_size: int = 1024, concurrency: int | None = None) -> dict:
+                batch_size: int = 1024, concurrency: int | None = None,
+                with_positions: bool = False) -> dict:
     """Build (or resume building) the inverted index for one epoch.
 
     Returns the manifest dict.  ``input_paths``: list of Parquet files or a
@@ -476,6 +518,7 @@ def build_index(input_paths, index_root: str, *,
         "analyzer": analyzer, "extractor": EXTRACTOR_VERSION,
         "text_col": text_col, "id_col": id_col, "id_is_int": id_is_int,
         "k1": k1, "b": b, "format": "v2-termdict-bin",
+        "with_positions": with_positions,
     }
     if os.path.exists(meta_path):
         existing = read_json(meta_path)
@@ -512,7 +555,8 @@ def build_index(input_paths, index_root: str, *,
         ds = ds.map_batches(
             _emit, batch_format="pyarrow", batch_size=batch_size,
             fn_kwargs=dict(text_col=text_col, id_col=id_col,
-                           id_is_int=id_is_int, analyzer=analyzer))
+                           id_is_int=id_is_int, analyzer=analyzer,
+                           with_positions=with_positions))
         out = os.path.join(postings_dir, f"chunk={cid}")
         import shutil
         shutil.rmtree(out, ignore_errors=True)  # clear partial output

@@ -17,23 +17,24 @@ _CACHE_BASE = "/tmp/search_ingest_ray_cache"
 
 
 def documents_index(sf_dir: str, analyzer: str = "simple",
-                    cache_base: str = _CACHE_BASE) -> str:
+                    cache_base: str = _CACHE_BASE,
+                    with_positions: bool = False) -> str:
     """Build (once, cached+resumable) the index for an sf documents table.
 
-    The cache key includes path + analyzer; build_index's own meta check
-    rebuilds if the spec changed."""
+    The cache key includes path + analyzer + format + positions; the _BUILT
+    marker bypasses build_index (and its meta consistency check), so any
+    spec change must land in a fresh directory."""
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    # include the index format in the cache key: the _BUILT marker bypasses
-    # build_index (and with it the meta consistency check), so a format
-    # bump must land in a fresh directory
     key = hashlib.sha1(
-        f"{doc_path}:{analyzer}:v2-termdict-bin".encode()).hexdigest()[:16]
+        f"{doc_path}:{analyzer}:v2-termdict-bin:pos={with_positions}"
+        .encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-{key}")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
         build_index([doc_path], root, text_col="text", id_col="doc_id",
                     id_is_int=True, analyzer=analyzer,
                     num_term_partitions=8, chunk_files=4,
+                    with_positions=with_positions,
                     hot_df_threshold=10**9)  # no salting needed at sf scale
         with open(marker, "w") as f:
             f.write("ok")

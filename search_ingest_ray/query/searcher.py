@@ -99,6 +99,8 @@ class Searcher:
             r["doc_blob"] = bytes(data[r["doc_off"]:r["doc_off"] + r["doc_len"]])
             r["tf_blob"] = bytes(data[r["tf_off"]:r["tf_off"] + r["tf_len"]])
             r["dl_blob"] = bytes(data[r["dl_off"]:r["dl_off"] + r["dl_len"]])
+            if "pos_off" in r and r["pos_off"] is not None:
+                r["pos_blob"] = bytes(data[r["pos_off"]:r["pos_off"] + r["pos_len"]])
             rows.append(r)
         return rows
 
@@ -228,6 +230,86 @@ class Searcher:
     def search(self, query: str, k: int = 10):
         """Analyze a free-text query with the index analyzer, then top-k."""
         return self.search_terms(self.analyze(query), k=k)
+
+    # -- phrase queries (requires an index built with_positions=True) -------
+
+    @staticmethod
+    def _decode_positions(row: dict, tfs: np.ndarray) -> list[np.ndarray]:
+        """Decode the position stream into one array per posting (counts are
+        the term frequencies)."""
+        from ..codec import decode_varint
+        total = int(tfs.sum())
+        deltas = decode_varint(row["pos_blob"], count=total)
+        counts = tfs.astype(np.int64)
+        firsts = np.concatenate([[0], np.cumsum(counts[:-1])])
+        c = np.cumsum(deltas.astype(np.int64))
+        base = np.where(firsts > 0, c[firsts - 1], 0)
+        flat = c - np.repeat(base, counts)
+        bounds = np.concatenate([firsts, [total]])
+        return [flat[bounds[i]:bounds[i + 1]] for i in range(len(counts))]
+
+    def match_phrase(self, phrase: str | list[str], k: int = 10):
+        """Exact-phrase top-k: documents containing the analyzed terms at
+        consecutive positions, scored by BM25 over the phrase terms.
+
+        Requires positions in the index (``build_index(with_positions=True)``).
+        Returns (docids, scores) sorted by (-score, docid)."""
+        terms = self.analyze(phrase) if isinstance(phrase, str) else list(phrase)
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        rows_by_term = self._lookup(terms)
+        per_term: list[dict] = []
+        p = self.params
+        for t in dict.fromkeys(terms):
+            rows = rows_by_term.get(t) or []
+            if not rows:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64))
+            docs, poss, scs = [], [], []
+            for row in rows:
+                if "pos_blob" not in row:
+                    raise ValueError(
+                        "index was built without positions; rebuild with "
+                        "with_positions=True for phrase queries")
+                d, tf, dl = self._decode_list(row)
+                plists = self._decode_positions(row, tf)
+                sc = term_scores(tf, dl, row["df"], p)
+                docs.append(d.astype(np.int64))
+                poss.extend(zip(d.astype(np.int64).tolist(), plists))
+                scs.append(sc)
+            per_term.append({
+                "docids": np.concatenate(docs),
+                "pos": dict(poss),
+                "scores": dict(zip(np.concatenate(docs).tolist(),
+                                   np.concatenate(scs).tolist())),
+            })
+
+        # candidate docs: intersection across (possibly repeated) terms
+        cand = per_term[0]["docids"]
+        for ent in per_term[1:]:
+            cand = np.intersect1d(cand, ent["docids"], assume_unique=False)
+        # order of per_term entries must follow the PHRASE order incl.
+        # repeats — rebuild term→entry map
+        ent_by_term = dict(zip(dict.fromkeys(terms), per_term))
+        matched, scores = [], []
+        for doc in cand.tolist():
+            # cur tracks the positions where the phrase-so-far ENDS
+            cur = ent_by_term[terms[0]]["pos"][doc]
+            for t in terms[1:]:
+                nxt = ent_by_term[t]["pos"][doc]
+                cur = cur[np.isin(cur + 1, nxt)] + 1
+                if cur.size == 0:
+                    break
+            else:
+                matched.append(doc)
+                scores.append(sum(ent_by_term[t]["scores"][doc]
+                                  for t in dict.fromkeys(terms)))
+        if not matched:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        md = np.array(matched, dtype=np.int64)
+        ms = np.array(scores, dtype=np.float64)
+        top = np.lexsort((md, -ms))[:k]
+        return md[top], ms[top]
 
 
 class QueryScorer:

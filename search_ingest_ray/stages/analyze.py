@@ -52,7 +52,8 @@ class PostingEmitter:
     def __init__(self, text_col: str = "text", id_col: str = "url",
                  id_is_int: bool = False, analyzer: str = "standard",
                  lang_col: str | None = None,
-                 lang_analyzers: dict[str, str] | None = None):
+                 lang_analyzers: dict[str, str] | None = None,
+                 with_positions: bool = False):
         self.text_col = text_col
         self.id_col = id_col
         self.id_is_int = id_is_int
@@ -60,6 +61,11 @@ class PostingEmitter:
         self.lang_col = lang_col if lang_analyzers else None
         self.lang_analyzers = {k: get_analyzer(v)
                                for k, v in (lang_analyzers or {}).items()}
+        # positions = token indices in the emitted stream (for the simple
+        # analyzer these equal word positions, giving exact phrase
+        # semantics; with preserve_original stacking the index is an
+        # approximation — documented limitation)
+        self.with_positions = with_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -78,6 +84,8 @@ class PostingEmitter:
         tfs: list[int] = []
         out_docids: list[np.ndarray] = []
         out_dls: list[np.ndarray] = []
+        out_pos: list[list[int]] = []
+        want_pos = self.with_positions
         from collections import Counter
         for i, text in enumerate(texts):
             analyze = (by_lang.get(langs[i], default_analyze)
@@ -85,20 +93,35 @@ class PostingEmitter:
             toks = analyze(text) if text else []
             if not toks:
                 continue
-            c = Counter(toks)
-            k = len(c)
-            terms.extend(c.keys())
-            tfs.extend(c.values())
+            if want_pos:
+                posmap: dict[str, list[int]] = {}
+                for p, tok in enumerate(toks):
+                    posmap.setdefault(tok, []).append(p)
+                k = len(posmap)
+                terms.extend(posmap.keys())
+                tfs.extend(len(v) for v in posmap.values())
+                out_pos.extend(posmap.values())
+            else:
+                c = Counter(toks)
+                k = len(c)
+                terms.extend(c.keys())
+                tfs.extend(c.values())
             out_docids.append(np.full(k, docids[i], dtype=np.int64))
             out_dls.append(np.full(k, len(toks), dtype=np.int32))
         if not terms:
+            if want_pos:
+                return POSTINGS_SCHEMA.empty_table().append_column(
+                    "pos", pa.array([], pa.list_(pa.int32())))
             return POSTINGS_SCHEMA.empty_table()
-        return pa.table({
+        out = pa.table({
             "term": pa.array(terms, pa.string()),
             "docid": pa.array(np.concatenate(out_docids)),
             "tf": pa.array(np.array(tfs, dtype=np.int32)),
             "dl": pa.array(np.concatenate(out_dls)),
         })
+        if want_pos:
+            out = out.append_column("pos", pa.array(out_pos, pa.list_(pa.int32())))
+        return out
 
 
 class DoclenEmitter:
