@@ -195,7 +195,6 @@ def q_phrase_match(sf_dir: str):
 def q_token_jaccard(sf_dir: str):
     """Token-set Jaccard of every doc vs doc_id 0 (n-gram Jaccard dedup
     operator at n=1, SQL-oracled; word-shingle variants are rows-only)."""
-    import duckdb  # only to read the reference doc deterministically
     import pyarrow.parquet as pq
     from search_ingest_ray.analyzer import tokenize_simple
     doc_path = os.path.join(sf_dir, "documents.parquet")
@@ -436,11 +435,15 @@ ORDER BY s DESC, doc_id LIMIT {BM25_K}
                      count(*) AS sz
               FROM dt d GROUP BY d.doc_id
             )
-            SELECT doc_id,
-                   cast(floor(inter::double
-                        / ((SELECT count(*) FROM t0) + sz - inter) * 1e6)
+            -- LEFT JOIN from documents so token-less docs (no dt rows) still
+            -- emit a jac_micro=0 row, matching the engine's per-doc output
+            SELECT d.doc_id,
+                   cast(floor(coalesce(st.inter, 0)::double
+                        / greatest((SELECT count(*) FROM t0)
+                                   + coalesce(st.sz, 0)
+                                   - coalesce(st.inter, 0), 1) * 1e6)
                      AS bigint) AS jac_micro
-            FROM st""",
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
         "quality": f"""
             SELECT doc_id,
                    cast(length(text) AS bigint) AS text_len,

@@ -254,15 +254,22 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
             pa.array(order, pa.int64()))
 
     # duplicate (term, salt, docid) rows (docid hash collisions / duplicate
-    # source keys): rare — resolve keep-max-tf with a loop over flagged rows
+    # source keys): rare — keep the single row with the greatest tf (last on
+    # ties) so tf, dl AND the position list stay mutually consistent (a
+    # mixed keep-max-tf with another row's positions would break the
+    # positions-count == sum(tf) invariant the phrase decoder relies on)
     dup = ((np.diff(codes) == 0) & (np.diff(salts) == 0)
            & (np.diff(docids) == 0))
     if dup.any():
         keep = np.ones(codes.size, dtype=bool)
-        for j in np.flatnonzero(dup):
-            if tfs[j + 1] < tfs[j]:
-                tfs[j + 1] = tfs[j]
-            keep[j] = False
+        run_bounds = np.concatenate(
+            [[0], np.flatnonzero(~dup) + 1, [codes.size]])
+        run_bounds = np.unique(run_bounds)
+        for a, b in zip(run_bounds[:-1], run_bounds[1:]):
+            if b - a > 1:
+                w = a + (b - a - 1) - int(np.argmax(tfs[a:b][::-1]))
+                keep[a:b] = False
+                keep[w] = True
         codes, salts, docids, tfs, dls = (codes[keep], salts[keep],
                                           docids[keep], tfs[keep], dls[keep])
         if has_pos:
@@ -541,11 +548,25 @@ def build_index(input_paths, index_root: str, *,
     chunks = [input_paths[i:i + chunk_files]
               for i in range(0, len(input_paths), chunk_files)]
     read_cols = [id_col] + ([html_col] if html_col else [text_col])
+    # lineage invalidation: any chunk (re)built or dropped this run makes
+    # every completed segment stale (its postings / global stats no longer
+    # match), so stage 2 must rebuild from scratch — otherwise a resumed
+    # build would silently keep segments whose block-max scores were baked
+    # with the old corpus stats (no longer sound pruning bounds)
+    chunks_changed = False
+    expected_cids = {f"{ci:05d}" for ci in range(len(chunks))}
+    for cid in sorted(set(manifest["chunks"]) - expected_cids):
+        import shutil
+        shutil.rmtree(os.path.join(postings_dir, f"chunk={cid}"),
+                      ignore_errors=True)
+        del manifest["chunks"][cid]
+        chunks_changed = True
     for ci, files in enumerate(chunks):
         cid = f"{ci:05d}"
         rec = manifest["chunks"].get(cid)
         if rec and rec.get("status") == "done" and rec.get("files") == files:
             continue
+        chunks_changed = True
         t0 = time.monotonic()
         n_rows = sum(pq.read_metadata(f).num_rows for f in files)
         ds = rd.read_parquet(files, columns=read_cols)
@@ -648,6 +669,19 @@ def build_index(input_paths, index_root: str, *,
     # reads run at disk speed, need no actor reservations (no tiny-cluster
     # deadlocks), and give per-term-partition resume for free.
     _t_stats_done = time.monotonic()
+    prev_stats = manifest.get("stats") or {}
+    if (manifest["segments"] and prev_stats
+            and (prev_stats.get("num_term_partitions") != P
+                 or prev_stats.get("hot_salt") != hot_salt)):
+        chunks_changed = True  # partitioning layout changed → same staleness
+    if chunks_changed and manifest["segments"]:
+        log.info("input chunks changed; invalidating %d completed segments",
+                 len(manifest["segments"]))
+        import shutil as _sh
+        manifest["segments"] = {}
+        _sh.rmtree(segments_dir, ignore_errors=True)
+        os.makedirs(segments_dir, exist_ok=True)
+        atomic_write_json(manifest_path, manifest)
     done_tparts = {int(k) for k, v in manifest["segments"].items()
                    if v.get("status") == "done"} if resume else set()
     pending_tparts = [p for p in range(P) if p not in done_tparts]

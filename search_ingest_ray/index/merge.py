@@ -184,6 +184,13 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
         raise ValueError("cannot merge indexes with different partition counts")
     if any(s["hot_terms"] for s in statss):
         raise NotImplementedError("merge requires salting-disabled inputs")
+    if metas[0].get("with_positions"):
+        # the merger re-encodes only the doc/tf/dl streams; silently dropping
+        # the positional stream while keeping with_positions=true in the
+        # copied meta would break phrase queries with a misleading error
+        raise NotImplementedError(
+            "merging positional indexes is not supported yet; build "
+            "sub-indexes with with_positions=False before merging")
 
     n_docs = sum(s["n_docs"] for s in statss)
     total_tokens = sum(s["total_tokens"] for s in statss)
