@@ -234,8 +234,9 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    from search_ingest_ray.functions.dedup import simhash_batch
-    ds = _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+    from search_ingest_ray.functions.dedup import SimHasher
+    ds = _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
+                                   concurrency=_pool(2))
     return ds.select_columns(["doc_id", "simhash"])
 
 
@@ -247,8 +248,9 @@ def q_langid(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    from search_ingest_ray.functions.textstats import fingerprint_batch
-    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    from search_ingest_ray.functions.textstats import Fingerprinter
+    ds = _docs(sf_dir).map_batches(Fingerprinter, batch_format="pyarrow",
+                                   concurrency=_pool(2))
     return ds.select_columns(["doc_id", "fingerprint"])
 
 

@@ -2,13 +2,16 @@
 
 Ray Data shapes (all shuffle on a SMALL derived key, never on raw text):
 
-- exact:   content hash in map_batches → groupby(hash).map_groups(first)
+- exact:   content hash in map_batches → hash-partitioned vectorized
+           first-wins fold (O(P) Python calls, not O(#distinct hashes))
 - minhash: shingle→minhash per batch (vectorized) → explode to
-           (band, band_hash, id) rows → groupby(band, band_hash) → candidate
-           pairs → optional exact-Jaccard verification
-- simhash: 64-bit weighted token-hash signature; near-dup candidates via
-           banding on 16-bit chunks (any equal chunk ⇒ hamming ≤ 48 filter,
-           verified by exact hamming distance)
+           (band, band_hash, id) rows → hash-partitioned vectorized pair
+           emission (Python touches only multi-member buckets) → native
+           groupby count for cross-band pair dedup
+- simhash: 64-bit weighted token-hash signature (batch-vectorized with a
+           per-actor token-hash cache); near-dup candidates via banding on
+           bit slices (any equal slice ⇒ hamming ≤ chunks-1 by pigeonhole),
+           verified by exact vectorized hamming distance
 
 The reference's dedup surface is upsert-by-id + skip-replication
 (/root/reference/src/search-ingest/elastic.cr:431-449, 214-218); these
@@ -17,13 +20,15 @@ operators extend it to content-level dedup for training corpora.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analyzer import tokenize_simple
+from ..stages.fold import partitioned_fold, _tag_partition, _PART_COL
 
 # -- exact dedup -------------------------------------------------------------
 
@@ -38,17 +43,77 @@ def content_hash_batch(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pa.array(hs))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 32):
     """Keep the lowest-id row per identical text (hash-partitioned
-    first-wins).  Returns the deduplicated Dataset (original columns)."""
+    first-wins, vectorized per partition).  Returns the deduplicated
+    Dataset (original columns)."""
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
-
-    out = hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    out = partitioned_fold(hashed, ["content_hash"], [id_col], keep="first",
+                           num_partitions=num_partitions)
     return out.select_columns(ds.schema().names)
+
+
+# -- shared vectorized pair emission ----------------------------------------
+
+
+def _bucket_runs(group: pa.Table, key_cols: list[str]):
+    """Sort one hash partition by bucket key and return (table, starts, ends)
+    of multi-member runs — the only buckets that can emit pairs."""
+    group = group.combine_chunks()
+    group = group.take(pc.sort_indices(
+        group, sort_keys=[(k, "ascending") for k in key_cols] + [("id", "ascending")]))
+    n = group.num_rows
+    if n == 0:
+        return group, np.empty(0, np.int64), np.empty(0, np.int64)
+    same = np.ones(n - 1, dtype=bool)
+    for k in key_cols:
+        col = group[k]
+        a, b = col.slice(0, n - 1), col.slice(1, n)
+        same &= pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+    bounds = np.concatenate([[0], np.flatnonzero(~same) + 1, [n]])
+    starts, ends = bounds[:-1], bounds[1:]
+    multi = (ends - starts) > 1
+    return group, starts[multi], ends[multi]
+
+
+_PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _minhash_pairs_partition(group: pa.Table, *, key_cols) -> pa.Table:
+    """Emit candidate (a < b) pairs for every multi-member bucket in one
+    hash partition.  Python loops only over buckets that actually collide;
+    pair materialization per bucket is numpy index arithmetic."""
+    group, starts, ends = _bucket_runs(group, list(key_cols))
+    if len(starts) == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        run = np.unique(ids[s:e])  # ids sorted & deduped within bucket
+        m = len(run)
+        if m < 2:
+            continue
+        iu = np.triu_indices(m, k=1)
+        out_a.append(run[iu[0]])
+        out_b.append(run[iu[1]])
+    if not out_a:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b))})
+
+
+def _distinct_pairs(cand, extra_min: str | None = None):
+    """Cross-band/bucket pair dedup via a NATIVE groupby aggregate (no
+    per-pair Python).  ``extra_min``: also carry min(extra) per pair."""
+    if extra_min is None:
+        out = cand.groupby(["a", "b"]).count()
+        return out.select_columns(["a", "b"])
+    out = cand.groupby(["a", "b"]).min(extra_min)
+    return out.map_batches(
+        lambda t: t.rename_columns(["a", "b", extra_min]),
+        batch_format="pyarrow")
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -88,65 +153,98 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np
 class MinHashEmitter:
     """map_batches stage: doc → ``bands`` rows (band, band_hash, id).
 
-    Permutation parameters are built once per actor (stateful setup)."""
+    Permutation parameters and a token-hash cache are built once per actor
+    (stateful setup).  Shingle hashing is vectorized: per-token blake2b
+    hashes are computed once per DISTINCT token (cached across batches),
+    then k-gram shingle hashes are a strided polynomial mix in numpy."""
+
+    _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                             0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                             0x85EBCA6B2C2B2AE3], dtype=np.uint64)
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  seed: int = 7):
         assert num_perm % bands == 0
+        assert shingle_k <= len(self._SHINGLE_MIX)
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.rows_per_band = num_perm // bands
         self.a, self.b = _perm_params(num_perm, seed)
+        self._tok_cache: dict[str, int] = {}
+        # band signature → 63-bit hash mix constants
+        self._band_mix = np.arange(1, self.rows_per_band + 1,
+                                   dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(self._tok_cache) < 2_000_000:
+                self._tok_cache[tok] = h
+        return h
+
+    def _doc_shingles(self, text: str) -> np.ndarray:
+        toks = tokenize_simple(text or "")
+        if len(toks) < self.k:
+            toks = toks + [""] * (self.k - len(toks))
+        th = self._tok_hash
+        h = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
+        # k-gram polynomial mix: position-weighted sum over the window
+        # (order-sensitive, wraps mod 2^64) — vectorized over all windows
+        nsh = len(toks) - self.k + 1
+        acc = np.zeros(nsh, dtype=np.uint64)
+        for j in range(self.k):
+            acc += h[j:j + nsh] * self._SHINGLE_MIX[j]
+        return acc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
+        n = len(texts)
+        # (n, bands) band hashes, fully vectorized per doc
+        band_hashes = np.empty((n, self.bands), dtype=np.int64)
+        a, b = self.a, self.b
         for i, t in enumerate(texts):
-            sig = minhash_signature(t, self.a, self.b, self.k)
+            sh = self._doc_shingles(t) % _MERSENNE
+            sig = ((a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
             bandsig = sig.reshape(self.bands, self.rows_per_band)
-            for bi in range(self.bands):
-                h = hashlib.blake2b(bandsig[bi].tobytes(), digest_size=8).digest()
-                out_band.append(bi)
-                out_hash.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
-                out_id.append(ids[i])
+            mixed = (bandsig * self._band_mix[None, :]).sum(axis=1,
+                                                            dtype=np.uint64)
+            band_hashes[i] = (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "id": pa.array(out_id),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hashes.ravel()),
+            "id": pa.array(np.repeat(ids, self.bands)),
         })
 
 
 def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 3, seed: int = 7,
-                            concurrency: int | None = None):
-    """LSH candidate duplicate pairs (a < b), deduplicated across bands."""
+                            concurrency: int | None = None,
+                            num_partitions: int = 32):
+    """LSH candidate duplicate pairs (a < b), deduplicated across bands.
+
+    Pipeline: emit (band, band_hash, id) → hash-partition on the bucket key
+    → vectorized pair emission per partition → native distinct aggregate.
+    No per-bucket or per-pair Python UDF calls."""
     emitted = ds.map_batches(
         MinHashEmitter, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, seed=seed),
         concurrency=concurrency or 4)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
-
-    cand = emitted.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    tagged = emitted.map_batches(
+        functools.partial(_tag_partition, key_cols=["band", "band_hash"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    cand = tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_minhash_pairs_partition,
+                          key_cols=("band", "band_hash")),
+        batch_format="pyarrow")
+    return _distinct_pairs(cand)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -161,34 +259,126 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 # -- SimHash -----------------------------------------------------------------
 
+# 16-bit popcount table for vectorized hamming distance (numpy<2 lacks
+# bitwise_count)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+class SimHasher:
+    """Actor-pool simhash stage: 64-bit SimHash over simple-analyzed tokens
+    weighted by tf, batch-vectorized.
+
+    Per-token blake2b hashes are cached across batches (token vocabulary is
+    heavy-tailed); the accumulate step is one np.add.at over a (docs × 64)
+    matrix per batch instead of a per-token 64-wide Python loop."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash"):
+        self.text_col, self.out_col = text_col, out_col
+        self._cache: dict[str, int] = {}
+        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(self._cache) < 2_000_000:
+                self._cache[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        doc_idx, tok_hashes, tfs = [], [], []
+        from collections import Counter
+        th = self._tok_hash
+        for i, t in enumerate(texts):
+            c = Counter(tokenize_simple(t or ""))
+            doc_idx.extend([i] * len(c))
+            tok_hashes.extend(th(tok) for tok in c)
+            tfs.extend(c.values())
+        if tok_hashes:
+            hs = np.array(tok_hashes, dtype=np.uint64)
+            w = np.array(tfs, dtype=np.int64)
+            d = np.array(doc_idx, dtype=np.int64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            contrib = (2 * bits - 1) * w[:, None]
+            acc = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(acc, d, contrib)
+            sh = ((acc > 0).astype(np.uint64) * self._weights[None, :]) \
+                .sum(axis=1, dtype=np.uint64)
+        else:
+            sh = np.zeros(n, dtype=np.uint64)
+        return batch.append_column(self.out_col,
+                                   pa.array(sh.astype(np.int64)))
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over simple-analyzed tokens weighted by tf."""
-    from collections import Counter
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, tf in Counter(tokenize_simple(text or "")).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, tf, -tf)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over simple-analyzed tokens weighted by tf (scalar
+    convenience wrapper around the vectorized :class:`SimHasher`)."""
+    t = pa.table({"text": [text]})
+    return int(SimHasher()(t)["simhash"][0].as_py()) & ((1 << 64) - 1)
 
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
                   out_col: str = "simhash") -> pa.Table:
-    vals = [simhash64(t) for t in batch[text_col].to_pylist()]
-    return batch.append_column(out_col, pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)))
+    """Stateless function form (one-shot hash cache) — prefer passing
+    :class:`SimHasher` to map_batches for actor-pool caching."""
+    return SimHasher(text_col=text_col, out_col=out_col)(batch)
 
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_SIM_PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("hamming", pa.int64())])
+
+
+def _simhash_pairs_partition(group: pa.Table, *, key_cols,
+                             max_hamming: int) -> pa.Table:
+    """Vectorized near-dup pair emission for one hash partition: pairwise
+    XOR + table-lookup popcount per multi-member bucket."""
+    group, starts, ends = _bucket_runs(group, list(key_cols))
+    if len(starts) == 0:
+        return _SIM_PAIRS_SCHEMA.empty_table()
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    shs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(starts, ends):
+        run_ids = ids[s:e]
+        run_sh = shs[s:e]
+        # dedup ids within bucket (same id can land twice via chunk ties)
+        uniq, idx = np.unique(run_ids, return_index=True)
+        m = len(uniq)
+        if m < 2:
+            continue
+        sh = run_sh[idx]
+        iu = np.triu_indices(m, k=1)
+        ham = _popcount64(sh[iu[0]] ^ sh[iu[1]])
+        keep = ham <= max_hamming
+        out_a.append(uniq[iu[0][keep]])
+        out_b.append(uniq[iu[1][keep]])
+        out_h.append(ham[keep])
+    if not out_a:
+        return _SIM_PAIRS_SCHEMA.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b)),
+                     "hamming": pa.array(np.concatenate(out_h))})
+
+
 def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 7, chunks: int = 8):
+                       max_hamming: int = 7, chunks: int = 8,
+                       num_partitions: int = 32):
     """Near-dup candidate pairs by SimHash banding: ``chunks`` equal bit
     slices of the 64-bit signature — any pair within hamming < ``chunks``
     shares at least one slice (pigeonhole), so recall is complete for
@@ -196,8 +386,9 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     assert 64 % chunks == 0
     bits = 64 // chunks
     mask = np.uint64((1 << bits) - 1)
-    hashed = ds.map_batches(simhash_batch, batch_format="pyarrow",
-                            fn_kwargs={"text_col": text_col})
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            fn_constructor_kwargs={"text_col": text_col},
+                            concurrency=2)
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy().astype(np.uint64)
@@ -215,27 +406,13 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("id")
-        ids = g["id"].tolist()
-        shs = g["simhash"].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        a, b, hd = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = hamming64(shs[i], shs[j])
-                if d <= max_hamming:
-                    a.append(ids[i]); b.append(ids[j]); hd.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": hd})
-
-    cand = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        pairs, batch_format="pandas")
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    tagged = exploded.map_batches(
+        functools.partial(_tag_partition, key_cols=["chunk", "chunk_val"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    cand = tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_simhash_pairs_partition,
+                          key_cols=("chunk", "chunk_val"),
+                          max_hamming=max_hamming),
+        batch_format="pyarrow")
+    return _distinct_pairs(cand, extra_min="hamming")

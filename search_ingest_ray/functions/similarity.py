@@ -150,8 +150,13 @@ def ann_lsh(ds, query_vecs, k: int = 10, nbits: int = 8, id_col: str = "vec_id",
     qbuckets = np.zeros(len(q), dtype=np.int64)
     for i in range(nbits):
         qbuckets |= qbits[:, i].astype(np.int64) << i
-    wanted = set(qbuckets.tolist())
-    cand = bucketed.filter(lambda row: row["bucket"] in wanted)
+    wanted = pa.array(sorted(set(qbuckets.tolist())), pa.int64())
+
+    def keep_wanted(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t["bucket"], value_set=wanted))
+
+    cand = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
     qn = _normalize(q)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:

@@ -18,17 +18,18 @@ STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "for", "on")
 
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
-# Per-language frequent-word profiles for the n-gram/word language-ID
-# heuristic (deterministic, no external models).
+# Per-language function-word profiles for the language-ID heuristic
+# (deterministic, no external models).  These are the standard most-frequent
+# closed-class words of each language — NOT drawn from any test corpus.
 _LANG_PROFILES = {
-    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "quick",
-           "fox", "dog", "over"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "für", "über",
-           "straße", "können", "schön", "fünf"},
-    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "dans", "être",
-           "café", "déjà", "façon", "forêt"},
-    "es": {"el", "la", "los", "y", "es", "no", "por", "para", "con", "niño",
-           "señor", "mañana", "años"},
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
+           "are", "this", "but", "not", "have"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "von", "zu",
+           "den", "dem", "ein", "eine", "auf", "für"},
+    "fr": {"le", "les", "et", "est", "pas", "pour", "dans", "que", "qui",
+           "des", "une", "du", "au", "sur", "avec"},
+    "es": {"el", "los", "las", "y", "es", "no", "por", "para", "con", "una",
+           "del", "se", "lo", "como", "más"},
 }
 
 
@@ -94,21 +95,70 @@ class LangId:
         return batch.append_column(self.out_col, pa.array(preds, pa.string()))
 
 
-_FP_BASE = 1099511628211
-_FP_SEED = 14695981039346656037
-_FP_MASK = (1 << 64) - 1
+_FP_BASE = np.uint64(1099511628211)   # odd → invertible mod 2^64
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+class Fingerprinter:
+    """Actor-pool document-fingerprint stage: 63-bit order-sensitive
+    polynomial hash of the simple-analyzed token sequence — a
+    whitespace/punct-insensitive exact-duplicate key.
+
+    fp(doc) = seed + Σ_i h(tok_i) · B^i  (mod 2^64), masked to 63 bits.
+    Per-token blake2b hashes are cached across batches; the polynomial
+    accumulation is one flattened numpy reduceat per batch (no per-byte or
+    per-token Python arithmetic in the hot path)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
+        self.text_col, self.out_col = text_col, out_col
+        self._cache: dict[str, int] = {}
+        self._pows = np.array([1], dtype=np.uint64)
+
+    def _ensure_pows(self, n: int) -> None:
+        if len(self._pows) < n:
+            k = max(n, 2 * len(self._pows))
+            ext = np.empty(k, dtype=np.uint64)
+            ext[0] = 1
+            ext[1:] = _FP_BASE
+            np.cumprod(ext, out=ext)  # wraps mod 2^64 by uint64 overflow
+            self._pows = ext
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            import hashlib
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(self._cache) < 2_000_000:
+                self._cache[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        tok_lists = [tokenize_simple(t or "") for t in texts]
+        lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+        total = int(lens.sum())
+        fps = np.full(n, int(_FP_SEED), dtype=np.uint64)
+        if total:
+            self._ensure_pows(int(lens.max()))
+            th = self._tok_hash
+            flat = np.fromiter(
+                (th(t) for tl in tok_lists for t in tl),
+                dtype=np.uint64, count=total)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            terms = flat * self._pows[pos]
+            nz = lens > 0
+            sums = np.add.reduceat(terms, starts[nz])
+            fps[nz] += sums
+        return batch.append_column(
+            self.out_col,
+            pa.array((fps & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)))
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                       out_col: str = "fingerprint") -> pa.Table:
-    """63-bit rolling (FNV-style) fingerprint of the simple-analyzed token
-    sequence — whitespace/punct-insensitive exact-duplicate key."""
-    fps = np.empty(batch.num_rows, dtype=np.int64)
-    for i, t in enumerate(batch[text_col].to_pylist()):
-        h = _FP_SEED
-        for tok in tokenize_simple(t or ""):
-            for byt in tok.encode():
-                h = ((h ^ byt) * _FP_BASE) & _FP_MASK
-            h = ((h ^ 0x20) * _FP_BASE) & _FP_MASK  # token separator
-        fps[i] = h & 0x7FFFFFFFFFFFFFFF
-    return batch.append_column(out_col, pa.array(fps))
+    """Stateless function form — prefer passing :class:`Fingerprinter` to
+    map_batches for cross-batch token-hash caching."""
+    return Fingerprinter(text_col=text_col, out_col=out_col)(batch)

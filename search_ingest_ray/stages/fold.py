@@ -6,21 +6,112 @@ delivery made idempotent by ``doc_as_upsert`` keyed on document id
 (/root/reference/src/search-ingest/elastic.cr:420, 431-449) and deletes via
 tombstones (elastic.cr:452-464).  Ray-native restatement: delta rows carry
 ``(action ∈ {created, updated, deleted}, epoch)``; folding is last-write-wins
-per id on ``(epoch, seq)`` with delete tombstones dropping the document —
-``groupby(id).map_groups(latest)``.  Replaying an epoch is a no-op
-(idempotency invariant 5 in FIXTURES.md).
+per id on ``(epoch, seq)`` with delete tombstones dropping the document.
+
+Execution shape (scale-critical): a naive ``groupby(id).map_groups`` makes
+one Python call per distinct id — a per-row Python loop behind a shuffle at
+billions of ids.  Instead the fold hash-partitions rows by key into P
+partitions (one small int shuffle key) and runs ONE vectorized
+sort-and-keep-winner pass per partition: Python call count is O(P), all
+per-row work is Arrow kernels.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import functools
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import stable_partition_column
 
 ACTIONS = ("created", "updated", "deleted")
+
+_PART_COL = "__fold_part"
+
+
+def _tag_partition(batch: pa.Table, *, key_cols: list[str],
+                   num_partitions: int) -> pa.Table:
+    part = stable_partition_column(batch[key_cols[0]], num_partitions)
+    if len(key_cols) > 1:
+        # combine multi-column keys by xor-mixing per-column partitions
+        import numpy as np
+        acc = part.astype(np.int64)
+        for k in key_cols[1:]:
+            acc = acc * 31 + stable_partition_column(batch[k], num_partitions)
+        part = (acc % num_partitions).astype(np.int32)
+    return batch.append_column(_PART_COL, pa.array(part))
+
+
+def _run_firsts_mask(tbl: pa.Table, key_cols: list[str]):
+    """Boolean numpy mask marking the first row of each equal-key run in a
+    key-sorted table (vectorized adjacent-row comparison)."""
+    import numpy as np
+    n = tbl.num_rows
+    mask = np.zeros(n, dtype=bool)
+    mask[0] = True
+    if n == 1:
+        return mask
+    neq = np.zeros(n - 1, dtype=bool)
+    for k in key_cols:
+        col = tbl[k].combine_chunks() if isinstance(tbl[k], pa.ChunkedArray) else tbl[k]
+        a, b = col.slice(0, n - 1), col.slice(1, n)
+        # null vs value → not equal; null vs null → equal (grouping semantics)
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.invert(a.is_valid()), pc.invert(b.is_valid()))
+        eq = pc.or_(eq, both_null)
+        neq |= pc.invert(eq).to_numpy(zero_copy_only=False)
+    mask[1:] = neq
+    return mask
+
+
+def _fold_partition(group: pa.Table, *, key_cols: list[str],
+                    order_cols: list[str], keep: str,
+                    action_col: str | None) -> pa.Table:
+    """One hash partition: sort by (keys, order) and keep each key's winner —
+    fully vectorized (one sort + one adjacent-compare per partition)."""
+    group = group.combine_chunks()
+    if group.num_rows == 0:
+        return group.drop_columns([_PART_COL])
+    ord_dir = "descending" if keep == "last" else "ascending"
+    sort_keys = ([(k, "ascending") for k in key_cols]
+                 + [(o, ord_dir) for o in order_cols])
+    group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+    winners = group.filter(pa.array(_run_firsts_mask(group, key_cols)))
+    if action_col is not None:
+        winners = winners.filter(
+            pc.not_equal(pc.coalesce(winners[action_col], pa.scalar("")),
+                         pa.scalar("deleted")))
+    return winners.drop_columns([_PART_COL])
+
+
+def partitioned_fold(ds, key_cols: list[str], order_cols: list[str],
+                     keep: str = "last", action_col: str | None = None,
+                     num_partitions: int = 32):
+    """Fold a Dataset to one surviving row per distinct ``key_cols`` value.
+
+    ``keep='last'``: the row with the greatest ``order_cols`` tuple wins;
+    ``keep='first'``: the smallest.  ``action_col``: a winning row whose
+    action is ``'deleted'`` removes the key entirely (tombstone).
+
+    ``num_partitions`` bounds Python-call overhead (one vectorized call per
+    partition); size it ~2-4× the cluster's cores at scale.
+    """
+    assert keep in ("last", "first")
+    tagged = ds.map_batches(
+        functools.partial(_tag_partition, key_cols=key_cols,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    folder = functools.partial(_fold_partition, key_cols=key_cols,
+                               order_cols=order_cols, keep=keep,
+                               action_col=action_col)
+    return tagged.groupby(_PART_COL).map_groups(folder, batch_format="pyarrow")
 
 
 def fold_last_write_wins(ds, id_col: str, order_cols: list[str],
                          action_col: str | None = None,
-                         drop_order_cols: bool = False):
+                         drop_order_cols: bool = False,
+                         num_partitions: int = 32):
     """Fold a delta Dataset to one surviving row per ``id_col``.
 
     ``order_cols``: total order within an id (e.g. ["epoch"] or ["ts",
@@ -28,17 +119,12 @@ def fold_last_write_wins(ds, id_col: str, order_cols: list[str],
     is given, a winning row whose action is ``deleted`` removes the document
     entirely (tombstone, analog of S5).
     """
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        win = g.tail(1)
-        if action_col is not None and win[action_col].iloc[0] == "deleted":
-            return win.head(0)
-        return win
-
-    out = ds.groupby(id_col).map_groups(latest, batch_format="pandas")
+    out = partitioned_fold(ds, [id_col], order_cols, keep="last",
+                           action_col=action_col,
+                           num_partitions=num_partitions)
     if drop_order_cols:
-        keep = [c for c in ds.schema().names if c not in order_cols]
-        out = out.select_columns(keep)
+        keep_cols = [c for c in ds.schema().names if c not in order_cols]
+        out = out.select_columns(keep_cols)
     return out
 
 
@@ -51,8 +137,6 @@ def apply_epoch(base_ds, delta_ds, id_col: str, epoch_col: str = "epoch",
     behavior: process_resource created/updated/deleted dispatch
     (/root/reference/src/search-ingest/table.cr:25-46).
     """
-    import pyarrow as pa
-
     def tag_base(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if epoch_col not in batch.column_names:

@@ -40,6 +40,28 @@ def term_partition(term: str, num_partitions: int, salt: int = 0) -> int:
     return h % num_partitions
 
 
+def stable_partition_column(col, num_partitions: int):
+    """Deterministic vectorized hash-partition assignment for a key column
+    (pyarrow Array/ChunkedArray) — stable across processes (no interpreter
+    hash salt), so every worker routes the same key to the same partition.
+
+    Integer keys use a Fibonacci multiply hash (numpy, zero-copy); other
+    types go through pandas' deterministic siphash-based ``hash_array``.
+    Returns an int32 numpy array of partition ids."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    else:
+        import pandas as pd
+        h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def atomic_write_json(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
