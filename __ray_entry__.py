@@ -104,6 +104,57 @@ def q_bm25_topk(sf_dir: str):
     })
 
 
+DOC_FIELDS = ("lang", "n_chars", "source")
+
+
+def _fields_index(sf_dir: str) -> str:
+    from search_ingest_ray.pipelines.flagship import documents_index
+    return documents_index(sf_dir, analyzer="simple",
+                           store_fields=DOC_FIELDS)
+
+
+def q_bm25_filtered(sf_dir: str):
+    """Filtered BM25 (structured keyword filter): top-k restricted to
+    lang='de'; scores use GLOBAL corpus stats (ES filter semantics)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    d, sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K,
+                           filters={"lang": "de"})
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
+def q_bm25_filtered_range(sf_dir: str):
+    """Filtered BM25 with a numeric range + keyword-set filter:
+    150 ≤ n_chars ≤ 350 AND source ∈ {src3, src7}."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    d, sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K,
+                           filters={"n_chars": ("range", 150, 350),
+                                    "source": ("in", ["src3", "src7"])})
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
+def q_bm25_topk_docs(sf_dir: str):
+    """Docstore retrieval: top-k BM25 returning stored fields (lang,
+    source), not just docids — the analog of ES hits carrying documents."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    t = s.search_docs(list(BM25_QUERY_TERMS), k=BM25_K,
+                      return_fields=["lang", "source"])
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "score": pa.array(np.round(np.asarray(t["score"]), 4), pa.float64()),
+        "lang": t["lang"],
+        "source": t["source"],
+    })
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -317,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "bm25_topk": q_bm25_topk,
+        "bm25_filtered": q_bm25_filtered,
+        "bm25_filtered_range": q_bm25_filtered_range,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
         "events_fold": q_events_fold,
         "events_fold_tombstone": q_events_fold_tombstone,
@@ -340,7 +394,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
     t1, t2 = BM25_QUERY_TERMS
-    bm25 = f"""
+
+    def bm25_sql(where: str | None = None, extra_cols: str = "") -> str:
+        """BM25 top-k SQL; ``where`` filters the candidate set AFTER scoring
+        with GLOBAL stats (ES filter semantics — filters never change
+        idf/avgdl), exactly like the engine's docvalues filter path."""
+        filt = (f"JOIN documents d ON scored.doc_id = d.doc_id WHERE {where}"
+                if where else
+                ("JOIN documents d ON scored.doc_id = d.doc_id"
+                 if extra_cols else ""))
+        return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
 ),
@@ -363,9 +426,12 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score FROM scored
-ORDER BY s DESC, doc_id LIMIT {BM25_K}
+SELECT scored.doc_id, round(s, 4) AS score{extra_cols} FROM scored
+{filt}
+ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
 """
+
+    bm25 = bm25_sql()
     return {
         "doc_count_by_lang":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
@@ -386,6 +452,11 @@ ORDER BY s DESC, doc_id LIMIT {BM25_K}
             FROM (SELECT unnest({_TOKS}) AS term FROM documents)
             GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
         "bm25_topk": bm25,
+        "bm25_filtered": bm25_sql(where="d.lang = 'de'"),
+        "bm25_filtered_range": bm25_sql(
+            where="d.n_chars BETWEEN 150 AND 350 "
+                  "AND d.source IN ('src3', 'src7')"),
+        "bm25_topk_docs": bm25_sql(extra_cols=", d.lang, d.source"),
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",

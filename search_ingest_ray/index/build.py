@@ -49,7 +49,8 @@ from ..analyzer import get_analyzer
 from ..codec import BLOCK, encode_varint_with_lengths
 from ..corpus import EXTRACTOR_VERSION
 from ..query.bm25 import B_DEFAULT, K1_DEFAULT, BM25Params, term_scores
-from ..util import atomic_write_json, read_json, term_partition
+from ..schemas import equivalent_schema
+from ..util import atomic_write_json, hash_ids, read_json, term_partition
 from ..stages.analyze import PostingEmitter, extract_batch
 
 log = logging.getLogger(__name__)
@@ -93,6 +94,20 @@ def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer,
                                              analyzer,
                                              with_positions=with_positions)
     return em(batch)
+
+
+def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
+                  store_fields: list[str]) -> pa.Table:
+    """Docvalues rows: (docid, field...) — docid derived exactly as in
+    posting emission so the sidecar joins postings without any lookup."""
+    if id_is_int:
+        docids = batch[id_col].cast(pa.int64())
+    else:
+        docids = pa.array(hash_ids(batch[id_col].to_pylist()), pa.int64())
+    cols = {"docid": docids}
+    for f in store_fields:
+        cols[f] = batch[f]
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -498,11 +513,28 @@ def build_index(input_paths, index_root: str, *,
                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                 epoch: int = 0, resume: bool = True,
                 batch_size: int = 1024, concurrency: int | None = None,
-                with_positions: bool = False) -> dict:
+                with_positions: bool = False,
+                store_fields: list[str] | None = None,
+                table_config=None) -> dict:
     """Build (or resume building) the inverted index for one epoch.
 
     Returns the manifest dict.  ``input_paths``: list of Parquet files or a
     directory.  Ray must already be initialized by the caller.
+
+    ``store_fields``: structured columns (keyword/numeric/date/bool) to
+    store in a per-chunk docvalues sidecar (``fields/chunk=N/``, sorted by
+    docid at query load) — the "one stored column, two index artifacts"
+    model of the reference's typed mappings
+    (/root/reference/src/search-ingest/schemas.cr:211-222, 313-322).  They
+    power filtered BM25 (``Searcher.search_terms(filters=...)``) and
+    document retrieval (``return_fields``).
+
+    ``table_config``: optional :class:`~search_ingest_ray.schemas.TableConfig`;
+    when given, the full ES-style index mapping is generated from the input
+    Parquet schema and stored in ``index_meta.json`` — the consistency check
+    then uses the order-insensitive ``schemas.equivalent_schema`` (the
+    reference's equivalent_schema?, schemas.cr:88-118) so an equivalent but
+    reordered mapping resumes instead of forcing a rebuild (T6).
     """
     if isinstance(input_paths, str):
         input_paths = sorted(
@@ -515,9 +547,12 @@ def build_index(input_paths, index_root: str, *,
     ed = epoch_dir(index_root, epoch)
     postings_dir = os.path.join(ed, "postings")
     segments_dir = os.path.join(ed, "segments")
+    fields_dir = os.path.join(ed, "fields")
     os.makedirs(postings_dir, exist_ok=True)
     os.makedirs(segments_dir, exist_ok=True)
     manifest_path = os.path.join(ed, "manifest.json")
+
+    store_fields = sorted(store_fields) if store_fields else []
 
     # --- index meta / consistency check (G4/G5 analog) ---------------------
     meta_path = os.path.join(index_root, "index_meta.json")
@@ -526,10 +561,20 @@ def build_index(input_paths, index_root: str, *,
         "text_col": text_col, "id_col": id_col, "id_is_int": id_is_int,
         "k1": k1, "b": b, "format": "v2-termdict-bin",
         "with_positions": with_positions,
+        "store_fields": store_fields,
     }
+    if table_config is not None:
+        # mapping generated from the input Parquet schema + declarative
+        # config — the analog of Schemas#index_mappings (schemas.cr:50-83)
+        from ..schemas import index_schema
+        input_schema = pq.read_schema(input_paths[0])
+        meta["mapping"] = index_schema(input_schema, table_config)
     if os.path.exists(meta_path):
         existing = read_json(meta_path)
-        if existing != meta:
+        # order-insensitive comparison (T6): an equivalent-but-reordered
+        # mapping (e.g. join relations scalar vs single-element array)
+        # resumes; only a REAL spec change forces the rebuild
+        if not equivalent_schema(existing, meta):
             # mapping changed → reindex semantics: epoch data invalid
             # (delete_index + create_index, /root/reference/src/search-ingest/table.cr:61-76)
             log.warning("index meta changed; dropping epoch data for rebuild")
@@ -559,6 +604,8 @@ def build_index(input_paths, index_root: str, *,
         import shutil
         shutil.rmtree(os.path.join(postings_dir, f"chunk={cid}"),
                       ignore_errors=True)
+        shutil.rmtree(os.path.join(fields_dir, f"chunk={cid}"),
+                      ignore_errors=True)
         del manifest["chunks"][cid]
         chunks_changed = True
     for ci, files in enumerate(chunks):
@@ -582,6 +629,19 @@ def build_index(input_paths, index_root: str, *,
         import shutil
         shutil.rmtree(out, ignore_errors=True)  # clear partial output
         ds.write_parquet(out)
+        if store_fields:
+            # docvalues/docstore sidecar: a second column-pruned pass over
+            # ONLY (id + stored fields) — the heavy text/html columns are
+            # never re-read; written per chunk so it shares the resume
+            # lineage with the postings
+            fout = os.path.join(fields_dir, f"chunk={cid}")
+            shutil.rmtree(fout, ignore_errors=True)
+            fds = rd.read_parquet(files, columns=[id_col] + store_fields)
+            fds = fds.map_batches(
+                _fields_batch, batch_format="pyarrow", batch_size=8192,
+                fn_kwargs=dict(id_col=id_col, id_is_int=id_is_int,
+                               store_fields=store_fields))
+            fds.write_parquet(fout)
         # per-chunk token sum: a cheap projected read-back of one int32
         # column, recorded in the lineage so corpus stats need no extra
         # full pass later

@@ -18,15 +18,17 @@ _CACHE_BASE = "/tmp/search_ingest_ray_cache"
 
 def documents_index(sf_dir: str, analyzer: str = "simple",
                     cache_base: str = _CACHE_BASE,
-                    with_positions: bool = False) -> str:
+                    with_positions: bool = False,
+                    store_fields: tuple[str, ...] = ()) -> str:
     """Build (once, cached+resumable) the index for an sf documents table.
 
-    The cache key includes path + analyzer + format + positions; the _BUILT
-    marker bypasses build_index (and its meta consistency check), so any
-    spec change must land in a fresh directory."""
+    The cache key includes path + analyzer + format + positions + stored
+    fields; the _BUILT marker bypasses build_index (and its meta
+    consistency check), so any spec change must land in a fresh directory."""
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    sf_key = ",".join(sorted(store_fields))
     key = hashlib.sha1(
-        f"{doc_path}:{analyzer}:v2-termdict-bin:pos={with_positions}"
+        f"{doc_path}:{analyzer}:v2-termdict-bin:pos={with_positions}:f={sf_key}"
         .encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-{key}")
     marker = os.path.join(root, "_BUILT")
@@ -35,6 +37,7 @@ def documents_index(sf_dir: str, analyzer: str = "simple",
                     id_is_int=True, analyzer=analyzer,
                     num_term_partitions=8, chunk_files=4,
                     with_positions=with_positions,
+                    store_fields=list(store_fields) or None,
                     hot_df_threshold=10**9)  # no salting needed at sf scale
         with open(marker, "w") as f:
             f.write("ok")

@@ -44,9 +44,11 @@ from .bm25 import BM25Params, term_scores
 class Searcher:
     def __init__(self, index_root: str, epoch: int = 0):
         ed = os.path.join(index_root, "epochs", f"e{epoch:04d}")
+        self._epoch_dir = ed
         self.stats = read_json(os.path.join(ed, "stats.json"))
         self.meta = read_json(os.path.join(index_root, "index_meta.json"))
         self.segments_dir = os.path.join(ed, "segments")
+        self._fields = None  # lazy FieldStore (docvalues sidecar)
         self.params = BM25Params(k1=self.stats["k1"], b=self.stats["b"],
                                  n_docs=self.stats["n_docs"],
                                  avgdl=self.stats["avgdl"])
@@ -125,6 +127,14 @@ class Searcher:
         out.update(cached)
         return out
 
+    @property
+    def fields(self):
+        """Docvalues store (built with ``build_index(store_fields=...)``)."""
+        if self._fields is None:
+            from .fields import FieldStore
+            self._fields = FieldStore(self._epoch_dir)
+        return self._fields
+
     # -- scoring -------------------------------------------------------------
 
     @staticmethod
@@ -173,10 +183,20 @@ class Searcher:
         return (np.concatenate(d_parts), np.concatenate(t_parts),
                 np.concatenate(l_parts))
 
-    def search_terms(self, terms: list[str], k: int = 10):
-        """Top-k for an OR (match) query over analyzed terms.
+    def search_terms(self, terms: list[str], k: int = 10,
+                     filters: dict | None = None):
+        """Top-k for an OR (match) query over analyzed terms, optionally
+        restricted to documents matching structured-field ``filters``
+        (see :meth:`FieldStore.mask` for the spec grammar).
 
         Returns (docids int64[], scores float64[]) sorted by (-score, docid).
+
+        Filtered pruning stays EXACT: θ is seeded from the k-th best
+        partial score among FILTERED docs only, so θ lower-bounds the
+        filtered k-th best total; a block pruned by ``ub + rest < θ``
+        cannot contain any doc with total ≥ θ, hence no filtered top-k
+        doc.  Scores use GLOBAL df/avgdl (ES semantics: filters restrict
+        the candidate set, never the statistics).
         """
         # duplicate query terms contribute multiplied scores (Lucene semantics)
         mult: dict[str, int] = {}
@@ -187,6 +207,8 @@ class Searcher:
         rows_by_term = {t: r for t, r in rows_by_term.items() if r}
         if not rows_by_term:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        fstore = self.fields if filters else None
 
         # list maxes are stored float32 (may round down); inflate so they
         # remain sound upper bounds for the pruning arithmetic
@@ -209,6 +231,14 @@ class Searcher:
                     d, tf, dl = self._decode_list(row, prune_rest=rest, theta=theta)
                 if d.size == 0:
                     continue
+                if fstore is not None:
+                    # drop non-matching docs per list: accumulation then only
+                    # ever sees filtered candidates (exactness unaffected —
+                    # a dropped doc could never enter the filtered top-k)
+                    m = fstore.mask(d.astype(np.int64), filters)
+                    if not m.any():
+                        continue
+                    d, tf, dl = d[m], tf[m], dl[m]
                 sc = mult[t] * term_scores(tf, dl, row["df"], p)
                 all_docids.append(d)
                 all_scores.append(sc)
@@ -217,6 +247,8 @@ class Searcher:
                 if seed.size >= k:
                     theta = float(np.partition(seed, -k)[-k])
 
+        if not all_docids:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docids = np.concatenate(all_docids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(docids, return_inverse=True)
@@ -227,9 +259,25 @@ class Searcher:
         top = np.lexsort((uniq, -acc))[:kk]
         return uniq[top].astype(np.int64), acc[top]
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10, filters: dict | None = None):
         """Analyze a free-text query with the index analyzer, then top-k."""
-        return self.search_terms(self.analyze(query), k=k)
+        return self.search_terms(self.analyze(query), k=k, filters=filters)
+
+    def search_docs(self, terms: list[str], k: int = 10,
+                    filters: dict | None = None,
+                    return_fields: list[str] | None = None) -> pa.Table:
+        """Top-k returning a document table — (doc_id, rank, score) plus any
+        ``return_fields`` columns from the docstore sidecar (the analog of
+        ES returning stored documents, not just ids)."""
+        d, sc = self.search_terms(terms, k=k, filters=filters)
+        cols: dict = {
+            "doc_id": pa.array(d, pa.int64()),
+            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32)),
+            "score": pa.array(sc, pa.float64()),
+        }
+        for name, vals in self.fields.get(d, return_fields or []).items():
+            cols[name] = pa.array(vals)
+        return pa.table(cols)
 
     # -- phrase queries (requires an index built with_positions=True) -------
 
@@ -248,7 +296,8 @@ class Searcher:
         bounds = np.concatenate([firsts, [total]])
         return [flat[bounds[i]:bounds[i + 1]] for i in range(len(counts))]
 
-    def match_phrase(self, phrase: str | list[str], k: int = 10):
+    def match_phrase(self, phrase: str | list[str], k: int = 10,
+                     filters: dict | None = None):
         """Exact-phrase top-k: documents containing the analyzed terms at
         consecutive positions, scored by BM25 over the phrase terms.
 
@@ -308,6 +357,9 @@ class Searcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         md = np.array(matched, dtype=np.int64)
         ms = np.array(scores, dtype=np.float64)
+        if filters:
+            m = self.fields.mask(md, filters)
+            md, ms = md[m], ms[m]
         top = np.lexsort((md, -ms))[:k]
         return md[top], ms[top]
 

@@ -1,0 +1,188 @@
+"""Structured-field indexing (docvalues sidecar), filtered BM25, docstore
+retrieval, and T6 wiring (order-insensitive mapping equivalence drives
+resume-vs-rebuild).
+
+Reference parity targets: every column of a managed table is queryable by
+typed exact/range match (/root/reference/src/search-ingest/schemas.cr:211-222,
+spec/schemas_spec.cr:47-89); filters restrict candidates without changing
+scoring statistics (ES filter-context semantics)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_ingest_ray.index.build import build_index
+from search_ingest_ray.query.searcher import Searcher
+from search_ingest_ray.schemas import TableConfig
+from search_ingest_ray.util import read_json, atomic_write_json
+
+TEXTS = [
+    ("d0", "alpha beta gamma", "en", 10),
+    ("d1", "alpha alpha beta", "de", 20),
+    ("d2", "beta gamma delta", "de", 30),
+    ("d3", "alpha delta",      "fr", 40),
+    ("d4", "alpha beta beta",  "en", 50),
+    ("d5", "gamma gamma alpha", "de", 60),
+]
+
+
+@pytest.fixture(scope="module")
+def fields_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fieldsidx")
+    t = pa.table({
+        "url": [r[0] for r in TEXTS],
+        "text": [r[1] for r in TEXTS],
+        "lang": [r[2] for r in TEXTS],
+        "stars": pa.array([r[3] for r in TEXTS], pa.int64()),
+    })
+    pq.write_table(t, str(d / "docs.parquet"))
+    root = str(d / "idx")
+    build_index([str(d / "docs.parquet")], root, analyzer="simple",
+                num_term_partitions=2, store_fields=["lang", "stars"])
+    return root
+
+
+def _brute(terms, flt):
+    """Brute-force filtered BM25 oracle over TEXTS."""
+    from search_ingest_ray.query.bm25 import BM25Params, term_scores
+    from search_ingest_ray.util import doc_id_hash
+    docs = {doc_id_hash(u): (t.split(), lang, stars)
+            for u, t, lang, stars in TEXTS}
+    n = len(docs)
+    avgdl = sum(len(v[0]) for v in docs.values()) / n
+    p = BM25Params(k1=1.2, b=0.75, n_docs=n, avgdl=avgdl)
+    out = []
+    for did, (toks, lang, stars) in docs.items():
+        if not flt(lang, stars):
+            continue
+        s = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            if tf:
+                df = sum(1 for v in docs.values() if term in v[0])
+                s += float(term_scores(np.array([tf]), np.array([len(toks)]),
+                                       df, p)[0])
+        if s > 0:
+            out.append((did, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_filter_equality(fields_index):
+    s = Searcher(fields_index)
+    d, sc = s.search_terms(["alpha", "beta"], k=10, filters={"lang": "de"})
+    expect = _brute(["alpha", "beta"], lambda l, st: l == "de")
+    assert d.tolist() == [x[0] for x in expect]
+    assert np.allclose(sc, [x[1] for x in expect])
+
+
+def test_filter_range_and_in(fields_index):
+    s = Searcher(fields_index)
+    d, _ = s.search_terms(["alpha"], k=10,
+                          filters={"stars": ("range", 20, 50)})
+    expect = _brute(["alpha"], lambda l, st: 20 <= st <= 50)
+    assert d.tolist() == [x[0] for x in expect]
+
+    d2, _ = s.search_terms(["alpha"], k=10,
+                           filters={"lang": ("in", ["en", "fr"])})
+    expect2 = _brute(["alpha"], lambda l, st: l in ("en", "fr"))
+    assert d2.tolist() == [x[0] for x in expect2]
+
+
+def test_filter_combined_and_unfiltered_matches(fields_index):
+    s = Searcher(fields_index)
+    d, _ = s.search_terms(["alpha"], k=10,
+                          filters={"lang": "de", "stars": ("range", None, 25)})
+    expect = _brute(["alpha"], lambda l, st: l == "de" and st <= 25)
+    assert d.tolist() == [x[0] for x in expect]
+    # filters=None path unchanged
+    d0, _ = s.search_terms(["alpha"], k=10)
+    assert d0.tolist() == [x[0] for x in _brute(["alpha"], lambda l, st: True)]
+
+
+def test_small_k_filtered_pruning_exact(fields_index):
+    """k smaller than the match count: θ-seeded pruning must stay exact
+    under filtering."""
+    s = Searcher(fields_index)
+    d, sc = s.search_terms(["alpha", "beta"], k=2, filters={"lang": "de"})
+    expect = _brute(["alpha", "beta"], lambda l, st: l == "de")[:2]
+    assert d.tolist() == [x[0] for x in expect]
+
+
+def test_search_docs_returns_fields(fields_index):
+    s = Searcher(fields_index)
+    t = s.search_docs(["alpha"], k=3, return_fields=["lang", "stars"])
+    assert t.column_names == ["doc_id", "rank", "score", "lang", "stars"]
+    assert t.num_rows == 3
+    from search_ingest_ray.util import doc_id_hash
+    by_id = {doc_id_hash(u): (lang, stars) for u, _, lang, stars in TEXTS}
+    for r in t.to_pylist():
+        assert (r["lang"], r["stars"]) == by_id[r["doc_id"]]
+
+
+def test_phrase_with_filter(ray_session, tmp_path):
+    t = pa.table({
+        "url": ["a", "b"],
+        "text": ["x y z", "x y w"],
+        "lang": ["en", "de"],
+    })
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, with_positions=True,
+                store_fields=["lang"])
+    s = Searcher(root)
+    from search_ingest_ray.util import doc_id_hash
+    d, _ = s.match_phrase("x y", k=10, filters={"lang": "de"})
+    assert set(d.tolist()) == {doc_id_hash("b")}
+
+
+def test_t6_equivalent_mapping_resumes(ray_session, tmp_path):
+    """An order-permuted-but-equivalent stored mapping must NOT force a
+    rebuild (schemas.equivalent_schema drives the consistency check)."""
+    t = pa.table({"url": ["a", "b"], "text": ["p q", "q r"],
+                  "lang": ["en", "en"]})
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    cfg = TableConfig("docs", id_field="url", field_types={"text": "text"})
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, table_config=cfg,
+                store_fields=["lang"])
+    seg = os.path.join(root, "epochs", "e0000", "segments", "tpart=00000",
+                       "segment.parquet")
+    mtime = os.path.getmtime(seg)
+
+    # permute the stored meta into an equivalent form: reorder dict keys
+    meta_path = os.path.join(root, "index_meta.json")
+    meta = read_json(meta_path)
+    props = meta["mapping"]["mappings"]["properties"]
+    meta["mapping"]["mappings"]["properties"] = dict(reversed(list(props.items())))
+    permuted = {k: meta[k] for k in reversed(list(meta))}
+    with open(meta_path, "w") as f:
+        json.dump(permuted, f)
+
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, table_config=cfg,
+                store_fields=["lang"], resume=True)
+    assert os.path.getmtime(seg) == mtime  # untouched → resumed, no rebuild
+
+    # a REAL change (different analyzer) still forces the rebuild
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="standard",
+                num_term_partitions=1, table_config=cfg,
+                store_fields=["lang"], resume=True)
+    assert os.path.getmtime(seg) > mtime
+
+
+def test_duplicate_ids_fieldstore_keeps_one(ray_session, tmp_path):
+    t = pa.table({"url": ["a", "a"], "text": ["p q", "p q r"],
+                  "lang": ["en", "de"]})
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, store_fields=["lang"])
+    s = Searcher(root)
+    assert len(s.fields.docids) == 1
