@@ -206,6 +206,63 @@ def q_replicate_orders(sf_dir: str):
     return replicate(orders, cfg)
 
 
+def _routed_root(sf_dir: str) -> str:
+    """Build (once, cached) the routed parent-child store for orders↔customer."""
+    import hashlib
+    import ray.data as rd
+    from search_ingest_ray.pipelines.routed import build_routed_indexes
+    from search_ingest_ray.schemas import ParentRelation, TableConfig
+    key = hashlib.sha1(f"{sf_dir}:routed-v1".encode()).hexdigest()[:12]
+    root = f"/tmp/search_ingest_ray_cache/routed-{key}"
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice"])
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+        build_routed_indexes({
+            "orders": (orders, TableConfig(
+                "orders", id_field="o_orderkey", doc_type="Order",
+                parents=[ParentRelation("Customer", "customer", "o_custkey")])),
+            "customer": (cust, TableConfig(
+                "customer", id_field="c_custkey", doc_type="Customer")),
+        }, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def q_has_child_orders(sf_dir: str):
+    """has_child query over the routed parent-child store: customers having
+    ≥1 Order child with o_totalprice > 450000 (ES join-field semantics,
+    ref spec/elastic_spec.cr:100-118)."""
+    import pyarrow.compute as pc
+    from search_ingest_ray.pipelines.routed import has_child
+    root = _routed_root(sf_dir)
+    out = has_child(root, "customer", "Order",
+                    child_filter=lambda t: pc.greater(t["o_totalprice"],
+                                                      pa.scalar(450000.0)))
+    return out.map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t["route"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_has_parent_orders(sf_dir: str):
+    """has_parent query: Orders whose parent Customer is in the BUILDING
+    market segment — children resolved through the routed join field."""
+    import pyarrow.compute as pc
+    from search_ingest_ray.pipelines.routed import has_parent
+    root = _routed_root(sf_dir)
+    out = has_parent(root, "customer", "Customer", "Order",
+                     parent_filter=lambda t: pc.equal(
+                         t["c_mktsegment"], pa.scalar("BUILDING")))
+    return out.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+
+
 def q_ann_cosine(sf_dir: str):
     import pyarrow.parquet as pq
     from search_ingest_ray.functions.similarity import knn_cosine
@@ -375,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fold": q_events_fold,
         "events_fold_tombstone": q_events_fold_tombstone,
         "replicate_orders": q_replicate_orders,
+        "has_child_orders": q_has_child_orders,
+        "has_parent_orders": q_has_parent_orders,
         "ann_cosine": q_ann_cosine,
         "quality": q_quality,
         "token_jaccard": q_token_jaccard,
@@ -483,6 +542,13 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
                    'customer', cast(o_custkey AS varchar), 'Order',
                    'Order', cast(o_custkey AS varchar)
             FROM orders""",
+        "has_child_orders": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_totalprice > 450000""",
+        "has_parent_orders": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'""",
         "ann_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0)
