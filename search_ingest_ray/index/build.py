@@ -460,6 +460,35 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
     return pa.table({"files": pa.array([written], pa.int64())})
 
 
+_PENDING_CACHE: dict = {}
+
+
+def _assign_pending_batch(batch: pa.Table, *, num_partitions: int,
+                          hot_salt: int, hot_ref, pending_ref) -> pa.Table:
+    """Map side of the Ray-native exchange: assign (tpart, salt) and keep
+    only rows bound for PENDING partitions (resume prunes the shuffle)."""
+    out = _assign_tpart(batch, num_partitions=num_partitions,
+                        hot_salt=hot_salt, hot_ref=hot_ref)
+    key = pending_ref.hex() if hasattr(pending_ref, "hex") else id(pending_ref)
+    pending = _PENDING_CACHE.get(key)
+    if pending is None:
+        pending = _PENDING_CACHE[key] = ray.get(pending_ref)
+    if len(pending) == num_partitions:
+        return out
+    mask = np.isin(out["tpart"].to_numpy(), pending)
+    return out.filter(pa.array(mask))
+
+
+def _build_group_ray(group: pa.Table, *, segments_dir: str,
+                     params: BM25Params, hot_df: dict) -> pa.Table:
+    """Reduce side of the Ray-native exchange: one map_groups call per term
+    partition (groups arrive as many-chunk zero-copy slices)."""
+    if group.num_rows == 0:
+        return _SUMMARY_SCHEMA.empty_table()
+    return build_segment_group(group, segments_dir=segments_dir,
+                               params=params, hot_df=hot_df)
+
+
 def _build_tpart_from_exchange(batch: pa.Table, *, exchange_dir: str,
                                segments_dir: str, params: BM25Params,
                                hot_df: dict) -> pa.Table:
@@ -515,7 +544,9 @@ def build_index(input_paths, index_root: str, *,
                 batch_size: int = 1024, concurrency: int | None = None,
                 with_positions: bool = False,
                 store_fields: list[str] | None = None,
-                table_config=None) -> dict:
+                table_config=None,
+                shuffle: str | None = None,
+                exchange_dir: str | None = None) -> dict:
     """Build (or resume building) the inverted index for one epoch.
 
     Returns the manifest dict.  ``input_paths``: list of Parquet files or a
@@ -535,7 +566,25 @@ def build_index(input_paths, index_root: str, *,
     then uses the order-insensitive ``schemas.equivalent_schema`` (the
     reference's equivalent_schema?, schemas.cr:88-118) so an equivalent but
     reordered mapping resumes instead of forcing a rebuild (T6).
+
+    ``shuffle``: the stage-2 term-exchange strategy —
+    - ``"fs"`` (default): two-phase filesystem exchange (map tasks spill
+      per-tpart Parquet, reduce tasks read their partition directory).
+      CONTRACT: ``exchange_dir`` must be visible to every worker — on a
+      multi-node cluster point it (or ``$SI_EXCHANGE_DIR``) at shared
+      storage (NFS / fuse-mounted object store); single-node any local
+      path works.  Chosen as default after measurement: partitioned spill
+      + direct reads run at disk speed and give per-partition resume.
+    - ``"ray"``: Ray Data's own sort-based exchange
+      (``groupby(tpart).map_groups``) — no shared-filesystem requirement
+      (blocks move through the object store), correct on node-local disks,
+      measured slower here.  Selected automatically via ``$SI_SHUFFLE``.
+    The chosen mode and the exchange-dir contract are recorded in the
+    manifest.
     """
+    shuffle = shuffle or os.environ.get("SI_SHUFFLE", "fs")
+    if shuffle not in ("fs", "ray"):
+        raise ValueError(f"unknown shuffle mode {shuffle!r}")
     if isinstance(input_paths, str):
         input_paths = sorted(
             os.path.join(input_paths, f) for f in os.listdir(input_paths)
@@ -745,9 +794,18 @@ def build_index(input_paths, index_root: str, *,
     done_tparts = {int(k) for k, v in manifest["segments"].items()
                    if v.get("status") == "done"} if resume else set()
     pending_tparts = [p for p in range(P) if p not in done_tparts]
-    exchange_dir = os.path.join(ed, "exchange")
+    exchange_dir = (exchange_dir or os.environ.get("SI_EXCHANGE_DIR")
+                    or os.path.join(ed, "exchange"))
 
-    if pending_tparts and n_postings:
+    import functools
+    _cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # builders are memory-bandwidth-bound: reserving 2 CPUs per task on
+    # ≥8-CPU clusters halves concurrent builders and measures ~5% faster
+    # than 1-per-core (SI_BUILDER_CPUS overrides)
+    builder_cpus = float(os.environ.get(
+        "SI_BUILDER_CPUS", "2" if _cluster_cpus >= 8 else "1"))
+
+    if pending_tparts and n_postings and shuffle == "fs":
         import shutil as _shutil
         _shutil.rmtree(exchange_dir, ignore_errors=True)
         os.makedirs(exchange_dir, exist_ok=True)
@@ -758,7 +816,6 @@ def build_index(input_paths, index_root: str, *,
                            hot_salt=hot_salt, hot_ref=hot_ref)).take_all()
         del spill_summary
 
-        import functools
         builder = functools.partial(
             _build_tpart_from_exchange, exchange_dir=exchange_dir,
             segments_dir=segments_dir, params=params, hot_df=hot_df)
@@ -766,16 +823,26 @@ def build_index(input_paths, index_root: str, *,
         # would serialize every partition build into one task
         parts_ds = rd.from_items([{"tpart": p} for p in pending_tparts]) \
             .repartition(len(pending_tparts))
-        # builders are memory-bandwidth-bound: reserving 2 CPUs per task on
-        # ≥8-CPU clusters halves concurrent builders and measures ~5% faster
-        # than 1-per-core (SI_BUILDER_CPUS overrides)
-        _cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-        builder_cpus = float(os.environ.get(
-            "SI_BUILDER_CPUS", "2" if _cluster_cpus >= 8 else "1"))
         summaries = parts_ds.map_batches(
             builder, batch_size=1, batch_format="pyarrow",
             num_cpus=builder_cpus).take_all()
         _shutil.rmtree(exchange_dir, ignore_errors=True)
+    elif pending_tparts and n_postings:  # shuffle == "ray"
+        # Ray-native exchange: assign tparts in a map stage, move blocks
+        # through the object store with a sort-based groupby, build each
+        # pending partition in its map_groups call.  No shared-filesystem
+        # assumption — the correct mode for node-local-disk clusters.
+        pending_ref = ray.put(np.array(sorted(pending_tparts), dtype=np.int32))
+        postings = rd.read_parquet(postings_dir)
+        assigned = postings.map_batches(
+            _assign_pending_batch, batch_format="pyarrow",
+            fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt,
+                           hot_ref=hot_ref, pending_ref=pending_ref))
+        builder = functools.partial(_build_group_ray, segments_dir=segments_dir,
+                                    params=params, hot_df=hot_df)
+        summaries = assigned.groupby("tpart").map_groups(
+            builder, batch_format="pyarrow",
+            num_cpus=builder_cpus).take_all()
     else:
         summaries = []
     for s in summaries:
@@ -786,6 +853,14 @@ def build_index(input_paths, index_root: str, *,
         }
 
     _t_build_done = time.monotonic()
+    manifest["exchange"] = {
+        "mode": shuffle,
+        "dir": exchange_dir if shuffle == "fs" else None,
+        "contract": ("exchange dir must be on storage visible to every "
+                     "worker (shared FS / object-store mount) on multi-node "
+                     "clusters" if shuffle == "fs"
+                     else "object-store exchange; no shared storage needed"),
+    }
     manifest["stage_walls"] = {
         "stats_and_hot_s": round(_t_stats_done - _t_stage1_done, 3),
         "shuffle_and_segments_s": round(_t_build_done - _t_stats_done, 3),
