@@ -96,6 +96,20 @@ def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer,
     return em(batch)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file of ``src`` into ``dst`` (same filesystem —
+    both live under index_root); falls back to copy across filesystems."""
+    import shutil
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if os.path.isfile(s) and not os.path.exists(d):
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
                   store_fields: list[str]) -> pa.Table:
     """Docvalues rows: (docid, field...) — docid derived exactly as in
@@ -546,7 +560,9 @@ def build_index(input_paths, index_root: str, *,
                 store_fields: list[str] | None = None,
                 table_config=None,
                 shuffle: str | None = None,
-                exchange_dir: str | None = None) -> dict:
+                exchange_dir: str | None = None,
+                chunk_fingerprints: list[str] | None = None,
+                reuse_from_epoch: int | None = None) -> dict:
     """Build (or resume building) the inverted index for one epoch.
 
     Returns the manifest dict.  ``input_paths``: list of Parquet files or a
@@ -585,12 +601,25 @@ def build_index(input_paths, index_root: str, *,
     shuffle = shuffle or os.environ.get("SI_SHUFFLE", "fs")
     if shuffle not in ("fs", "ray"):
         raise ValueError(f"unknown shuffle mode {shuffle!r}")
+    explicit_chunks: list[list[str]] | None = None
     if isinstance(input_paths, str):
         input_paths = sorted(
             os.path.join(input_paths, f) for f in os.listdir(input_paths)
             if f.endswith(".parquet"))
+    elif input_paths and isinstance(input_paths[0], (list, tuple)):
+        # explicit-chunk mode (incremental epochs): each element is one
+        # chunk's file list; position = chunk id (stable across epochs —
+        # empty chunks hold their slot).  ``chunk_fingerprints`` (aligned)
+        # gives each chunk an epoch-independent content identity: a chunk
+        # whose fingerprint matches the previous epoch's record re-links
+        # that epoch's postings instead of re-tokenizing (O(delta) stage 1).
+        explicit_chunks = [sorted(c) for c in input_paths]
+        input_paths = [f for c in explicit_chunks for f in c]
+        if chunk_fingerprints is not None and \
+                len(chunk_fingerprints) != len(explicit_chunks):
+            raise ValueError("chunk_fingerprints must align with chunks")
     input_paths = sorted(input_paths)
-    if not input_paths:
+    if not input_paths and explicit_chunks is None:
         raise ValueError("no input files")
 
     ed = epoch_dir(index_root, epoch)
@@ -612,7 +641,7 @@ def build_index(input_paths, index_root: str, *,
         "with_positions": with_positions,
         "store_fields": store_fields,
     }
-    if table_config is not None:
+    if table_config is not None and input_paths:
         # mapping generated from the input Parquet schema + declarative
         # config — the analog of Schemas#index_mappings (schemas.cr:50-83)
         from ..schemas import index_schema
@@ -639,9 +668,19 @@ def build_index(input_paths, index_root: str, *,
     }
 
     # --- stage 1: resumable per-chunk tokenize ------------------------------
-    chunks = [input_paths[i:i + chunk_files]
-              for i in range(0, len(input_paths), chunk_files)]
+    if explicit_chunks is not None:
+        chunks = explicit_chunks
+    else:
+        chunks = [input_paths[i:i + chunk_files]
+                  for i in range(0, len(input_paths), chunk_files)]
     read_cols = [id_col] + ([html_col] if html_col else [text_col])
+    reuse_manifest = None
+    reuse_dir = None
+    if reuse_from_epoch is not None:
+        reuse_dir = epoch_dir(index_root, reuse_from_epoch)
+        rm_path = os.path.join(reuse_dir, "manifest.json")
+        if os.path.exists(rm_path):
+            reuse_manifest = read_json(rm_path)
     # lineage invalidation: any chunk (re)built or dropped this run makes
     # every completed segment stale (its postings / global stats no longer
     # match), so stage 2 must rebuild from scratch — otherwise a resumed
@@ -659,10 +698,38 @@ def build_index(input_paths, index_root: str, *,
         chunks_changed = True
     for ci, files in enumerate(chunks):
         cid = f"{ci:05d}"
+        fp = chunk_fingerprints[ci] if chunk_fingerprints else None
         rec = manifest["chunks"].get(cid)
-        if rec and rec.get("status") == "done" and rec.get("files") == files:
+        if rec and rec.get("status") == "done" and (
+                rec.get("fingerprint") == fp if fp is not None
+                else rec.get("files") == files):
             continue
+        if fp is not None and reuse_manifest is not None:
+            prev = reuse_manifest["chunks"].get(cid)
+            if prev and prev.get("status") == "done" \
+                    and prev.get("fingerprint") == fp:
+                # identical bucket content in the previous epoch: hard-link
+                # its postings (and fields) instead of re-tokenizing —
+                # the O(delta) incremental-epoch path (ref sync touches only
+                # changed docs, table.cr:25-46)
+                psrc = os.path.join(reuse_dir, "postings", f"chunk={cid}")
+                if os.path.isdir(psrc):  # empty buckets have no postings dir
+                    _link_tree(psrc, os.path.join(postings_dir, f"chunk={cid}"))
+                fsrc = os.path.join(reuse_dir, "fields", f"chunk={cid}")
+                if os.path.isdir(fsrc):
+                    _link_tree(fsrc, os.path.join(fields_dir, f"chunk={cid}"))
+                manifest["chunks"][cid] = {**prev, "files": files,
+                                           "reused_from_epoch": reuse_from_epoch}
+                atomic_write_json(manifest_path, manifest)
+                chunks_changed = True
+                continue
         chunks_changed = True
+        if not files:  # empty bucket holds its chunk slot
+            manifest["chunks"][cid] = {"files": [], "rows": 0, "tokens": 0,
+                                       "status": "done", "fingerprint": fp,
+                                       "wall_s": 0.0}
+            atomic_write_json(manifest_path, manifest)
+            continue
         t0 = time.monotonic()
         n_rows = sum(pq.read_metadata(f).num_rows for f in files)
         ds = rd.read_parquet(files, columns=read_cols)
@@ -701,7 +768,8 @@ def build_index(input_paths, index_root: str, *,
             ray_stats = ""
         manifest["chunks"][cid] = {
             "files": files, "rows": int(n_rows), "tokens": chunk_tokens,
-            "status": "done", "wall_s": round(time.monotonic() - t0, 3),
+            "status": "done", "fingerprint": fp,
+            "wall_s": round(time.monotonic() - t0, 3),
             "ray_stats": ray_stats,
         }
         atomic_write_json(manifest_path, manifest)

@@ -146,5 +146,6 @@ def apply_epoch(base_ds, delta_ds, id_col: str, epoch_col: str = "epoch",
         return batch
 
     base = base_ds.map_batches(tag_base, batch_format="pyarrow")
-    merged = base.union(delta_ds)
+    cols = base.schema().names
+    merged = base.union(delta_ds.select_columns(cols))
     return fold_last_write_wins(merged, id_col, [epoch_col], action_col)
