@@ -81,6 +81,38 @@ def decode_varint(buf, count: int | None = None) -> np.ndarray:
     return out
 
 
+def encode_positions(plists: list[np.ndarray]) -> bytes:
+    """Encode per-posting position lists as one varint stream of
+    within-posting deltas (first position absolute per posting) — the same
+    layout the segment builder writes (build.py stage 2)."""
+    if not plists:
+        return b""
+    counts = np.array([len(p) for p in plists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
+    firsts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[firsts] = flat[firsts]
+    return encode_varint(deltas.astype(np.uint64))
+
+
+def decode_positions(blob, tfs: np.ndarray) -> list[np.ndarray]:
+    """Decode a position stream into one array per posting (counts are the
+    term frequencies)."""
+    counts = np.asarray(tfs, dtype=np.int64)
+    total = int(counts.sum())
+    deltas = decode_varint(blob, count=total)
+    firsts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    c = np.cumsum(deltas.astype(np.int64))
+    base = np.where(firsts > 0, c[firsts - 1], 0)
+    flat = c - np.repeat(base, counts)
+    bounds = np.concatenate([firsts, [total]])
+    return [flat[bounds[i]:bounds[i + 1]] for i in range(len(counts))]
+
+
 def encode_postings(docids: np.ndarray, tfs: np.ndarray,
                     dls: np.ndarray | None = None,
                     scores: np.ndarray | None = None):

@@ -13,10 +13,22 @@ Because BM25 scores depend on global stats, per-posting scores and block
 maxes are RECOMPUTED from the stored (tf, dl) streams with the merged
 (N, avgdl, df) — the merged index scores exactly as if built in one shot.
 
-Current scope: inputs must share analyzer/meta and ``num_term_partitions``
-and have no salted (hot) terms — hot-term layouts place a term's sub-lists
-in input-specific partitions; merging those requires a cross-partition
-gather, planned for the segmented-epoch work."""
+Salted (hot-term) inputs ARE supported: a hot term's sub-lists live in up
+to S partitions of their input (build.py E12); the merger working on the
+term's HOME partition gathers every (term, salt) sub-list across partitions
+(a cross-partition gather over the actor's cached handles) and writes one
+unsalted merged list.  Rows whose hot term homes elsewhere are skipped by
+the scanning partition, so every sub-list is consumed exactly once.
+Limitation (documented): the merged output is unsalted — re-salting merged
+hot terms is the follow-up if merged hot lists grow past one partition's
+budget.
+
+Positional inputs are also carried through: the 4th (position) stream is
+decoded per posting, reordered with the docid merge, and re-encoded, so
+phrase queries work on merged indexes.
+
+Inputs must share analyzer/meta and ``num_term_partitions``.
+"""
 
 from __future__ import annotations
 
@@ -28,31 +40,49 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from ..codec import decode_postings, encode_postings
+from ..codec import (decode_positions, decode_postings, encode_positions,
+                     encode_postings)
 from ..query.bm25 import BM25Params, term_scores
-from ..util import atomic_write_json, read_json
+from ..util import atomic_write_json, read_json, term_partition
 from .build import epoch_dir
 
 
-def _load_part(root: str, epoch: int, tpart: int):
-    d = os.path.join(epoch_dir(root, epoch), "segments", f"tpart={tpart:05d}")
-    mp = os.path.join(d, "segment.parquet")
-    if not os.path.exists(mp):
-        return None
-    tbl = pq.read_table(mp)
-    data = np.memmap(os.path.join(d, "postings.bin"), dtype=np.uint8, mode="r")
-    return tbl, data
-
-
 class SegmentMerger:
-    """Actor: merge one term partition across all input indexes."""
+    """Actor: merge term partitions across all input indexes.
+
+    Partition handles (term dict Table + postings mmap) are cached per
+    actor — the hot-term gather re-visits partitions, and an actor serves
+    many tparts over its lifetime."""
 
     def __init__(self, roots: list[str], epochs: list[int], out_dir: str,
-                 params: BM25Params):
+                 params: BM25Params, num_partitions: int,
+                 hot_terms: list[dict], hot_salts: list[int],
+                 with_positions: bool = False):
         self.roots = roots
         self.epochs = epochs
         self.out_dir = out_dir
         self.params = params
+        self.P = num_partitions
+        self.hot = [set(h) for h in hot_terms]
+        self.hot_salts = hot_salts
+        self.with_positions = with_positions
+        self._cache: dict[tuple[int, int], tuple | None] = {}
+
+    def _part(self, i: int, tpart: int):
+        key = (i, tpart)
+        if key in self._cache:
+            return self._cache[key]
+        d = os.path.join(epoch_dir(self.roots[i], self.epochs[i]),
+                         "segments", f"tpart={tpart:05d}")
+        mp = os.path.join(d, "segment.parquet")
+        ent = None
+        if os.path.exists(mp):
+            tbl = pq.read_table(mp)
+            data = np.memmap(os.path.join(d, "postings.bin"),
+                             dtype=np.uint8, mode="r")
+            ent = (tbl, data)
+        self._cache[key] = ent
+        return ent
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -64,47 +94,85 @@ class SegmentMerger:
             "n_postings": pa.array([r[2] for r in out_rows], pa.int64()),
         })
 
-    def _merge_one(self, tpart: int):
-        inputs = [p for p in (_load_part(r, e, tpart)
-                              for r, e in zip(self.roots, self.epochs))
-                  if p is not None]
-        lists: dict[str, list] = {}
-        for tbl, data in inputs:
-            terms = tbl["term"].to_pylist()
-            for i, t in enumerate(terms):
-                r = tbl.slice(i, 1).to_pylist()[0]
-                if r["salt"] != 0:
-                    raise NotImplementedError(
-                        "merging salted (hot-term) layouts needs a "
-                        "cross-partition gather; build sub-indexes with "
-                        "salting disabled before merging")
-                d, tf, dl = decode_postings(
-                    bytes(data[r["doc_off"]:r["doc_off"] + r["doc_len"]]),
-                    bytes(data[r["tf_off"]:r["tf_off"] + r["tf_len"]]),
-                    r["n"],
-                    bytes(data[r["dl_off"]:r["dl_off"] + r["dl_len"]]))
-                lists.setdefault(t, []).append((d, tf, dl))
+    def _decode_row(self, tbl: pa.Table, data, i: int):
+        r = tbl.to_pylist()[0] if tbl.num_rows == 1 else None
+        assert r is not None
+        d, tf, dl = decode_postings(
+            bytes(data[r["doc_off"]:r["doc_off"] + r["doc_len"]]),
+            bytes(data[r["tf_off"]:r["tf_off"] + r["tf_len"]]),
+            r["n"],
+            bytes(data[r["dl_off"]:r["dl_off"] + r["dl_len"]]))
+        plists = None
+        if self.with_positions:
+            pos = bytes(data[r["pos_off"]:r["pos_off"] + r["pos_len"]])
+            plists = decode_positions(pos, tf)
+        return d, tf, dl, plists
 
+    def _gather_lists(self, tpart: int) -> dict[str, list]:
+        """All (term → [(docids, tfs, dls, plists), ...]) whose merged home
+        is ``tpart``, across inputs, hot sub-lists gathered cross-partition."""
+        lists: dict[str, list] = {}
+        for i in range(len(self.roots)):
+            ent = self._part(i, tpart)
+            hot_i = self.hot[i]
+            if ent is not None:
+                tbl, data = ent
+                terms = tbl["term"].to_pylist()
+                for j, t in enumerate(terms):
+                    if t in hot_i:
+                        continue  # gathered below by the home partition
+                    lists.setdefault(t, []).append(
+                        self._decode_row(tbl.slice(j, 1), data, i))
+            # hot terms homing here: gather their salted sub-lists
+            for t in sorted(hot_i):
+                if term_partition(t, self.P) != tpart:
+                    continue
+                for s in range(self.hot_salts[i]):
+                    p = term_partition(t, self.P, salt=s)
+                    ent_s = self._part(i, p)
+                    if ent_s is None:
+                        continue
+                    tbl_s, data_s = ent_s
+                    import pyarrow.compute as pc
+                    m = pc.and_(pc.equal(tbl_s["term"], pa.scalar(t)),
+                                pc.equal(tbl_s["salt"], pa.scalar(s, pa.int32())))
+                    idxs = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+                    for j in idxs:
+                        lists.setdefault(t, []).append(
+                            self._decode_row(tbl_s.slice(int(j), 1), data_s, i))
+        return lists
+
+    def _merge_one(self, tpart: int):
+        lists = self._gather_lists(tpart)
         p = self.params
+        wp = self.with_positions
         rows = {k: [] for k in ("term", "salt", "df", "n", "max_score",
                                  "doc_off", "doc_len", "tf_off", "tf_len",
                                  "dl_off", "dl_len", "skip_last",
                                  "skip_doc_off", "skip_tf_off", "skip_dl_off",
-                                 "skip_max")}
-        doc_stream, tf_stream, dl_stream = [], [], []
-        doc_pos = tf_pos = dl_pos = 0
+                                 "skip_max", "pos_off", "pos_len")}
+        doc_stream, tf_stream, dl_stream, pos_stream = [], [], [], []
+        doc_pos = tf_pos = dl_pos = pos_pos = 0
         n_postings = 0
         for term in sorted(lists):
             parts = lists[term]
             d = np.concatenate([x[0] for x in parts])
             tf = np.concatenate([x[1] for x in parts])
             dl = np.concatenate([x[2] for x in parts])
+            pl = None
+            if wp:
+                pl = np.empty(len(d), dtype=object)
+                pl[:] = [arr for x in parts for arr in x[3]]
             order = np.argsort(d, kind="mergesort")
             d, tf, dl = d[order], tf[order], dl[order]
+            if wp:
+                pl = pl[order]
             # disjoint corpora expected; duplicate docids keep the last input
             if d.size > 1:
                 keep = np.concatenate([d[1:] != d[:-1], [True]])
                 d, tf, dl = d[keep], tf[keep], dl[keep]
+                if wp:
+                    pl = pl[keep]
             df = int(d.size)
             scores = term_scores(tf, dl, df, p)
             enc = encode_postings(d, tf, dls=dl,
@@ -131,13 +199,21 @@ class SegmentMerger:
             doc_pos += len(enc["doc_blob"])
             tf_pos += len(enc["tf_blob"])
             dl_pos += len(enc["dl_blob"])
+            if wp:
+                pblob = encode_positions(list(pl))
+                rows["pos_off"].append(pos_pos)
+                rows["pos_len"].append(len(pblob))
+                pos_stream.append(pblob)
+                pos_pos += len(pblob)
             n_postings += df
 
         doc_all = b"".join(doc_stream)
         tf_all = b"".join(tf_stream)
         dl_all = b"".join(dl_stream)
+        pos_all = b"".join(pos_stream)
         tf_base = len(doc_all)
         dl_base = tf_base + len(tf_all)
+        pos_base = dl_base + len(dl_all)
         seg = pa.table({
             "term": pa.array(rows["term"], pa.string()),
             "salt": pa.array(rows["salt"], pa.int32()),
@@ -156,6 +232,13 @@ class SegmentMerger:
             "skip_dl_off": pa.array([np.asarray(x) for x in rows["skip_dl_off"]], pa.list_(pa.int32())),
             "skip_max": pa.array([np.asarray(x) for x in rows["skip_max"]], pa.list_(pa.float32())),
         })
+        if wp:
+            seg = (seg.append_column(
+                       "pos_off",
+                       pa.array([x + pos_base for x in rows["pos_off"]],
+                                pa.int64()))
+                      .append_column("pos_len",
+                                     pa.array(rows["pos_len"], pa.int64())))
         d_out = os.path.join(self.out_dir, f"tpart={tpart:05d}")
         os.makedirs(d_out, exist_ok=True)
         btmp = os.path.join(d_out, "postings.bin.tmp")
@@ -163,6 +246,8 @@ class SegmentMerger:
             f.write(doc_all)
             f.write(tf_all)
             f.write(dl_all)
+            if wp:
+                f.write(pos_all)
         os.replace(btmp, os.path.join(d_out, "postings.bin"))
         stmp = os.path.join(d_out, "segment.parquet.tmp")
         pq.write_table(seg, stmp)
@@ -182,15 +267,7 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
     P = statss[0]["num_term_partitions"]
     if any(s["num_term_partitions"] != P for s in statss):
         raise ValueError("cannot merge indexes with different partition counts")
-    if any(s["hot_terms"] for s in statss):
-        raise NotImplementedError("merge requires salting-disabled inputs")
-    if metas[0].get("with_positions"):
-        # the merger re-encodes only the doc/tf/dl streams; silently dropping
-        # the positional stream while keeping with_positions=true in the
-        # copied meta would break phrase queries with a misleading error
-        raise NotImplementedError(
-            "merging positional indexes is not supported yet; build "
-            "sub-indexes with with_positions=False before merging")
+    with_positions = bool(metas[0].get("with_positions"))
 
     n_docs = sum(s["n_docs"] for s in statss)
     total_tokens = sum(s["total_tokens"] for s in statss)
@@ -206,8 +283,34 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
     summary = parts.map_batches(
         SegmentMerger, batch_format="pyarrow", batch_size=1,
         concurrency=concurrency, num_cpus=1,
-        fn_constructor_kwargs=dict(roots=roots, epochs=epochs,
-                                   out_dir=seg_dir, params=params)).take_all()
+        fn_constructor_kwargs=dict(
+            roots=roots, epochs=epochs, out_dir=seg_dir, params=params,
+            num_partitions=P,
+            hot_terms=[s.get("hot_terms", {}) for s in statss],
+            hot_salts=[int(s.get("hot_salt", 1)) for s in statss],
+            with_positions=with_positions)).take_all()
+
+    # merged docvalues/docstore sidecar: hard-link every input's field
+    # chunks (disjoint docids → concatenation is the merged store)
+    fields_out = os.path.join(ed, "fields")
+    for i, (r, e) in enumerate(zip(roots, epochs)):
+        src = os.path.join(epoch_dir(r, e), "fields")
+        if not os.path.isdir(src):
+            continue
+        for rdir, _, fs in os.walk(src):
+            rel = os.path.relpath(rdir, src)
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                dd = os.path.join(fields_out, f"input={i}", rel)
+                os.makedirs(dd, exist_ok=True)
+                dst = os.path.join(dd, f)
+                if not os.path.exists(dst):
+                    try:
+                        os.link(os.path.join(rdir, f), dst)
+                    except OSError:
+                        import shutil
+                        shutil.copy2(os.path.join(rdir, f), dst)
 
     stats = dict(statss[0])
     stats.update({"n_docs": n_docs, "total_tokens": total_tokens,

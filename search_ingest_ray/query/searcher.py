@@ -285,16 +285,8 @@ class Searcher:
     def _decode_positions(row: dict, tfs: np.ndarray) -> list[np.ndarray]:
         """Decode the position stream into one array per posting (counts are
         the term frequencies)."""
-        from ..codec import decode_varint
-        total = int(tfs.sum())
-        deltas = decode_varint(row["pos_blob"], count=total)
-        counts = tfs.astype(np.int64)
-        firsts = np.concatenate([[0], np.cumsum(counts[:-1])])
-        c = np.cumsum(deltas.astype(np.int64))
-        base = np.where(firsts > 0, c[firsts - 1], 0)
-        flat = c - np.repeat(base, counts)
-        bounds = np.concatenate([firsts, [total]])
-        return [flat[bounds[i]:bounds[i + 1]] for i in range(len(counts))]
+        from ..codec import decode_positions
+        return decode_positions(row["pos_blob"], tfs)
 
     def match_phrase(self, phrase: str | list[str], k: int = 10,
                      filters: dict | None = None):

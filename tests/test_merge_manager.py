@@ -54,6 +54,70 @@ def test_merge_equals_single_shot(ray_session, tmp_path):
     assert checked >= 5
 
 
+def test_merge_salted_inputs_equals_single_shot(ray_session, tmp_path):
+    """Hot-term (salted) inputs: the merger's cross-partition gather must
+    reassemble each hot term's sub-lists into one score-exact list."""
+    a = generate_pages(150, seed=7, start=0)
+    b = generate_pages(150, seed=7, start=150)
+    # low threshold: common terms go hot and get salted in the sub-indexes
+    kw = dict(html_col="html", chunk_files=4, num_term_partitions=4,
+              hot_df_threshold=60, hot_salt=2)
+    root_a, root_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    build_index(_write(str(tmp_path / "da"), a), root_a, **kw)
+    build_index(_write(str(tmp_path / "db"), b), root_b, **kw)
+    from search_ingest_ray.util import read_json
+    import os as _os
+    sa = read_json(_os.path.join(root_a, "epochs/e0000/stats.json"))
+    assert sa["hot_terms"], "fixture must actually produce salted terms"
+
+    # reference: single-shot UNSALTED build over the union (the merged
+    # output is unsalted by design)
+    full_dir = str(tmp_path / "full")
+    os.makedirs(full_dir)
+    pq.write_table(a, os.path.join(full_dir, "a.parquet"))
+    pq.write_table(b, os.path.join(full_dir, "b.parquet"))
+    root_full = str(tmp_path / "ifull")
+    build_index(full_dir, root_full, html_col="html", chunk_files=4,
+                num_term_partitions=4, hot_df_threshold=10**9)
+
+    root_m = str(tmp_path / "im")
+    m = merge_indexes([root_a, root_b], root_m, concurrency=2)
+    assert m["stats"]["n_postings"] > 0
+
+    s_full, s_m = Searcher(root_full), Searcher(root_m)
+    hot_term = sorted(sa["hot_terms"])[0]
+    queries = [[hot_term]] + list(query_set(seed=3, n=10))
+    checked = 0
+    for terms in queries:
+        d1, sc1 = s_full.search_terms(terms, k=10)
+        d2, sc2 = s_m.search_terms(terms, k=10)
+        assert np.array_equal(d1, d2), terms
+        assert np.allclose(sc1, sc2, rtol=1e-9), terms
+        checked += bool(len(d1))
+    assert checked >= 5
+
+
+def test_merge_positional_inputs_phrase_works(ray_session, tmp_path):
+    import pyarrow as pa
+    from search_ingest_ray.util import doc_id_hash
+    t1 = pa.table({"url": ["a1", "a2"],
+                   "text": ["alpha beta gamma", "gamma beta"]})
+    t2 = pa.table({"url": ["b1", "b2"],
+                   "text": ["alpha beta delta", "beta alpha"]})
+    kw = dict(analyzer="simple", num_term_partitions=2,
+              hot_df_threshold=10**9, with_positions=True)
+    r1, r2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    build_index(_write(str(tmp_path / "d1"), t1), r1, **kw)
+    build_index(_write(str(tmp_path / "d2"), t2), r2, **kw)
+    root_m = str(tmp_path / "pm")
+    merge_indexes([r1, r2], root_m, concurrency=2)
+    s = Searcher(root_m)
+    d, _ = s.match_phrase("alpha beta", k=10)
+    assert set(d.tolist()) == {doc_id_hash("a1"), doc_id_hash("b1")}
+    d2_, _ = s.match_phrase("beta alpha", k=10)
+    assert set(d2_.tolist()) == {doc_id_hash("b2")}
+
+
 def test_merge_rejects_mismatched_config(ray_session, tmp_path):
     a = generate_pages(50, seed=6)
     da = _write(str(tmp_path / "d"), a)
