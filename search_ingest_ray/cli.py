@@ -54,6 +54,17 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-lived query daemon on stdin/stdout (api.cr always-on analog):
+    one warmed Searcher for the process lifetime, JSONL request protocol
+    (see serve.py).  No Ray session needed — serving is mmap + numpy."""
+    from .serve import serve_loop
+    served = serve_loop(args.index_root, sys.stdin, sys.stdout,
+                        epoch=args.epoch)
+    print(json.dumps({"served": served}), file=sys.stderr)
+    return 0
+
+
 def cmd_status(args) -> int:
     """Health/status — the analog of GET / and GET /ready (api.cr:59-90)."""
     from .util import read_json
@@ -110,6 +121,11 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--epoch", type=int, default=0)
     q.set_defaults(fn=cmd_query)
+
+    sv = sub.add_parser("serve", help="long-lived JSONL query daemon")
+    sv.add_argument("index_root")
+    sv.add_argument("--epoch", type=int, default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("status", help="index health/progress")
     st.add_argument("index_root")

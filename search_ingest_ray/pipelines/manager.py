@@ -101,3 +101,28 @@ class TableManager:
 
     def load_success(self) -> bool:
         return self.load_state == "complete"
+
+    # -- health / heal (G10: failed→healed auto-backfill, api.cr:74-115) -----
+
+    def health(self) -> dict[str, dict]:
+        """Per-table health: does a committed epoch manifest exist?"""
+        out = {}
+        for name in self.tables:
+            mp = os.path.join(self.index_root(name), "epochs", "e0000",
+                              "manifest.json")
+            ok = os.path.exists(mp) and read_json(mp).get("status") == "done"
+            out[name] = {"healthy": bool(ok)}
+        return out
+
+    def heal(self, epoch: int = 0) -> list[str]:
+        """Backfill ONLY the unhealthy tables (the reference's healthcheck
+        re-creates missing/failed indices then backfills them,
+        api.cr:74-115).  Returns the healed table names."""
+        sick = [n for n, h in self.health().items() if not h["healthy"]]
+        if not sick:
+            return []
+        sub = TableManager(self.index_base,
+                           [self.tables[n] for n in sick],
+                           max_concurrent=self.max_concurrent)
+        sub.backfill_all(epoch=epoch)
+        return sick

@@ -1,0 +1,86 @@
+"""Serve daemon (always-on service analog, api.cr:25-90) + heal (G10)."""
+
+import io
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_ingest_ray.index.build import build_index
+from search_ingest_ray.pipelines.manager import ManagedTable, TableManager
+from search_ingest_ray.serve import serve_loop
+from search_ingest_ray.util import doc_id_hash
+
+
+def _mk_index(tmp_path, with_fields=True):
+    t = pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["alpha beta gamma", "alpha beta", "gamma delta"],
+        "lang": ["en", "de", "en"],
+    })
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=2, with_positions=True,
+                store_fields=["lang"] if with_fields else None)
+    return root
+
+
+def _run(root, requests):
+    ins = io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n")
+    outs = io.StringIO()
+    served = serve_loop(root, ins, outs)
+    return served, [json.loads(x) for x in outs.getvalue().splitlines()]
+
+
+def test_serve_query_phrase_status_quit(ray_session, tmp_path):
+    root = _mk_index(tmp_path)
+    served, resps = _run(root, [
+        {"op": "query", "id": 1, "query": "alpha", "k": 10},
+        {"op": "query", "id": 2, "query": "alpha",
+         "filters": {"lang": "de"}},
+        {"op": "phrase", "id": 3, "phrase": "alpha beta"},
+        {"op": "query", "id": 4, "query": "beta", "fields": ["lang"]},
+        {"op": "status", "id": 5},
+        {"op": "quit"},
+        {"op": "query", "id": 99, "query": "never served"},
+    ])
+    assert served == 5  # quit stops the loop before id=99
+    by_id = {r["id"]: r for r in resps}
+    assert {h["doc_id"] for h in by_id[1]["hits"]} == \
+        {doc_id_hash("a"), doc_id_hash("b")}
+    assert {h["doc_id"] for h in by_id[2]["hits"]} == {doc_id_hash("b")}
+    assert {h["doc_id"] for h in by_id[3]["hits"]} == \
+        {doc_id_hash("a"), doc_id_hash("b")}
+    assert all("lang" in h for h in by_id[4]["hits"])
+    assert by_id[5]["n_docs"] == 3 and by_id[5]["n_queries"] == 4
+
+
+def test_serve_bad_requests_keep_daemon_alive(ray_session, tmp_path):
+    root = _mk_index(tmp_path)
+    ins = io.StringIO('not json\n{"op":"nope","id":1}\n'
+                      '{"op":"query","id":2,"query":"alpha"}\n')
+    outs = io.StringIO()
+    serve_loop(root, ins, outs)
+    resps = [json.loads(x) for x in outs.getvalue().splitlines()]
+    assert resps[0]["ok"] is False
+    assert resps[1]["ok"] is False
+    assert resps[2]["ok"] is True and resps[2]["hits"]
+
+
+def test_heal_backfills_only_sick_tables(ray_session, tmp_path, corpus_dir):
+    kw = dict(html_col="html", chunk_files=4, num_term_partitions=2)
+    mgr = TableManager(str(tmp_path / "base"), [
+        ManagedTable("t1", corpus_dir, kw),
+        ManagedTable("t2", corpus_dir, kw),
+    ], max_concurrent=2)
+    mgr.backfill_all()
+    assert mgr.heal() == []  # all healthy → no-op
+    # break t2: drop its manifest
+    import shutil
+    shutil.rmtree(os.path.join(mgr.index_root("t2"), "epochs"))
+    assert mgr.health()["t2"]["healthy"] is False
+    healed = mgr.heal()
+    assert healed == ["t2"]
+    assert mgr.health()["t2"]["healthy"] is True
