@@ -118,11 +118,26 @@ def bench_query(index_root: str, ncpu: int) -> dict:
                           batch_size=16, concurrency=pool, num_cpus=1)
     n_out = out.count()
     wall = time.monotonic() - t0
+
+    # serve-daemon throughput: the long-lived daemon with a warmed Ray
+    # actor pool (api.cr always-on analog); steady-state — startup/warm
+    # excluded, one untimed warm pass first
+    import io
+    from search_ingest_ray.serve import ServePool
+    reqs = "\n".join(
+        json.dumps({"op": "query", "id": i, "query": q, "k": 10})
+        for i, q in enumerate(qtexts)) + "\n"
+    sp = ServePool(index_root, actors=pool)
+    sp.run(io.StringIO(reqs), io.StringIO())  # warm pass
+    t0 = time.monotonic()
+    served = sp.run(io.StringIO(reqs), io.StringIO())
+    serve_wall = time.monotonic() - t0
     return {
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
         "qps": round(len(qtexts) / wall, 1),
         "query_wall_sec": round(wall, 3),
+        "serve_qps": round(served / serve_wall, 1),
         "result_rows": int(n_out),
     }
 
@@ -132,9 +147,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
     import __ray_entry__ as e
     times = {}
     for name in ["doc_count_by_lang", "token_count", "term_df", "top_terms",
-                 "bm25_topk", "dedup_exact", "events_fold",
-                 "replicate_orders", "ann_cosine", "quality",
-                 "minhash_pairs", "simhash"]:
+                 "bm25_topk", "bm25_filtered", "bm25_topk_docs",
+                 "dedup_exact", "events_fold",
+                 "replicate_orders", "has_child_orders", "has_parent_orders",
+                 "ann_cosine", "quality",
+                 "minhash_pairs", "simhash", "fingerprint"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

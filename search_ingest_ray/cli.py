@@ -56,13 +56,20 @@ def cmd_query(args) -> int:
 
 def cmd_serve(args) -> int:
     """Long-lived query daemon on stdin/stdout (api.cr always-on analog):
-    one warmed Searcher for the process lifetime, JSONL request protocol
-    (see serve.py).  No Ray session needed — serving is mmap + numpy."""
-    from .serve import serve_loop
-    served = serve_loop(args.index_root, sys.stdin, sys.stdout,
-                        epoch=args.epoch)
-    print(json.dumps({"served": served}), file=sys.stderr)
-    return 0
+    warmed Searcher(s) for the process lifetime, JSONL request protocol
+    (see serve.py).  Default inline mode needs no Ray session (mmap +
+    numpy); ``--actors N`` serves through a Ray actor pool (throughput)."""
+    from .serve import ServePool
+    ray = _ray_session() if args.actors else None
+    try:
+        sp = ServePool(args.index_root, epoch=args.epoch, pool=args.pool,
+                       actors=args.actors)
+        served = sp.run(sys.stdin, sys.stdout)
+        print(json.dumps({"served": served}), file=sys.stderr)
+        return 0
+    finally:
+        if ray is not None:
+            ray.shutdown()
 
 
 def cmd_status(args) -> int:
@@ -125,6 +132,10 @@ def main(argv=None) -> int:
     sv = sub.add_parser("serve", help="long-lived JSONL query daemon")
     sv.add_argument("index_root")
     sv.add_argument("--epoch", type=int, default=None)
+    sv.add_argument("--pool", type=int, default=1,
+                    help="searcher thread-pool size (>1: concurrent scoring)")
+    sv.add_argument("--actors", type=int, default=0,
+                    help="Ray actor-pool size (throughput serving mode)")
     sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("status", help="index health/progress")

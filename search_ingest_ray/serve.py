@@ -100,26 +100,140 @@ class ServeSession:
             return {"id": rid, "ok": False, "error": repr(e)[:500]}
 
 
-def serve_loop(index_root: str, in_stream, out_stream,
-               epoch: int | None = None, warm: bool = True) -> int:
-    """Blocking request loop; returns the number of requests served."""
-    sess = ServeSession(index_root, epoch=epoch, warm=warm)
-    served = 0
-    for line in in_stream:
+_ACTOR_CLS = None
+
+
+def _serve_actor_cls():
+    global _ACTOR_CLS
+    if _ACTOR_CLS is None:
+        import ray
+
+        class _ServeActor:
+            def __init__(self, index_root: str, epoch, warm: bool):
+                self.sess = ServeSession(index_root, epoch=epoch, warm=warm)
+
+            def ping(self) -> bool:
+                return True
+
+            def handle_line(self, line: str):
+                line = line.strip()
+                if not line:
+                    return ""
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    return json.dumps({"ok": False, "error": f"bad json: {e}"})
+                if req.get("op") == "quit":
+                    return None
+                return json.dumps(self.sess.handle(req))
+
+        _ACTOR_CLS = ray.remote(num_cpus=1)(_ServeActor)
+    return _ACTOR_CLS
+
+
+class ServePool:
+    """Daemon state: warmed sessions constructed at STARTUP (warm cost
+    never lands on the first requests), reusable across request streams —
+    the daemon analog of the reference's pooled ES clients
+    (elastic.cr:62-93).
+
+    - ``pool=1`` (default): serve inline, one warmed Searcher.
+    - ``pool>1``: a thread pool of sessions; modest gains only (per-query
+      Python dominates small-index queries, GIL-bound).
+    - ``actors>0``: the throughput path — N Ray actors each holding a
+      warmed Searcher; requests round-robin across actors with pipelined
+      dispatch, responses stay in request order.  Requires a Ray session.
+    """
+
+    def __init__(self, index_root: str, epoch: int | None = None,
+                 warm: bool = True, pool: int = 1, actors: int = 0):
+        import queue as _queue
+        self._actors = []
+        self.pool = max(1, pool)
+        if actors:
+            import ray
+            cls = _serve_actor_cls()
+            self._actors = [cls.remote(index_root, epoch, warm)
+                            for _ in range(actors)]
+            ray.get([a.ping.remote() for a in self._actors])  # warm barrier
+            return
+        self._free: _queue.SimpleQueue = _queue.SimpleQueue()
+        for _ in range(self.pool):
+            self._free.put(ServeSession(index_root, epoch=epoch, warm=warm))
+
+    def _one(self, line: str):
         line = line.strip()
         if not line:
-            continue
+            return ""
         try:
             req = json.loads(line)
         except json.JSONDecodeError as e:
-            out_stream.write(json.dumps({"ok": False,
-                                         "error": f"bad json: {e}"}) + "\n")
-            out_stream.flush()
-            continue
-        resp = sess.handle(req)
-        if resp is None:  # quit
-            break
-        out_stream.write(json.dumps(resp) + "\n")
-        out_stream.flush()
-        served += 1
-    return served
+            return json.dumps({"ok": False, "error": f"bad json: {e}"})
+        if req.get("op") == "quit":
+            return None
+        s = self._free.get()
+        try:
+            resp = s.handle(req)
+        finally:
+            self._free.put(s)
+        return json.dumps(resp)
+
+    def run(self, in_stream, out_stream) -> int:
+        served = 0
+        if self._actors:
+            import itertools
+            import ray
+            n = len(self._actors)
+            lines = iter(in_stream)
+            stop = False
+            while not stop:
+                chunk = list(itertools.islice(lines, 16 * n))
+                if not chunk:
+                    break
+                futs = [self._actors[i % n].handle_line.remote(line)
+                        for i, line in enumerate(chunk)]
+                for out in ray.get(futs):
+                    if out is None:
+                        stop = True
+                        break
+                    if out:
+                        out_stream.write(out + "\n")
+                        served += 1
+                out_stream.flush()
+            return served
+        if self.pool == 1:
+            for line in in_stream:
+                out = self._one(line)
+                if out is None:
+                    break
+                if out:
+                    out_stream.write(out + "\n")
+                    out_stream.flush()
+                    served += 1
+            return served
+        import itertools
+        from concurrent.futures import ThreadPoolExecutor
+        stop = False
+        with ThreadPoolExecutor(max_workers=self.pool) as ex:
+            lines = iter(in_stream)
+            while not stop:
+                chunk = list(itertools.islice(lines, 4 * self.pool))
+                if not chunk:
+                    break
+                for out in ex.map(self._one, chunk):
+                    if out is None:
+                        stop = True
+                        break
+                    if out:
+                        out_stream.write(out + "\n")
+                        served += 1
+                out_stream.flush()
+        return served
+
+
+def serve_loop(index_root: str, in_stream, out_stream,
+               epoch: int | None = None, warm: bool = True,
+               pool: int = 1) -> int:
+    """Blocking request loop; returns the number of requests served."""
+    return ServePool(index_root, epoch=epoch, warm=warm,
+                     pool=pool).run(in_stream, out_stream)

@@ -69,6 +69,42 @@ def test_serve_bad_requests_keep_daemon_alive(ray_session, tmp_path):
     assert resps[2]["ok"] is True and resps[2]["hits"]
 
 
+def test_serve_pooled_matches_single(ray_session, tmp_path):
+    root = _mk_index(tmp_path)
+    reqs = [{"op": "query", "id": i, "query": q}
+            for i, q in enumerate(["alpha", "beta", "gamma", "delta"] * 5)]
+    payload = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    outs1, outs4 = io.StringIO(), io.StringIO()
+    n1 = serve_loop(root, io.StringIO(payload), outs1, pool=1)
+    n4 = serve_loop(root, io.StringIO(payload), outs4, pool=4)
+    assert n1 == n4 == len(reqs)
+    r1 = [json.loads(x) for x in outs1.getvalue().splitlines()]
+    r4 = [json.loads(x) for x in outs4.getvalue().splitlines()]
+    # same responses in the same (request) order
+    assert [x["id"] for x in r4] == [x["id"] for x in r1]
+    assert [x["hits"] for x in r4] == [x["hits"] for x in r1]
+
+
+def test_serve_actor_pool_matches_single(ray_session, tmp_path):
+    from search_ingest_ray.serve import ServePool
+    root = _mk_index(tmp_path)
+    reqs = [{"op": "query", "id": i, "query": q}
+            for i, q in enumerate(["alpha", "beta", "gamma"] * 4)]
+    payload = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    outs1, outsA = io.StringIO(), io.StringIO()
+    serve_loop(root, io.StringIO(payload), outs1)
+    sp = ServePool(root, actors=2)
+    nA = sp.run(io.StringIO(payload), outsA)
+    assert nA == len(reqs)
+    r1 = [json.loads(x) for x in outs1.getvalue().splitlines()]
+    rA = [json.loads(x) for x in outsA.getvalue().splitlines()]
+    assert [x["id"] for x in rA] == [x["id"] for x in r1]
+    assert [x["hits"] for x in rA] == [x["hits"] for x in r1]
+    # pool is reusable across streams (long-lived daemon)
+    outsB = io.StringIO()
+    assert sp.run(io.StringIO(payload), outsB) == len(reqs)
+
+
 def test_heal_backfills_only_sick_tables(ray_session, tmp_path, corpus_dir):
     kw = dict(html_col="html", chunk_files=4, num_term_partitions=2)
     mgr = TableManager(str(tmp_path / "base"), [
