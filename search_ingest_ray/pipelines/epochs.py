@@ -9,13 +9,27 @@ HASH-BUCKETED layout (``snapshots/eNNNN/__bucket=B/``).  Applying a delta:
 2. fold ONLY the touched buckets (previous bucket rows ∪ delta rows,
    last-write-wins + tombstones, vectorized partitioned fold) and write
    them, hard-linking every untouched bucket's files from the previous
-   snapshot (content-identical, zero IO);
-3. build the epoch's index with one chunk per bucket and an
-   epoch-independent chunk fingerprint ``b<bucket>:v<version>`` — unchanged
-   buckets RE-LINK the previous epoch's postings instead of re-tokenizing,
-   so stage-1 work is O(delta).  Stage 2 (term exchange + segments) rebuilds
-   from the full postings set, which keeps global stats, df and block-max
-   bounds exact — query results are identical to a from-scratch build.
+   snapshot (content-identical, zero IO).
+
+Two index-maintenance modes per epoch:
+
+- ``mode="full"`` (snapshot rebuild, default): build the epoch's index
+  over the whole snapshot with one chunk per bucket and an
+  epoch-independent chunk fingerprint ``b<bucket>:v<version>`` — unchanged
+  buckets RE-LINK the previous epoch's postings instead of re-tokenizing,
+  so stage 1 is O(delta); stage 2 (exchange + segments) rebuilds from the
+  full postings, keeping stored block-max bounds exact.
+- ``mode="delta"`` (Lucene-style delta segments): the epoch indexes ONLY
+  the delta's surviving docs and records a DEAD-docid set (old versions of
+  updated/deleted docs) plus exact cumulative stats (N, total tokens —
+  the old versions' token counts are recomputed by tokenizing just those
+  O(delta) rows from the previous snapshot).  Queries go through
+  :class:`~search_ingest_ray.query.multi.MultiEpochSearcher`, which
+  suppresses dead docids and scores with the exact CURRENT global stats —
+  results are identical to a full rebuild.  Per-epoch cost is O(delta)
+  end-to-end; stored block maxes of older epochs are stale under the new
+  stats, so the multi-searcher decodes query-term lists fully (pruning
+  returns after compaction = a ``mode="full"`` epoch).
 
 Properties preserved from the reference:
 
@@ -34,11 +48,13 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
-from ..index.build import build_index
-from ..stages.fold import apply_epoch
+from ..index.build import build_index, epoch_dir
+from ..stages.fold import apply_epoch, fold_last_write_wins
 from ..util import atomic_write_json, read_json, stable_partition_column
 
 _BUCKET_COL = "__bucket"
@@ -78,17 +94,11 @@ def _link_file(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
-def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
-                      id_col: str = "url", text_col: str = "text",
-                      html_col: str | None = None, id_is_int: bool = False,
-                      analyzer: str = "standard",
-                      base_paths=None, num_buckets: int = 16,
-                      **build_kwargs) -> dict:
-    """Fold a delta onto the previous snapshot and build the epoch's index.
-
-    ``base_paths``: input for epoch 0 (the backfill); later epochs read the
-    previous bucketed snapshot.  Returns the epoch build manifest.
-    """
+def _update_snapshot(index_root: str, delta_paths, epoch: int, *,
+                     id_col: str, num_buckets: int,
+                     base_paths=None) -> tuple[str, dict]:
+    """Maintain the bucketed snapshot for ``epoch`` (idempotent via the
+    _SNAPSHOT_DONE marker).  Returns (snapshot dir, bucket versions)."""
     sd = snapshot_dir(index_root, epoch)
     done_marker = os.path.join(sd, "_SNAPSHOT_DONE")
     meta_path = os.path.join(index_root, "snapshot_meta.json")
@@ -143,7 +153,6 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
                     if _BUCKET_COL in base.schema().names else base
                 folded = apply_epoch(base, delta, id_col)
             else:
-                from ..stages.fold import fold_last_write_wins
                 folded = fold_last_write_wins(delta, id_col, ["epoch"],
                                               action_col="action")
             drop = [c for c in ("epoch", "action") if c in folded.schema().names]
@@ -158,7 +167,53 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
         with open(done_marker, "w") as f:
             f.write("ok")
 
-    versions = meta["epochs"][str(epoch)]
+    meta = read_json(meta_path)
+    return sd, meta["epochs"][str(epoch)]
+
+
+def _record_chain(index_root: str, epoch: int, mode: str) -> None:
+    chain_path = os.path.join(index_root, "epochs.json")
+    chain = read_json(chain_path) if os.path.exists(chain_path) else \
+        {"epochs": [], "modes": {}}
+    chain.setdefault("modes", {})
+    if epoch not in chain["epochs"]:
+        chain["epochs"].append(epoch)
+        chain["epochs"].sort()
+    chain["modes"][str(epoch)] = mode
+    chain["latest"] = max(chain["epochs"])
+    atomic_write_json(chain_path, chain)
+
+
+def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
+                      id_col: str = "url", text_col: str = "text",
+                      html_col: str | None = None, id_is_int: bool = False,
+                      analyzer: str = "standard",
+                      base_paths=None, num_buckets: int = 16,
+                      mode: str = "full", **build_kwargs) -> dict:
+    """Fold a delta onto the previous snapshot and build the epoch's index.
+
+    ``base_paths``: input for epoch 0 (the backfill); later epochs read the
+    previous bucketed snapshot.  ``mode``: "full" (snapshot rebuild,
+    O(delta) tokenize + full stage 2) or "delta" (delta segments + dead-set
+    suppression, O(delta) end-to-end — query via MultiEpochSearcher).
+    Returns the epoch build manifest.
+    """
+    if mode not in ("full", "delta"):
+        raise ValueError(f"unknown epoch mode {mode!r}")
+    if mode == "delta" and (epoch == 0 or base_paths is not None):
+        mode = "full"  # a backfill is by definition a full build
+
+    if mode == "delta":
+        return _apply_delta_segments(
+            index_root, delta_paths, epoch, id_col=id_col, text_col=text_col,
+            html_col=html_col, id_is_int=id_is_int, analyzer=analyzer,
+            num_buckets=num_buckets, **build_kwargs)
+
+    sd, versions = _update_snapshot(index_root, delta_paths, epoch,
+                                    id_col=id_col, num_buckets=num_buckets,
+                                    base_paths=base_paths)
+    meta = read_json(os.path.join(index_root, "snapshot_meta.json"))
+    num_buckets = int(meta["num_buckets"])
     chunks = [_bucket_files(sd, b) for b in range(num_buckets)]
     fps = [f"b{b}:v{versions[str(b)]}" for b in range(num_buckets)]
     build_kwargs.pop("chunk_files", None)  # chunking is per bucket here
@@ -168,14 +223,148 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
         chunk_fingerprints=fps,
         reuse_from_epoch=epoch - 1 if epoch > 0 else None,
         **build_kwargs)
-    # record the epoch chain
-    chain_path = os.path.join(index_root, "epochs.json")
-    chain = read_json(chain_path) if os.path.exists(chain_path) else {"epochs": []}
-    if epoch not in chain["epochs"]:
-        chain["epochs"].append(epoch)
-        chain["epochs"].sort()
-    chain["latest"] = max(chain["epochs"])
-    atomic_write_json(chain_path, chain)
+    _record_chain(index_root, epoch, "full")
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# delta-segment mode
+
+
+def _delta_ids(delta_ds, id_col: str):
+    """Distinct delta ids: per-batch partial distinct, final set on the
+    driver (a delta is O(changed docs) by definition)."""
+    def distinct(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        return pa.table({id_col: pc.unique(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)})
+    parts = delta_ds.map_batches(distinct, batch_format="pyarrow").take_all()
+    return sorted({r[id_col] for r in parts})
+
+
+def _old_version_stats(prev_files, delta_ids, *, id_col, text_col, html_col,
+                       analyzer, id_is_int):
+    """Tokenize ONLY the previous versions of changed docs (O(delta)):
+    returns (dead_docids sorted int64, n_old, sum_dl_old)."""
+    from ..stages.analyze import DoclenEmitter, extract_batch
+    if not prev_files:
+        return np.empty(0, dtype=np.int64), 0, 0
+    ids_arr = pa.array(delta_ids)
+    ids_ref = ray.put(ids_arr)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
+
+    ds = rd.read_parquet(prev_files).map_batches(pick, batch_format="pyarrow")
+    if html_col:
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    emitter = DoclenEmitter(text_col, id_col, id_is_int, analyzer)
+    rows = ds.map_batches(emitter, batch_format="pyarrow").take_all()
+    docids = np.array(sorted(int(r["docid"]) for r in rows), dtype=np.int64)
+    sum_dl = int(sum(int(r["dl"]) for r in rows))
+    return docids, len(rows), sum_dl
+
+
+def _prev_cum_stats(index_root: str, epoch: int) -> dict:
+    """Exact cumulative (n_docs, total_tokens) after ``epoch``."""
+    ed = epoch_dir(index_root, epoch)
+    cp = os.path.join(ed, "cum_stats.json")
+    if os.path.exists(cp):
+        return read_json(cp)
+    st = read_json(os.path.join(ed, "stats.json"))
+    return {"n_docs": st["n_docs"], "total_tokens": st["total_tokens"],
+            "k1": st["k1"], "b": st["b"]}
+
+
+def _apply_delta_segments(index_root: str, delta_paths, epoch: int, *,
+                          id_col, text_col, html_col, id_is_int, analyzer,
+                          num_buckets, **build_kwargs) -> dict:
+    ed = epoch_dir(index_root, epoch)
+    os.makedirs(ed, exist_ok=True)
+    prev_sd = snapshot_dir(index_root, epoch - 1)
+
+    # delta artifacts (idempotent via their own marker): dead set + old-dl
+    # sums computed BEFORE the snapshot advances
+    dmeta_path = os.path.join(ed, "delta_meta.json")
+    dead_path = os.path.join(ed, "dead_docids.npy")
+    if not os.path.exists(dmeta_path):
+        delta = rd.read_parquet(delta_paths)
+        ids = _delta_ids(delta, id_col)
+        meta_path = os.path.join(index_root, "snapshot_meta.json")
+        nb = int(read_json(meta_path)["num_buckets"]) \
+            if os.path.exists(meta_path) else num_buckets
+        touched = set(stable_partition_column(pa.array(ids), nb).tolist())
+        prev_files = [f for b in sorted(touched)
+                      for f in _bucket_files(prev_sd, b)]
+        dead, n_old, sum_dl_old = _old_version_stats(
+            prev_files, ids, id_col=id_col, text_col=text_col,
+            html_col=html_col, analyzer=analyzer, id_is_int=id_is_int)
+        np.save(dead_path, dead)
+        atomic_write_json(dmeta_path, {
+            "mode": "delta", "n_changed_ids": len(ids),
+            "n_old": int(n_old), "sum_dl_old": int(sum_dl_old),
+        })
+
+    # advance the bucketed snapshot (compaction fallback + next-delta base)
+    _update_snapshot(index_root, delta_paths, epoch,
+                     id_col=id_col, num_buckets=num_buckets)
+
+    # surviving delta docs → the epoch's own small index
+    live_dir = os.path.join(ed, "delta_docs")
+    live_marker = os.path.join(live_dir, "_DONE")
+    if not os.path.exists(live_marker):
+        import shutil
+        shutil.rmtree(live_dir, ignore_errors=True)
+        os.makedirs(live_dir, exist_ok=True)
+        delta = rd.read_parquet(delta_paths)
+        live = fold_last_write_wins(delta, id_col, ["epoch"],
+                                    action_col="action")
+        drop = [c for c in ("epoch", "action") if c in live.schema().names]
+        if drop:
+            live = live.drop_columns(drop)
+        live.write_parquet(live_dir)
+        with open(live_marker, "w") as f:
+            f.write("ok")
+    live_files = sorted(os.path.join(live_dir, f)
+                        for f in os.listdir(live_dir)
+                        if f.endswith(".parquet"))
+
+    build_kwargs.pop("chunk_files", None)
+    if live_files:
+        manifest = build_index(live_files, index_root, epoch=epoch,
+                               id_col=id_col, text_col=text_col,
+                               html_col=html_col, id_is_int=id_is_int,
+                               analyzer=analyzer, chunk_files=8,
+                               **build_kwargs)
+        ep_stats = manifest["stats"]
+    else:  # delete-only delta: no new docs, only suppression
+        st_path = os.path.join(ed, "stats.json")
+        k1 = build_kwargs.get("k1", 1.2)
+        b = build_kwargs.get("b", 0.75)
+        stub = {"n_docs": 0, "n_postings": 0, "total_tokens": 0,
+                "avgdl": 1.0, "k1": k1, "b": b, "analyzer": analyzer,
+                "num_term_partitions": 1, "hot_salt": 1,
+                "hot_df_threshold": 0, "hot_terms": {}}
+        atomic_write_json(st_path, stub)
+        manifest = {"epoch": epoch, "status": "done", "chunks": {},
+                    "segments": {}, "stats": stub}
+        atomic_write_json(os.path.join(ed, "manifest.json"), manifest)
+        ep_stats = stub
+
+    # exact cumulative stats: prev − old versions + new versions
+    dmeta = read_json(dmeta_path)
+    prev = _prev_cum_stats(index_root, epoch - 1)
+    cum = {
+        "n_docs": int(prev["n_docs"]) - dmeta["n_old"] + int(ep_stats["n_docs"]),
+        "total_tokens": (int(prev["total_tokens"]) - dmeta["sum_dl_old"]
+                         + int(ep_stats["total_tokens"])),
+        "k1": ep_stats["k1"], "b": ep_stats["b"],
+    }
+    cum["avgdl"] = (cum["total_tokens"] / cum["n_docs"]) if cum["n_docs"] \
+        else 1.0
+    atomic_write_json(os.path.join(ed, "cum_stats.json"), cum)
+
+    _record_chain(index_root, epoch, "delta")
     return manifest
 
 
@@ -184,3 +373,18 @@ def latest_epoch(index_root: str) -> int:
     if os.path.exists(chain_path):
         return int(read_json(chain_path)["latest"])
     return 0
+
+
+def epoch_chain(index_root: str) -> list[tuple[int, str]]:
+    """Ordered (epoch, mode) pairs starting at the LAST full epoch — the
+    set a multi-epoch query must consult."""
+    chain_path = os.path.join(index_root, "epochs.json")
+    if not os.path.exists(chain_path):
+        return [(0, "full")]
+    chain = read_json(chain_path)
+    modes = chain.get("modes", {})
+    epochs = sorted(chain["epochs"])
+    out = [(e, modes.get(str(e), "full")) for e in epochs]
+    last_full = max((i for i, (_, m) in enumerate(out) if m == "full"),
+                    default=0)
+    return out[last_full:]

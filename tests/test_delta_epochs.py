@@ -1,0 +1,160 @@
+"""Delta-segment epochs (mode="delta") + MultiEpochSearcher: per-epoch cost
+is O(delta) (only delta docs tokenized/indexed; old versions of changed
+docs tokenized for exact stats) and query results are rank- AND
+score-identical to a from-scratch rebuild of the final snapshot."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_ingest_ray.index.build import build_index
+from search_ingest_ray.pipelines.epochs import apply_delta_epoch, epoch_chain, snapshot_dir
+from search_ingest_ray.query.multi import MultiEpochSearcher
+from search_ingest_ray.query.searcher import Searcher
+from search_ingest_ray.util import doc_id_hash
+
+N = 80
+KW = dict(id_col="url", analyzer="simple", num_term_partitions=2,
+          num_buckets=8, hot_df_threshold=10**9)
+
+
+@pytest.fixture(scope="module")
+def base_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("deltabase")
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(6, 20)))
+             for _ in range(N)]
+    pq.write_table(pa.table({
+        "url": [f"u{i}" for i in range(N)],
+        "text": texts,
+    }), str(d / "base.parquet"))
+    return str(d)
+
+
+def _delta(tmp_path, name, rows):
+    dd = str(tmp_path / name)
+    os.makedirs(dd, exist_ok=True)
+    urls, texts, epochs_, actions = zip(*rows)
+    pq.write_table(pa.table({
+        "url": list(urls), "text": list(texts),
+        "epoch": pa.array(list(epochs_), pa.int64()),
+        "action": list(actions),
+    }), os.path.join(dd, "d.parquet"))
+    return [os.path.join(dd, "d.parquet")]
+
+
+def _reference_searcher(root, tmp_path, tag):
+    """Full rebuild over the FINAL snapshot — the exactness oracle."""
+    latest = max(e for e, _ in epoch_chain(root))
+    snap_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(snapshot_dir(root, latest))
+        for f in fs if f.endswith(".parquet"))
+    fresh = str(tmp_path / f"fresh_{tag}")
+    build_index(snap_files, fresh, id_col="url", analyzer="simple",
+                num_term_partitions=2, hot_df_threshold=10**9)
+    return Searcher(fresh)
+
+
+def test_delta_chain_matches_full_rebuild(ray_session, base_dir, tmp_path):
+    root = str(tmp_path / "idx")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    # epoch 1: update u3 + u8, delete u5, create u100/u101
+    apply_delta_epoch(root, _delta(tmp_path, "d1", [
+        ("u3", "fresh alpha w1", 1, "updated"),
+        ("u8", "fresh beta w2 w2", 1, "updated"),
+        ("u5", "", 1, "deleted"),
+        ("u100", "fresh gamma w1 w3", 1, "created"),
+        ("u101", "w4 w4 w4", 1, "created"),
+    ]), 1, mode="delta", **KW)
+    # epoch 2: update the epoch-1-created u100, delete the updated u3,
+    # update an untouched base doc u0
+    apply_delta_epoch(root, _delta(tmp_path, "d2", [
+        ("u100", "fresh delta w5", 2, "updated"),
+        ("u3", "", 2, "deleted"),
+        ("u0", "fresh epsilon w6", 2, "updated"),
+    ]), 2, mode="delta", **KW)
+
+    chain = epoch_chain(root)
+    assert [m for _, m in chain] == ["full", "delta", "delta"]
+
+    ms = MultiEpochSearcher(root)
+    ref = _reference_searcher(root, tmp_path, "a")
+    assert ms.stats["n_docs"] == ref.stats["n_docs"]
+    assert abs(ms.params.avgdl - ref.params.avgdl) < 1e-9
+
+    for q in (["fresh"], ["w1"], ["w2", "w3"], ["alpha"], ["epsilon"],
+              ["w4"], ["w5", "w6", "fresh"], ["w10", "w11"]):
+        d1, sc1 = ms.search_terms(q, k=30)
+        d2, sc2 = ref.search_terms(q, k=30)
+        assert d1.tolist() == d2.tolist(), q
+        assert np.allclose(sc1, sc2), q
+
+    # semantic spot-checks
+    d, _ = ms.search_terms(["epsilon"], k=5)
+    assert set(d.tolist()) == {doc_id_hash("u0")}
+    d, _ = ms.search_terms(["delta"], k=5)
+    assert set(d.tolist()) == {doc_id_hash("u100")}
+    d, _ = ms.search_terms(["alpha"], k=50)
+    assert doc_id_hash("u3") not in set(d.tolist())  # deleted in e2
+
+
+def test_delete_only_delta(ray_session, base_dir, tmp_path):
+    root = str(tmp_path / "idx2")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    apply_delta_epoch(root, _delta(tmp_path, "d1", [
+        ("u1", "", 1, "deleted"),
+        ("u2", "", 1, "deleted"),
+    ]), 1, mode="delta", **KW)
+    ms = MultiEpochSearcher(root)
+    ref = _reference_searcher(root, tmp_path, "b")
+    assert ms.stats["n_docs"] == ref.stats["n_docs"] == N - 2
+    for q in (["w1"], ["w2", "w3"]):
+        d1, sc1 = ms.search_terms(q, k=30)
+        d2, sc2 = ref.search_terms(q, k=30)
+        assert d1.tolist() == d2.tolist()
+        assert np.allclose(sc1, sc2)
+
+
+def test_delta_epoch_cost_is_o_delta(ray_session, base_dir, tmp_path):
+    """The delta epoch's own index holds ONLY the delta docs (manifest
+    proves no full re-tokenize / full exchange happened)."""
+    root = str(tmp_path / "idx3")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    m = apply_delta_epoch(root, _delta(tmp_path, "d1", [
+        ("u3", "tiny update", 1, "updated"),
+    ]), 1, mode="delta", **KW)
+    assert m["stats"]["n_docs"] == 1  # only the delta doc was indexed
+    rows = sum(c["rows"] for c in m["chunks"].values())
+    assert rows == 1
+
+
+def test_compaction_restores_single_epoch(ray_session, base_dir, tmp_path):
+    """A mode='full' epoch after deltas collapses the chain (compaction)."""
+    root = str(tmp_path / "idx4")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    apply_delta_epoch(root, _delta(tmp_path, "d1", [
+        ("u7", "compacted zeta", 1, "updated"),
+    ]), 1, mode="delta", **KW)
+    apply_delta_epoch(root, _delta(tmp_path, "d2", [
+        ("u9", "compacted eta", 2, "updated"),
+    ]), 2, mode="full", **KW)
+    chain = epoch_chain(root)
+    assert chain == [(2, "full")]
+    ms = MultiEpochSearcher(root)
+    d, _ = ms.search_terms(["zeta"], k=5)
+    assert set(d.tolist()) == {doc_id_hash("u7")}
+    d, _ = ms.search_terms(["eta"], k=5)
+    assert set(d.tolist()) == {doc_id_hash("u9")}
