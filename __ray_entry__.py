@@ -300,6 +300,20 @@ def q_phrase_match(sf_dir: str):
     return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
 
 
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop(sf_dir: str):
+    """Sloppy phrase (ordered, total gap ≤ slop) via the positional index;
+    the SQL oracle is a bounded-gap regex over the space-separated tokens."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d, _ = s.match_phrase(list(PHRASE_TERMS), k=10**9, slop=PHRASE_SLOP)
+    return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
+
+
 def q_token_jaccard(sf_dir: str):
     """Token-set Jaccard of every doc vs doc_id 0 (n-gram Jaccard dedup
     operator at n=1, SQL-oracled; word-shingle variants are rows-only)."""
@@ -438,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "token_jaccard": q_token_jaccard,
         "phrase_match": q_phrase_match,
+        "phrase_slop": q_phrase_slop,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -562,6 +577,10 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
         "phrase_match": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || lower(text) || ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'""",
+        "phrase_slop": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || lower(text) || ' ',
+                ' {PHRASE_TERMS[0]}( [a-z0-9]+){{0,{PHRASE_SLOP}}} {PHRASE_TERMS[1]} ')""",
         "token_jaccard": f"""
             WITH dt AS (
               SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -289,9 +289,16 @@ class Searcher:
         return decode_positions(row["pos_blob"], tfs)
 
     def match_phrase(self, phrase: str | list[str], k: int = 10,
-                     filters: dict | None = None):
-        """Exact-phrase top-k: documents containing the analyzed terms at
-        consecutive positions, scored by BM25 over the phrase terms.
+                     filters: dict | None = None, slop: int = 0):
+        """Phrase top-k: documents containing the analyzed terms in order,
+        scored by BM25 over the phrase terms.
+
+        ``slop``: maximum total number of gap positions allowed between
+        consecutive phrase terms (ordered sloppy match — there must exist
+        strictly increasing positions p_1 < … < p_n, one per phrase term,
+        with Σ(p_{i+1} − p_i − 1) ≤ slop).  ``slop=0`` is the exact
+        consecutive phrase.  Matching uses a vectorized prefix-min gap DP
+        per candidate doc: G_i(q) = q − 1 + min_{p<q}(G_{i−1}(p) − p).
 
         Requires positions in the index (``build_index(with_positions=True)``).
         Returns (docids, scores) sorted by (-score, docid)."""
@@ -334,14 +341,23 @@ class Searcher:
         ent_by_term = dict(zip(dict.fromkeys(terms), per_term))
         matched, scores = [], []
         for doc in cand.tolist():
-            # cur tracks the positions where the phrase-so-far ENDS
-            cur = ent_by_term[terms[0]]["pos"][doc]
+            # gap DP: cur = candidate end positions of the phrase-so-far,
+            # g = minimal accumulated gap for each; positions are sorted
+            cur = np.asarray(ent_by_term[terms[0]]["pos"][doc], dtype=np.int64)
+            g = np.zeros(cur.size, dtype=np.int64)
             for t in terms[1:]:
-                nxt = ent_by_term[t]["pos"][doc]
-                cur = cur[np.isin(cur + 1, nxt)] + 1
+                nxt = np.asarray(ent_by_term[t]["pos"][doc], dtype=np.int64)
                 if cur.size == 0:
                     break
-            else:
+                # G(q) = q - 1 + min_{p in cur, p < q} (g(p) - p)
+                pref = np.minimum.accumulate(g - cur)
+                idx = np.searchsorted(cur, nxt, side="left") - 1
+                valid = idx >= 0
+                G = np.where(valid, nxt - 1 + pref[np.maximum(idx, 0)],
+                             np.iinfo(np.int64).max)
+                keep = valid & (G <= slop)
+                cur, g = nxt[keep], G[keep]
+            if cur.size:
                 matched.append(doc)
                 scores.append(sum(ent_by_term[t]["scores"][doc]
                                   for t in dict.fromkeys(terms)))

@@ -90,8 +90,9 @@ class ServeSession:
                 return {"id": rid, "ok": True, "hits": hits}
             if op == "phrase":
                 self.n_queries += 1
-                d, sc = self.searcher.match_phrase(req["phrase"], k=k,
-                                                   filters=filters)
+                d, sc = self.searcher.match_phrase(
+                    req["phrase"], k=k, filters=filters,
+                    slop=int(req.get("slop", 0)))
                 hits = [{"doc_id": int(x), "rank": i + 1, "score": float(s)}
                         for i, (x, s) in enumerate(zip(d, sc))]
                 return {"id": rid, "ok": True, "hits": hits}

@@ -76,6 +76,45 @@ def test_term_queries_still_exact_with_positions(pos_index):
     assert len(sc) == len(d)
 
 
+def _oracle_slop(phrase: str, slop: int) -> set:
+    """Brute force: exists strictly increasing positions, one per term in
+    order, with total gap ≤ slop."""
+    import itertools
+    words = phrase.split()
+    out = set()
+    for i, txt in enumerate(TEXTS):
+        toks = txt.split()
+        pos = [[j for j, w in enumerate(toks) if w == t] for t in words]
+        if any(not p for p in pos):
+            continue
+        for combo in itertools.product(*pos):
+            if all(combo[a + 1] > combo[a] for a in range(len(combo) - 1)) \
+                    and sum(combo[a + 1] - combo[a] - 1
+                            for a in range(len(combo) - 1)) <= slop:
+                out.add(doc_id_hash(f"d{i}"))
+                break
+    return out
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("alpha gamma", 1), ("alpha gamma", 0), ("beta delta", 2),
+    ("alpha beta gamma", 1), ("delta alpha", 1), ("beta alpha gamma", 3),
+    ("alpha alpha", 2),
+])
+def test_sloppy_phrase_matches_oracle(pos_index, phrase, slop):
+    s = Searcher(pos_index)
+    d, _ = s.match_phrase(phrase, k=10, slop=slop)
+    assert set(d.tolist()) == _oracle_slop(phrase, slop), (phrase, slop)
+
+
+def test_slop_zero_equals_exact(pos_index):
+    s = Searcher(pos_index)
+    for phrase in ("alpha beta", "beta gamma", "alpha beta gamma"):
+        d0, _ = s.match_phrase(phrase, k=10)
+        d1, _ = s.match_phrase(phrase, k=10, slop=0)
+        assert d0.tolist() == d1.tolist()
+
+
 def test_phrase_requires_positions(ray_session, tmp_path):
     t = pa.table({"url": ["x"], "text": ["a b c"]})
     pq.write_table(t, str(tmp_path / "d.parquet"))
