@@ -113,9 +113,52 @@ def tokenize_simple(text: str) -> list[str]:
     return _ASCII_WORD_RE.findall(text.lower())
 
 
+def tokenize_standard_positions(text: str) -> tuple[list[str], list[int]]:
+    """``standard`` chain emitting TOKEN positions: a preserved original is
+    stacked AT THE SAME POSITION as its folded form (Lucene posInc=0), so
+    phrase matching over these positions has exact ES semantics — a folded
+    query term is adjacent to the next source token even when an original
+    was stacked between them in the emitted stream."""
+    if text.isascii():
+        toks = _WORD_RE.findall(text.lower())
+        return toks, list(range(len(toks)))
+    toks = list(map(str.lower, _WORD_RE.findall(text)))
+    if all(map(str.isascii, toks)):
+        return toks, list(range(len(toks)))
+    out: list[str] = []
+    pos: list[int] = []
+    cache = _FOLD_CACHE
+    for p, tok in enumerate(toks):
+        if tok.isascii():
+            out.append(tok)
+            pos.append(p)
+            continue
+        folded = cache.get(tok)
+        if folded is None:
+            if len(cache) > 1_000_000:
+                cache.clear()
+            folded = cache[tok] = ascii_fold(tok)
+        if folded != tok:
+            out.append(folded)
+            pos.append(p)
+        out.append(tok)
+        pos.append(p)
+    return out, pos
+
+
+def tokenize_simple_positions(text: str) -> tuple[list[str], list[int]]:
+    toks = _ASCII_WORD_RE.findall(text.lower())
+    return toks, list(range(len(toks)))
+
+
 ANALYZERS = {
     "standard": tokenize_standard,
     "simple": tokenize_simple,
+}
+
+POSITION_ANALYZERS = {
+    "standard": tokenize_standard_positions,
+    "simple": tokenize_simple_positions,
 }
 
 
@@ -124,6 +167,15 @@ def get_analyzer(name: str):
         return ANALYZERS[name]
     except KeyError:
         raise KeyError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}") from None
+
+
+def get_position_analyzer(name: str):
+    """Variant returning ``(tokens, token_positions)`` with stacked
+    originals at posInc=0 — used by positional index builds."""
+    try:
+        return POSITION_ANALYZERS[name]
+    except KeyError:
+        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(POSITION_ANALYZERS)}") from None
 
 
 def token_counts(text: str, analyzer: str = "standard") -> Counter:

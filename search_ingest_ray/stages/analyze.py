@@ -54,6 +54,7 @@ class PostingEmitter:
                  lang_col: str | None = None,
                  lang_analyzers: dict[str, str] | None = None,
                  with_positions: bool = False):
+        from ..analyzer import get_position_analyzer
         self.text_col = text_col
         self.id_col = id_col
         self.id_is_int = id_is_int
@@ -61,11 +62,13 @@ class PostingEmitter:
         self.lang_col = lang_col if lang_analyzers else None
         self.lang_analyzers = {k: get_analyzer(v)
                                for k, v in (lang_analyzers or {}).items()}
-        # positions = token indices in the emitted stream (for the simple
-        # analyzer these equal word positions, giving exact phrase
-        # semantics; with preserve_original stacking the index is an
-        # approximation — documented limitation)
+        # positions are SOURCE-TOKEN positions: a preserved original stacks
+        # at the same position as its folded form (posInc=0), so phrase
+        # matching has exact ES semantics under preserve_original
         self.with_positions = with_positions
+        self.pos_analyze = get_position_analyzer(analyzer)
+        self.lang_pos_analyzers = {k: get_position_analyzer(v)
+                                   for k, v in (lang_analyzers or {}).items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -87,15 +90,22 @@ class PostingEmitter:
         out_pos: list[list[int]] = []
         want_pos = self.with_positions
         from collections import Counter
+        default_pos_analyze = self.pos_analyze
+        by_lang_pos = self.lang_pos_analyzers
         for i, text in enumerate(texts):
             analyze = (by_lang.get(langs[i], default_analyze)
                        if langs is not None else default_analyze)
-            toks = analyze(text) if text else []
+            if want_pos:
+                pos_analyze = (by_lang_pos.get(langs[i], default_pos_analyze)
+                               if langs is not None else default_pos_analyze)
+                toks, tpos = pos_analyze(text) if text else ([], [])
+            else:
+                toks = analyze(text) if text else []
             if not toks:
                 continue
             if want_pos:
                 posmap: dict[str, list[int]] = {}
-                for p, tok in enumerate(toks):
+                for p, tok in zip(tpos, toks):
                     posmap.setdefault(tok, []).append(p)
                 k = len(posmap)
                 terms.extend(posmap.keys())

@@ -115,6 +115,26 @@ def test_slop_zero_equals_exact(pos_index):
         assert d0.tolist() == d1.tolist()
 
 
+def test_phrase_exact_under_preserve_original(ray_session, tmp_path):
+    """standard analyzer stacks preserved originals at posInc=0: the folded
+    query term must still be ADJACENT to the following source token
+    ('strasse merge' matches 'straße merge')."""
+    t = pa.table({"url": ["a", "b"],
+                  "text": ["die straße merge ist", "merge straße x"]})
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="standard",
+                num_term_partitions=2, with_positions=True)
+    s = Searcher(root)
+    d, _ = s.match_phrase(["strasse", "merge"], k=10)
+    assert set(d.tolist()) == {doc_id_hash("a")}
+    # the preserved original form matches at the same position too
+    d2, _ = s.match_phrase(["straße", "merge"], k=10)
+    assert set(d2.tolist()) == {doc_id_hash("a")}
+    d3, _ = s.match_phrase(["merge", "strasse"], k=10)
+    assert set(d3.tolist()) == {doc_id_hash("b")}
+
+
 def test_phrase_requires_positions(ray_session, tmp_path):
     t = pa.table({"url": ["x"], "text": ["a b c"]})
     pq.write_table(t, str(tmp_path / "d.parquet"))
