@@ -385,6 +385,18 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh(rd.read_parquet(emb_path), [q], k=10, nbits=4)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (sampled spherical k-means + probed
+    inverted lists) — the partition-pruned scale path; nprobe tunes
+    recall (rows-only: approximate by design)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import ann_ivf
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    return ann_ivf(rd.read_parquet(emb_path), [q], k=10, nlist=8, nprobe=3)
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing: documents' text bytes stand in for image
     binaries (decode stage stubbed — see functions/multimodal.py)."""
@@ -460,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "image_features": q_image_features,
         "webpage_build": q_webpage_build,
     }

@@ -94,6 +94,44 @@ def test_knn_cosine_exact(rd):
     assert out.sort_values("rank")["vec_id"].iloc[0] == 7
 
 
+def test_ann_ivf_full_probe_equals_brute_force(rd):
+    from search_ingest_ray.functions.similarity import ann_ivf
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((80, 12)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    exact = knn_cosine(ds, [vecs[5], vecs[17]], k=7).to_pandas()
+    ivf = ann_ivf(rd.from_arrow(tbl), [vecs[5], vecs[17]], k=7,
+                  nlist=8, nprobe=8).to_pandas()
+    for qi in (0, 1):
+        e = exact[exact.query_id == qi].sort_values("rank")
+        a = ivf[ivf.query_id == qi].sort_values("rank")
+        assert e["vec_id"].tolist() == a["vec_id"].tolist()
+        assert np.allclose(e["cos"].to_numpy(), a["cos"].to_numpy())
+
+
+def test_ann_ivf_clustered_recall(rd):
+    """Well-separated clusters: nprobe=1 finds the query's own cluster."""
+    from search_ingest_ray.functions.similarity import ann_ivf
+    rng = np.random.default_rng(9)
+    centers = np.eye(4, 16) * 10.0
+    vecs = np.concatenate([
+        centers[c] + 0.05 * rng.standard_normal((25, 16))
+        for c in range(4)]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+    })
+    out = ann_ivf(rd.from_arrow(tbl), [vecs[3]], k=5,
+                  nlist=4, nprobe=1).to_pandas()
+    assert out.sort_values("rank")["vec_id"].iloc[0] == 3  # finds itself
+    # all 5 hits come from the query's own cluster (ids 0..24)
+    assert (out["vec_id"] < 25).all()
+
+
 def test_ann_lsh_finds_self(rd):
     rng = np.random.default_rng(4)
     vecs = rng.standard_normal((100, 16)).astype(np.float32)
