@@ -17,31 +17,61 @@ import sys
 
 
 def _ray_session():
+    """Returns (ray, owned): shutdown only sessions this process created
+    (an embedding caller — tests, a driver — keeps its own session)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(address="local",
                  num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owned
 
 
 def cmd_build(args) -> int:
-    ray = _ray_session()
+    ray, owned = _ray_session()
     try:
         from .index.build import build_index
         manifest = build_index(
             args.input, args.index_root, text_col=args.text_col,
             id_col=args.id_col, id_is_int=args.id_is_int,
             html_col=args.html_col, analyzer=args.analyzer,
-            epoch=args.epoch, resume=not args.no_resume)
+            epoch=args.epoch, resume=not args.no_resume,
+            with_positions=args.positions,
+            store_fields=args.store_field or None,
+            shuffle=args.shuffle)
         print(json.dumps({"status": manifest["status"],
                           "stats": manifest["stats"]}, indent=1))
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
+
+
+def cmd_delta(args) -> int:
+    """Apply one changefeed delta epoch (the reference's continuous sync as
+    an explicit batch step, table.cr:25-46): fold onto the snapshot and
+    index incrementally (mode=full: snapshot rebuild with O(delta)
+    tokenize; mode=delta: delta segments + dead-set suppression)."""
+    ray, owned = _ray_session()
+    try:
+        from .pipelines.epochs import apply_delta_epoch
+        manifest = apply_delta_epoch(
+            args.index_root, [args.delta] if args.delta else None,
+            args.epoch, id_col=args.id_col, text_col=args.text_col,
+            html_col=args.html_col, id_is_int=args.id_is_int,
+            analyzer=args.analyzer, mode=args.mode,
+            base_paths=[args.base] if args.base else None,
+            num_buckets=args.num_buckets)
+        print(json.dumps({"status": manifest["status"], "epoch": args.epoch,
+                          "stats": manifest["stats"]}, indent=1))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
 
 
 def cmd_query(args) -> int:
@@ -60,7 +90,7 @@ def cmd_serve(args) -> int:
     (see serve.py).  Default inline mode needs no Ray session (mmap +
     numpy); ``--actors N`` serves through a Ray actor pool (throughput)."""
     from .serve import ServePool
-    ray = _ray_session() if args.actors else None
+    ray, owned = _ray_session() if args.actors else (None, False)
     try:
         sp = ServePool(args.index_root, epoch=args.epoch, pool=args.pool,
                        actors=args.actors)
@@ -68,7 +98,7 @@ def cmd_serve(args) -> int:
         print(json.dumps({"served": served}), file=sys.stderr)
         return 0
     finally:
-        if ray is not None:
+        if ray is not None and owned:
             ray.shutdown()
 
 
@@ -120,7 +150,27 @@ def main(argv=None) -> int:
     b.add_argument("--analyzer", default="standard")
     b.add_argument("--epoch", type=int, default=0)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="positional index (phrase/slop queries)")
+    b.add_argument("--store-field", action="append", default=[],
+                   help="structured column for filters/docstore (repeatable)")
+    b.add_argument("--shuffle", choices=["fs", "ray"], default=None,
+                   help="term-exchange strategy (default fs)")
     b.set_defaults(fn=cmd_build)
+
+    de = sub.add_parser("delta", help="apply one delta epoch (changefeed sync)")
+    de.add_argument("index_root")
+    de.add_argument("--delta", default=None, help="delta parquet file/dir")
+    de.add_argument("--base", default=None, help="backfill input (epoch 0)")
+    de.add_argument("--epoch", type=int, required=True)
+    de.add_argument("--mode", choices=["full", "delta"], default="full")
+    de.add_argument("--text-col", default="text")
+    de.add_argument("--id-col", default="url")
+    de.add_argument("--id-is-int", action="store_true")
+    de.add_argument("--html-col", default=None)
+    de.add_argument("--analyzer", default="standard")
+    de.add_argument("--num-buckets", type=int, default=16)
+    de.set_defaults(fn=cmd_delta)
 
     q = sub.add_parser("query", help="BM25 top-k")
     q.add_argument("index_root")

@@ -752,7 +752,10 @@ def build_index(input_paths, index_root: str, *,
             # lineage with the postings
             fout = os.path.join(fields_dir, f"chunk={cid}")
             shutil.rmtree(fout, ignore_errors=True)
-            fds = rd.read_parquet(files, columns=[id_col] + store_fields)
+            # id_col may itself be a stored field (docstore returns the
+            # source key, e.g. url) — dedupe the projection
+            fcols = list(dict.fromkeys([id_col] + store_fields))
+            fds = rd.read_parquet(files, columns=fcols)
             fds = fds.map_batches(
                 _fields_batch, batch_format="pyarrow", batch_size=8192,
                 fn_kwargs=dict(id_col=id_col, id_is_int=id_is_int,

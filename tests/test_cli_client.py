@@ -33,6 +33,36 @@ def test_cli_query_and_status(ray_session, corpus_dir, tmp_path):
     assert main(["status", str(tmp_path / "nonexistent")]) == 1
 
 
+def test_cli_delta_epoch_roundtrip(ray_session, tmp_path):
+    """`cli delta` applies a backfill then an incremental delta epoch."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from search_ingest_ray.cli import main
+    from search_ingest_ray.query.multi import MultiEpochSearcher
+    from search_ingest_ray.util import doc_id_hash
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq.write_table(pa.table({
+        "url": [f"u{i}" for i in range(10)],
+        "text": [f"common doc{i}" for i in range(10)],
+    }), os.path.join(base, "b.parquet"))
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(pa.table({
+        "url": ["u1"], "text": ["freshterm only"],
+        "epoch": pa.array([1], pa.int64()), "action": ["updated"],
+    }), delta)
+    root = str(tmp_path / "idx")
+    assert main(["delta", root, "--base", base, "--epoch", "0",
+                 "--analyzer", "simple", "--num-buckets", "4"]) == 0
+    assert main(["delta", root, "--delta", delta, "--epoch", "1",
+                 "--mode", "delta", "--analyzer", "simple",
+                 "--num-buckets", "4"]) == 0
+    ms = MultiEpochSearcher(root)
+    d, _ = ms.search_terms(["freshterm"], k=5)
+    assert set(d.tolist()) == {doc_id_hash("u1")}
+
+
 def test_lang_aware_emitter():
     import pyarrow as pa
     from search_ingest_ray.stages.analyze import PostingEmitter

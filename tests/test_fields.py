@@ -177,6 +177,23 @@ def test_t6_equivalent_mapping_resumes(ray_session, tmp_path):
     assert os.path.getmtime(seg) > mtime
 
 
+def test_docstore_returns_source_key(ray_session, tmp_path):
+    """Storing the id column itself gives ES-style hits carrying the
+    document key (docid → url)."""
+    t = pa.table({"url": ["https://a", "https://b"],
+                  "text": ["alpha beta", "alpha gamma"]})
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, store_fields=["url"])
+    s = Searcher(root)
+    out = s.search_docs(["alpha"], k=2, return_fields=["url"])
+    from search_ingest_ray.util import doc_id_hash
+    got = {r["doc_id"]: r["url"] for r in out.to_pylist()}
+    assert got[doc_id_hash("https://a")] == "https://a"
+    assert got[doc_id_hash("https://b")] == "https://b"
+
+
 def test_duplicate_ids_fieldstore_keeps_one(ray_session, tmp_path):
     t = pa.table({"url": ["a", "a"], "text": ["p q", "p q r"],
                   "lang": ["en", "de"]})
