@@ -42,6 +42,8 @@ def _topk_partial(batch: pa.Table, *, q_ref, k: int, id_col: str,
     key = q_ref.hex() if hasattr(q_ref, "hex") else id(q_ref)
     qn = _QCACHE.get(key)
     if qn is None:
+        if len(_QCACHE) > 64:  # ref-keyed; long-lived workers must not grow unboundedly
+            _QCACHE.clear()
         q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
         qn = _QCACHE[key] = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
     m = _normalize(_as_matrix(batch[vec_col]))
@@ -175,6 +177,8 @@ def _ivf_assign_batch(batch: pa.Table, *, cent_ref,
     key = cent_ref.hex() if hasattr(cent_ref, "hex") else id(cent_ref)
     cent = _CENT_CACHE.get(key)
     if cent is None:
+        if len(_CENT_CACHE) > 64:
+            _CENT_CACHE.clear()
         cent = _CENT_CACHE[key] = ray.get(cent_ref) \
             if not isinstance(cent_ref, np.ndarray) else cent_ref
     m = _normalize(_as_matrix(batch[vec_col]))
@@ -198,6 +202,8 @@ def _ivf_topk_partial(batch: pa.Table, *, q_ref, probe_ref, k: int,
     key = (q_ref.hex() if hasattr(q_ref, "hex") else id(q_ref))
     ent = _QCACHE.get(("ivf", key))
     if ent is None:
+        if len(_QCACHE) > 64:
+            _QCACHE.clear()
         qn = _normalize(np.atleast_2d(np.asarray(ray.get(q_ref), np.float64)))
         probes = ray.get(probe_ref)  # (Q, nprobe) int32
         ent = _QCACHE[("ivf", key)] = (qn, probes)

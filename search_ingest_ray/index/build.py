@@ -171,6 +171,8 @@ def _exact_stats_batch(batch: pa.Table, *, cand_ref) -> pa.Table:
     key = cand_ref.hex() if hasattr(cand_ref, "hex") else id(cand_ref)
     cands = _CAND_CACHE.get(key)
     if cands is None:
+        if len(_CAND_CACHE) > 16:
+            _CAND_CACHE.clear()
         lst = ray.get(cand_ref)
         cands = _CAND_CACHE[key] = pa.array(lst, pa.string()) if lst else None
     out_t, out_c = [], []
@@ -202,6 +204,9 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
     key = hot_ref.hex() if hasattr(hot_ref, "hex") else id(hot_ref)
     hot = _HOT_CACHE.get(key)
     if hot is None:
+        if len(_HOT_CACHE) > 16:  # ref-keyed caches must not grow unboundedly
+            _HOT_CACHE.clear()
+            _TP_CACHE.clear()
         hot = _HOT_CACHE[key] = ray.get(hot_ref) if hot_ref is not None else {}
     terms = np.asarray(batch["term"].to_pylist(), dtype=object)
     docids = batch["docid"].to_numpy()
@@ -486,6 +491,8 @@ def _assign_pending_batch(batch: pa.Table, *, num_partitions: int,
     key = pending_ref.hex() if hasattr(pending_ref, "hex") else id(pending_ref)
     pending = _PENDING_CACHE.get(key)
     if pending is None:
+        if len(_PENDING_CACHE) > 16:
+            _PENDING_CACHE.clear()
         pending = _PENDING_CACHE[key] = ray.get(pending_ref)
     if len(pending) == num_partitions:
         return out
@@ -865,8 +872,16 @@ def build_index(input_paths, index_root: str, *,
     done_tparts = {int(k) for k, v in manifest["segments"].items()
                    if v.get("status") == "done"} if resume else set()
     pending_tparts = [p for p in range(P) if p not in done_tparts]
-    exchange_dir = (exchange_dir or os.environ.get("SI_EXCHANGE_DIR")
-                    or os.path.join(ed, "exchange"))
+    ex_base = exchange_dir or os.environ.get("SI_EXCHANGE_DIR")
+    if ex_base:
+        # namespace per (index, epoch): a shared SI_EXCHANGE_DIR serving
+        # concurrent builds (TableManager.backfill_all) must not let one
+        # build's start/cleanup rmtree destroy another's in-flight spill
+        import hashlib as _hl
+        tag = _hl.sha1(os.path.abspath(index_root).encode()).hexdigest()[:12]
+        exchange_dir = os.path.join(ex_base, f"ex-{tag}-e{epoch:04d}")
+    else:
+        exchange_dir = os.path.join(ed, "exchange")
 
     import functools
     _cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -919,9 +934,18 @@ def build_index(input_paths, index_root: str, *,
     for s in summaries:
         manifest["segments"][str(int(s["tpart"]))] = {
             "status": "done", "n_terms": int(s["n_terms"]),
-            "n_postings": int(s["n_postings"]), "bytes": int(s["bytes"]),
-            "wall_s": round(float(s["wall_s"]), 3),
+            "n_postings": int(s["n_postings"]), "bytes": int(s.get("bytes", 0)),
+            "wall_s": round(float(s.get("wall_s", 0.0)), 3),
         }
+    if n_postings:
+        # partitions that received zero postings (possible in ray-shuffle
+        # mode, which emits no group for them) still complete: mark them
+        # done so resume doesn't re-run the exchange to build nothing
+        for p in pending_tparts:
+            manifest["segments"].setdefault(str(p), {
+                "status": "done", "n_terms": 0, "n_postings": 0,
+                "bytes": 0, "wall_s": 0.0,
+            })
 
     _t_build_done = time.monotonic()
     manifest["exchange"] = {

@@ -124,7 +124,12 @@ def _update_snapshot(index_root: str, delta_paths, epoch: int, *,
                 _tag_bucket, batch_format="pyarrow",
                 fn_kwargs=dict(id_col=id_col, num_buckets=num_buckets))
             tagged.write_parquet(sd, partition_cols=[_BUCKET_COL])
-            versions = {str(b): 0 for b in range(num_buckets)}
+            # a (re-)backfill bumps EVERY bucket past the previous epoch's
+            # version — fingerprints must never collide with older content,
+            # or build_index would re-link stale postings
+            prev_versions = meta["epochs"].get(str(epoch - 1), {})
+            versions = {str(b): int(prev_versions.get(str(b), -1)) + 1
+                        for b in range(num_buckets)}
         else:
             prev_sd = snapshot_dir(index_root, epoch - 1)
             prev_versions = meta["epochs"][str(epoch - 1)]

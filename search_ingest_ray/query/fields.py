@@ -42,8 +42,11 @@ class FieldStore:
                                promote_options="default").combine_chunks()
         d = tbl["docid"].to_numpy()
         order = np.argsort(d, kind="stable")
-        # duplicate source ids (same url twice): keep the LAST occurrence,
-        # mirroring the posting fold's single-winner semantics
+        # duplicate source ids (same url twice) are degenerate input: keep
+        # the last occurrence.  NOTE the posting fold resolves duplicates
+        # per (term, docid) by max tf (build.py), so stored fields and
+        # indexed text may come from different duplicate rows — dedupe
+        # upstream (exact_dedup / fold) when attribution matters.
         d = d[order]
         keep = np.concatenate([d[1:] != d[:-1], [True]]) if d.size else \
             np.empty(0, dtype=bool)
@@ -95,9 +98,13 @@ class FieldStore:
             ok &= np.asarray(m, dtype=bool)
         return ok
 
-    def get(self, docids: np.ndarray, cols: list[str]) -> dict[str, np.ndarray]:
-        """Field values for docids (docstore retrieval); missing docids get
-        the column's zero value (callers filter beforehand in practice)."""
+    def get(self, docids: np.ndarray, cols: list[str]) -> dict[str, pa.Array]:
+        """Field values for docids (docstore retrieval) as Arrow arrays;
+        docids absent from the store yield NULL (never a neighbor's
+        values)."""
         docids = np.asarray(docids, dtype=np.int64)
-        idx, _ = self._locate(docids)
-        return {c: self.columns[c][idx] for c in cols}
+        idx, found = self._locate(docids)
+        missing = ~found
+        return {c: pa.array(self.columns[c][idx].tolist(),
+                            mask=missing if missing.any() else None)
+                for c in cols}

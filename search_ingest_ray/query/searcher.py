@@ -276,7 +276,7 @@ class Searcher:
             "score": pa.array(sc, pa.float64()),
         }
         for name, vals in self.fields.get(d, return_fields or []).items():
-            cols[name] = pa.array(vals)
+            cols[name] = vals  # Arrow arrays (missing docids → null)
         return pa.table(cols)
 
     # -- phrase queries (requires an index built with_positions=True) -------

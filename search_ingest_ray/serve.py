@@ -45,17 +45,34 @@ def _norm_filters(filters: dict | None) -> dict | None:
 
 
 class ServeSession:
-    """One daemon session: a warmed Searcher + request dispatch."""
+    """One daemon session: a warmed Searcher + request dispatch.
+
+    When the index has a delta-segment epoch chain (``mode="delta"``
+    epochs after the last full epoch), queries go through
+    :class:`MultiEpochSearcher` — a single-epoch Searcher on the latest
+    (tiny, delta-only) epoch would silently serve only the delta docs.
+    Phrase / filter / field features need the single-epoch artifacts and
+    return an explanatory error until compaction (a full epoch)."""
 
     def __init__(self, index_root: str, epoch: int | None = None,
                  warm: bool = True):
+        self.multi = None
         if epoch is None:
-            from .pipelines.epochs import latest_epoch
-            epoch = latest_epoch(index_root)
+            from .pipelines.epochs import epoch_chain, latest_epoch
+            chain = epoch_chain(index_root)
+            if any(m == "delta" for _, m in chain):
+                from .query.multi import MultiEpochSearcher
+                self.multi = MultiEpochSearcher(index_root)
+                epoch = chain[-1][0]
+            else:
+                epoch = latest_epoch(index_root)
         self.epoch = epoch
-        self.searcher = Searcher(index_root, epoch=epoch)
-        if warm:
-            self.searcher.warm()
+        if self.multi is None:
+            self.searcher = Searcher(index_root, epoch=epoch)
+            if warm:
+                self.searcher.warm()
+        else:
+            self.searcher = None
         self.n_queries = 0
         self.started = time.monotonic()
 
@@ -66,13 +83,26 @@ class ServeSession:
             if op == "quit":
                 return None
             if op == "status":
-                st = self.searcher.stats
+                st = (self.multi.stats if self.multi is not None
+                      else self.searcher.stats)
                 return {"id": rid, "ok": True, "epoch": self.epoch,
+                        "mode": "delta-chain" if self.multi else "single",
                         "n_docs": st["n_docs"],
                         "n_queries": self.n_queries,
                         "uptime_s": round(time.monotonic() - self.started, 3)}
             k = int(req.get("k", 10))
             filters = _norm_filters(req.get("filters"))
+            if self.multi is not None and op in ("query", "phrase"):
+                if op == "phrase" or filters or req.get("fields"):
+                    return {"id": rid, "ok": False,
+                            "error": "phrase/filter/field queries need a "
+                                     "compacted index (apply a mode='full' "
+                                     "epoch) — delta chain active"}
+                self.n_queries += 1
+                d, sc = self.multi.search(req["query"], k=k)
+                hits = [{"doc_id": int(x), "rank": i + 1, "score": float(s)}
+                        for i, (x, s) in enumerate(zip(d, sc))]
+                return {"id": rid, "ok": True, "hits": hits}
             if op == "query":
                 self.n_queries += 1
                 fields = req.get("fields")
@@ -179,6 +209,21 @@ class ServePool:
             self._free.put(s)
         return json.dumps(resp)
 
+    @staticmethod
+    def _truncate_at_quit(chunk: list[str]) -> tuple[list[str], bool]:
+        """Cut a chunk at the first quit request so nothing past it is ever
+        dispatched (same semantics as the inline path)."""
+        for i, line in enumerate(chunk):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                if json.loads(line).get("op") == "quit":
+                    return chunk[:i], True
+            except json.JSONDecodeError:
+                continue
+        return chunk, False
+
     def run(self, in_stream, out_stream) -> int:
         served = 0
         if self._actors:
@@ -191,12 +236,10 @@ class ServePool:
                 chunk = list(itertools.islice(lines, 16 * n))
                 if not chunk:
                     break
+                chunk, stop = self._truncate_at_quit(chunk)
                 futs = [self._actors[i % n].handle_line.remote(line)
                         for i, line in enumerate(chunk)]
                 for out in ray.get(futs):
-                    if out is None:
-                        stop = True
-                        break
                     if out:
                         out_stream.write(out + "\n")
                         served += 1
@@ -221,10 +264,8 @@ class ServePool:
                 chunk = list(itertools.islice(lines, 4 * self.pool))
                 if not chunk:
                     break
+                chunk, stop = self._truncate_at_quit(chunk)
                 for out in ex.map(self._one, chunk):
-                    if out is None:
-                        stop = True
-                        break
                     if out:
                         out_stream.write(out + "\n")
                         served += 1

@@ -43,6 +43,12 @@ def _tag_partition(batch: pa.Table, *, key_cols: list[str],
     return batch.append_column(_PART_COL, pa.array(part))
 
 
+def _sortable(t) -> bool:
+    import pyarrow as _pa
+    return not (_pa.types.is_nested(t) or _pa.types.is_binary(t)
+                or _pa.types.is_large_binary(t))
+
+
 def _run_firsts_mask(tbl: pa.Table, key_cols: list[str]):
     """Boolean numpy mask marking the first row of each equal-key run in a
     key-sorted table (vectorized adjacent-row comparison)."""
@@ -74,8 +80,15 @@ def _fold_partition(group: pa.Table, *, key_cols: list[str],
     if group.num_rows == 0:
         return group.drop_columns([_PART_COL])
     ord_dir = "descending" if keep == "last" else "ascending"
+    # remaining columns act as a DETERMINISTIC tie-break: when order_cols
+    # don't form a total order within a key (degenerate input), the winner
+    # must not depend on Ray block arrival order — sort the full row
+    rest = [c for c in group.column_names
+            if c not in key_cols and c not in order_cols and c != _PART_COL
+            and _sortable(group.schema.field(c).type)]
     sort_keys = ([(k, "ascending") for k in key_cols]
-                 + [(o, ord_dir) for o in order_cols])
+                 + [(o, ord_dir) for o in order_cols]
+                 + [(c, ord_dir) for c in rest])
     group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
     winners = group.filter(pa.array(_run_firsts_mask(group, key_cols)))
     if action_col is not None:

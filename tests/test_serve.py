@@ -105,6 +105,43 @@ def test_serve_actor_pool_matches_single(ray_session, tmp_path):
     assert sp.run(io.StringIO(payload), outsB) == len(reqs)
 
 
+def test_serve_delta_chain_uses_multi_searcher(ray_session, tmp_path):
+    """A delta-mode epoch chain must be served through MultiEpochSearcher —
+    not the latest (delta-only) epoch's tiny index."""
+    import pyarrow.parquet as pq_
+    from search_ingest_ray.pipelines.epochs import apply_delta_epoch
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq_.write_table(pa.table({
+        "url": [f"u{i}" for i in range(12)],
+        "text": [f"common doc{i}" for i in range(12)],
+    }), os.path.join(base, "b.parquet"))
+    root = str(tmp_path / "idx")
+    kw = dict(id_col="url", analyzer="simple", num_term_partitions=2,
+              num_buckets=4, hot_df_threshold=10**9)
+    apply_delta_epoch(root, None, 0, base_paths=[os.path.join(base, "b.parquet")],
+                      **kw)
+    delta = str(tmp_path / "d.parquet")
+    pq_.write_table(pa.table({
+        "url": ["u1"], "text": ["freshterm common"],
+        "epoch": pa.array([1], pa.int64()), "action": ["updated"],
+    }), delta)
+    apply_delta_epoch(root, [delta], 1, mode="delta", **kw)
+
+    served, resps = _run(root, [
+        {"op": "query", "id": 1, "query": "common", "k": 50},
+        {"op": "query", "id": 2, "query": "freshterm", "k": 5},
+        {"op": "status", "id": 3},
+        {"op": "phrase", "id": 4, "phrase": "common doc2"},
+        {"op": "quit"},
+    ])
+    by_id = {r["id"]: r for r in resps}
+    assert len(by_id[1]["hits"]) == 12  # full corpus, not just the delta
+    assert {h["doc_id"] for h in by_id[2]["hits"]} == {doc_id_hash("u1")}
+    assert by_id[3]["mode"] == "delta-chain" and by_id[3]["n_docs"] == 12
+    assert by_id[4]["ok"] is False and "compacted" in by_id[4]["error"]
+
+
 def test_heal_backfills_only_sick_tables(ray_session, tmp_path, corpus_dir):
     kw = dict(html_col="html", chunk_files=4, num_term_partitions=2)
     mgr = TableManager(str(tmp_path / "base"), [
