@@ -14,14 +14,17 @@ maxes are RECOMPUTED from the stored (tf, dl) streams with the merged
 (N, avgdl, df) — the merged index scores exactly as if built in one shot.
 
 Salted (hot-term) inputs ARE supported: a hot term's sub-lists live in up
-to S partitions of their input (build.py E12); the merger working on the
-term's HOME partition gathers every (term, salt) sub-list across partitions
-(a cross-partition gather over the actor's cached handles) and writes one
-unsalted merged list.  Rows whose hot term homes elsewhere are skipped by
-the scanning partition, so every sub-list is consumed exactly once.
-Limitation (documented): the merged output is unsalted — re-salting merged
-hot terms is the follow-up if merged hot lists grow past one partition's
-budget.
+to S partitions of their input (build.py E12); the merger hosting a given
+output location gathers every input (term, salt) sub-list across partitions
+(a cross-partition gather over the actor's cached handles).  Hot-term skew
+handling COMPOSES hierarchically: terms whose merged df crosses the hot
+threshold (computed from the inputs' term dictionaries — metadata only)
+are RE-SALTED in the output (sub-list s = docids ≡ s mod S at
+``term_partition(t, P, s)``, global df stored on every sub-list), exactly
+the layout the builder produces, so queries need no special casing and no
+merged partition exceeds the salting budget.  Cold terms merge to one
+unsalted list at their home partition; each input sub-list is consumed
+exactly once per output location that needs it.
 
 Positional inputs are also carried through: the 4th (position) stream is
 decoded per posting, reordered with the docid merge, and re-encoded, so
@@ -57,7 +60,8 @@ class SegmentMerger:
     def __init__(self, roots: list[str], epochs: list[int], out_dir: str,
                  params: BM25Params, num_partitions: int,
                  hot_terms: list[dict], hot_salts: list[int],
-                 with_positions: bool = False):
+                 with_positions: bool = False,
+                 merged_hot: dict | None = None, out_salt: int = 1):
         self.roots = roots
         self.epochs = epochs
         self.out_dir = out_dir
@@ -66,6 +70,12 @@ class SegmentMerger:
         self.hot = [set(h) for h in hot_terms]
         self.hot_salts = hot_salts
         self.with_positions = with_positions
+        # terms whose MERGED df crosses the hot threshold get re-salted in
+        # the output: sub-list s = postings with docid % out_salt == s,
+        # living at term_partition(t, P, s) — the same layout the builder's
+        # E12 salting produces, so queries need no special casing
+        self.merged_hot = merged_hot or {}
+        self.out_salt = max(1, out_salt)
         self._cache: dict[tuple[int, int], tuple | None] = {}
 
     def _part(self, i: int, tpart: int):
@@ -108,9 +118,35 @@ class SegmentMerger:
             plists = decode_positions(pos, tf)
         return d, tf, dl, plists
 
+    def _rows_in_partition(self, i: int, p: int, t: str, s: int) -> list:
+        """Decode input i's rows for (term t, salt s) in partition p."""
+        ent = self._part(i, p)
+        if ent is None:
+            return []
+        tbl, data = ent
+        import pyarrow.compute as pc
+        m = pc.and_(pc.equal(tbl["term"], pa.scalar(t)),
+                    pc.equal(tbl["salt"], pa.scalar(s, pa.int32())))
+        return [self._decode_row(tbl.slice(int(j), 1), data, i)
+                for j in np.flatnonzero(m.to_numpy(zero_copy_only=False))]
+
+    def _input_parts_for_term(self, t: str) -> list:
+        """All of term t's input lists, across inputs and (salted) partitions."""
+        out = []
+        for i in range(len(self.roots)):
+            if t in self.hot[i]:
+                for s in range(self.hot_salts[i]):
+                    out.extend(self._rows_in_partition(
+                        i, term_partition(t, self.P, salt=s), t, s))
+            else:
+                out.extend(self._rows_in_partition(
+                    i, term_partition(t, self.P), t, 0))
+        return out
+
     def _gather_lists(self, tpart: int) -> dict[str, list]:
-        """All (term → [(docids, tfs, dls, plists), ...]) whose merged home
-        is ``tpart``, across inputs, hot sub-lists gathered cross-partition."""
+        """All (term → [(docids, tfs, dls, plists), ...]) of COLD merged
+        terms whose home is ``tpart`` (merged-hot terms are handled
+        separately, sub-list by sub-list)."""
         lists: dict[str, list] = {}
         for i in range(len(self.roots)):
             ent = self._part(i, tpart)
@@ -119,31 +155,75 @@ class SegmentMerger:
                 tbl, data = ent
                 terms = tbl["term"].to_pylist()
                 for j, t in enumerate(terms):
-                    if t in hot_i:
-                        continue  # gathered below by the home partition
+                    if t in hot_i or t in self.merged_hot:
+                        continue  # input-salted / re-salted paths below
                     lists.setdefault(t, []).append(
                         self._decode_row(tbl.slice(j, 1), data, i))
-            # hot terms homing here: gather their salted sub-lists
+            # input-hot but merged-cold (possible only with inconsistent
+            # thresholds): gather at the home partition, unsalted output
             for t in sorted(hot_i):
-                if term_partition(t, self.P) != tpart:
+                if t in self.merged_hot or term_partition(t, self.P) != tpart:
                     continue
-                for s in range(self.hot_salts[i]):
-                    p = term_partition(t, self.P, salt=s)
-                    ent_s = self._part(i, p)
-                    if ent_s is None:
-                        continue
-                    tbl_s, data_s = ent_s
-                    import pyarrow.compute as pc
-                    m = pc.and_(pc.equal(tbl_s["term"], pa.scalar(t)),
-                                pc.equal(tbl_s["salt"], pa.scalar(s, pa.int32())))
-                    idxs = np.flatnonzero(m.to_numpy(zero_copy_only=False))
-                    for j in idxs:
-                        lists.setdefault(t, []).append(
-                            self._decode_row(tbl_s.slice(int(j), 1), data_s, i))
+                lists.setdefault(t, []).extend(
+                    x for s in range(self.hot_salts[i])
+                    for x in self._rows_in_partition(
+                        i, term_partition(t, self.P, salt=s), t, s))
         return lists
 
-    def _merge_one(self, tpart: int):
+    @staticmethod
+    def _merge_parts(parts, wp):
+        """Concatenate + docid-sort + dedup (keep last input) one term's
+        input lists; returns (d, tf, dl, pl)."""
+        d = np.concatenate([x[0] for x in parts])
+        tf = np.concatenate([x[1] for x in parts])
+        dl = np.concatenate([x[2] for x in parts])
+        pl = None
+        if wp:
+            pl = np.empty(len(d), dtype=object)
+            pl[:] = [arr for x in parts for arr in x[3]]
+        order = np.argsort(d, kind="mergesort")
+        d, tf, dl = d[order], tf[order], dl[order]
+        if wp:
+            pl = pl[order]
+        if d.size > 1:
+            keep = np.concatenate([d[1:] != d[:-1], [True]])
+            d, tf, dl = d[keep], tf[keep], dl[keep]
+            if wp:
+                pl = pl[keep]
+        return d, tf, dl, pl
+
+    def _entries_for(self, tpart: int):
+        """(term, salt_out, d, tf, dl, pl, global_df) entries this output
+        partition owns: cold terms (salt 0, home partition) + the re-salted
+        sub-lists of merged-hot terms hosted here."""
+        wp = self.with_positions
+        entries = []
         lists = self._gather_lists(tpart)
+        for term in sorted(lists):
+            d, tf, dl, pl = self._merge_parts(lists[term], wp)
+            if d.size:
+                entries.append((term, 0, d, tf, dl, pl, int(d.size)))
+        S = self.out_salt
+        for t in sorted(self.merged_hot):
+            salts_here = [s for s in range(S)
+                          if term_partition(t, self.P, salt=s) == tpart]
+            if not salts_here:
+                continue
+            parts = self._input_parts_for_term(t)
+            if not parts:
+                continue
+            d, tf, dl, pl = self._merge_parts(parts, wp)
+            gdf = int(d.size)  # exact global df, stored on every sub-list
+            for s in salts_here:
+                m = (d % np.uint64(S)).astype(np.int64) == s
+                if not m.any():
+                    continue
+                entries.append((t, s, d[m], tf[m], dl[m],
+                                pl[m] if wp else None, gdf))
+        entries.sort(key=lambda e: (e[0], e[1]))
+        return entries
+
+    def _merge_one(self, tpart: int):
         p = self.params
         wp = self.with_positions
         rows = {k: [] for k in ("term", "salt", "df", "n", "max_score",
@@ -154,33 +234,14 @@ class SegmentMerger:
         doc_stream, tf_stream, dl_stream, pos_stream = [], [], [], []
         doc_pos = tf_pos = dl_pos = pos_pos = 0
         n_postings = 0
-        for term in sorted(lists):
-            parts = lists[term]
-            d = np.concatenate([x[0] for x in parts])
-            tf = np.concatenate([x[1] for x in parts])
-            dl = np.concatenate([x[2] for x in parts])
-            pl = None
-            if wp:
-                pl = np.empty(len(d), dtype=object)
-                pl[:] = [arr for x in parts for arr in x[3]]
-            order = np.argsort(d, kind="mergesort")
-            d, tf, dl = d[order], tf[order], dl[order]
-            if wp:
-                pl = pl[order]
-            # disjoint corpora expected; duplicate docids keep the last input
-            if d.size > 1:
-                keep = np.concatenate([d[1:] != d[:-1], [True]])
-                d, tf, dl = d[keep], tf[keep], dl[keep]
-                if wp:
-                    pl = pl[keep]
-            df = int(d.size)
+        for term, salt_out, d, tf, dl, pl, df in self._entries_for(tpart):
             scores = term_scores(tf, dl, df, p)
             enc = encode_postings(d, tf, dls=dl,
                                   scores=scores.astype(np.float32))
             rows["term"].append(term)
-            rows["salt"].append(0)
-            rows["df"].append(df)
-            rows["n"].append(df)
+            rows["salt"].append(salt_out)
+            rows["df"].append(df)           # GLOBAL df (idf input)
+            rows["n"].append(int(d.size))   # postings in THIS sub-list
             rows["max_score"].append(float(scores.max()))
             rows["doc_off"].append(doc_pos)
             rows["doc_len"].append(len(enc["doc_blob"]))
@@ -205,7 +266,7 @@ class SegmentMerger:
                 rows["pos_len"].append(len(pblob))
                 pos_stream.append(pblob)
                 pos_pos += len(pblob)
-            n_postings += df
+            n_postings += int(d.size)
 
         doc_all = b"".join(doc_stream)
         tf_all = b"".join(tf_stream)
@@ -279,6 +340,28 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
     seg_dir = os.path.join(ed, "segments")
     os.makedirs(seg_dir, exist_ok=True)
 
+    # merged hot set (E12 survives the merge): per-term df sums from the
+    # inputs' TERM DICTIONARIES only (metadata-sized — the postings never
+    # move for this), thresholded like the builder; hot merged terms are
+    # re-salted in the output so skew handling composes hierarchically
+    hot_threshold = int(statss[0].get("hot_df_threshold", 0)) or None
+    out_salt = int(statss[0].get("hot_salt", 1))
+    merged_hot: dict = {}
+    if hot_threshold:
+        sums: dict = {}
+        for r, e in zip(roots, epochs):
+            sdir = os.path.join(epoch_dir(r, e), "segments")
+            if not os.path.isdir(sdir):
+                continue
+            for dname in sorted(os.listdir(sdir)):
+                mp = os.path.join(sdir, dname, "segment.parquet")
+                if not os.path.exists(mp):
+                    continue
+                tb = pq.read_table(mp, columns=["term", "n"])
+                for t, n in zip(tb["term"].to_pylist(), tb["n"].to_pylist()):
+                    sums[t] = sums.get(t, 0) + int(n)
+        merged_hot = {t: c for t, c in sums.items() if c >= hot_threshold}
+
     parts = rd.from_items([{"tpart": i} for i in range(P)])
     summary = parts.map_batches(
         SegmentMerger, batch_format="pyarrow", batch_size=1,
@@ -288,7 +371,8 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
             num_partitions=P,
             hot_terms=[s.get("hot_terms", {}) for s in statss],
             hot_salts=[int(s.get("hot_salt", 1)) for s in statss],
-            with_positions=with_positions)).take_all()
+            with_positions=with_positions,
+            merged_hot=merged_hot, out_salt=out_salt)).take_all()
 
     # merged docvalues/docstore sidecar: hard-link every input's field
     # chunks (disjoint docids → concatenation is the merged store)
@@ -314,7 +398,8 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
 
     stats = dict(statss[0])
     stats.update({"n_docs": n_docs, "total_tokens": total_tokens,
-                  "avgdl": avgdl, "hot_terms": {},
+                  "avgdl": avgdl, "hot_terms": merged_hot,
+                  "hot_salt": out_salt,
                   "n_postings": sum(int(s["n_postings"]) for s in summary)})
     atomic_write_json(os.path.join(ed, "stats.json"), stats)
     atomic_write_json(os.path.join(out_root, "index_meta.json"), metas[0])

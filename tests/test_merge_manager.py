@@ -83,6 +83,17 @@ def test_merge_salted_inputs_equals_single_shot(ray_session, tmp_path):
     root_m = str(tmp_path / "im")
     m = merge_indexes([root_a, root_b], root_m, concurrency=2)
     assert m["stats"]["n_postings"] > 0
+    # hot terms stay hot in the MERGED index (re-salted output): membership
+    # recorded in stats and sub-lists carry salt > 0 somewhere
+    assert m["stats"]["hot_terms"], "merged hot set must not be empty"
+    import pyarrow.parquet as _pq
+    salts_seen = set()
+    seg_base = os.path.join(root_m, "epochs", "e0000", "segments")
+    for dn in sorted(os.listdir(seg_base)):
+        sp = os.path.join(seg_base, dn, "segment.parquet")
+        if os.path.exists(sp):
+            salts_seen |= set(_pq.read_table(sp, columns=["salt"])["salt"].to_pylist())
+    assert any(s > 0 for s in salts_seen), "expected re-salted sub-lists"
 
     s_full, s_m = Searcher(root_full), Searcher(root_m)
     hot_term = sorted(sa["hot_terms"])[0]
