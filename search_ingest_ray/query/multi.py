@@ -78,10 +78,15 @@ class MultiEpochSearcher:
                 self.analyze = s.analyze
                 break
 
-    def _surviving_lists(self, term: str):
-        """(docids, tfs, dls) of the term across the chain after dead-docid
-        suppression — each docid appears at most once (its live version)."""
+    def _surviving_lists(self, term: str, filters: dict | None = None):
+        """(docids, tfs, dls, df) of the term across the chain after
+        dead-docid suppression — each docid appears at most once (its live
+        version).  ``df`` is the SUPPRESSED-but-UNFILTERED count (ES filter
+        semantics: filters restrict candidates, never the statistics);
+        filter predicates evaluate against each doc's LIVE epoch's
+        docvalues."""
         ds, tfs, dls = [], [], []
+        df = 0
         for _, s, dead_after in self.entries:
             if s is None:
                 continue
@@ -94,15 +99,23 @@ class MultiEpochSearcher:
                     if not keep.any():
                         continue
                     d, tf, dl = d[keep], tf[keep], dl[keep]
+                df += int(d.size)
+                if filters:
+                    m = s.fields.mask(d.astype(np.int64), filters)
+                    if not m.any():
+                        continue
+                    d, tf, dl = d[m], tf[m], dl[m]
                 ds.append(d)
                 tfs.append(tf)
                 dls.append(dl)
         if not ds:
             e = np.empty(0, dtype=np.uint64)
-            return e, e, e
-        return (np.concatenate(ds), np.concatenate(tfs), np.concatenate(dls))
+            return e, e, e, df
+        return (np.concatenate(ds), np.concatenate(tfs),
+                np.concatenate(dls), df)
 
-    def search_terms(self, terms: list[str], k: int = 10):
+    def search_terms(self, terms: list[str], k: int = 10,
+                     filters: dict | None = None):
         """Exact top-k over the epoch chain; identical semantics (and
         results) to ``Searcher.search_terms`` on a full rebuild."""
         mult: dict[str, int] = {}
@@ -111,10 +124,9 @@ class MultiEpochSearcher:
         all_d, all_s = [], []
         p = self.params
         for t, m in mult.items():
-            d, tf, dl = self._surviving_lists(t)
-            if d.size == 0:
+            d, tf, dl, df = self._surviving_lists(t, filters=filters)
+            if d.size == 0 or df == 0:
                 continue
-            df = int(d.size)  # exact global df after suppression
             all_d.append(d)
             all_s.append(m * term_scores(tf, dl, df, p))
         if not all_d:
@@ -128,7 +140,93 @@ class MultiEpochSearcher:
         top = np.lexsort((uniq, -acc))[:kk]
         return uniq[top].astype(np.int64), acc[top]
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10, filters: dict | None = None):
         if self.analyze is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        return self.search_terms(self.analyze(query), k=k)
+        return self.search_terms(self.analyze(query), k=k, filters=filters)
+
+    def match_phrase(self, phrase: str | list[str], k: int = 10,
+                     filters: dict | None = None, slop: int = 0):
+        """Phrase top-k over the chain: per-epoch positional matching
+        (each doc's live version lives in exactly one epoch after
+        suppression), scored by BM25 over the phrase terms with the exact
+        CURRENT global stats — identical to a full-rebuild match_phrase."""
+        terms = (self.analyze(phrase) if isinstance(phrase, str)
+                 else list(phrase))
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        matched = []
+        for _, s, dead_after in self.entries:
+            if s is None:
+                continue
+            d = s.phrase_match_docs(terms, slop=slop)
+            if d.size and dead_after.size:
+                d = d[~_isin_sorted(d, dead_after)]
+            if d.size:
+                matched.append(d)
+        if not matched:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        md = np.unique(np.concatenate(matched))
+        if filters:
+            md = md[self.fields_mask(md, filters)]
+            if md.size == 0:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64))
+        # score matched docs: Σ over UNIQUE phrase terms, current stats
+        p = self.params
+        acc = np.zeros(md.size, dtype=np.float64)
+        for t in dict.fromkeys(terms):
+            d, tf, dl, df = self._surviving_lists(t)
+            if d.size == 0:
+                continue
+            idx = np.searchsorted(md, d.astype(np.int64))
+            idx = np.minimum(idx, md.size - 1)
+            hit = md[idx] == d.astype(np.int64)
+            sc = term_scores(tf, dl, df, p)
+            np.add.at(acc, idx[hit], sc[hit])
+        top = np.lexsort((md, -acc))[:k]
+        return md[top], acc[top]
+
+    def fields_mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:
+        """Filter mask resolving each docid against its LIVE epoch's
+        docvalues (latest epoch containing the docid wins)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        out = np.zeros(docids.size, dtype=bool)
+        resolved = np.zeros(docids.size, dtype=bool)
+        for _, s, _ in reversed(self.entries):  # latest epoch first
+            if s is None:
+                continue
+            fs = s.fields
+            if not len(fs.docids):
+                continue
+            idx = np.searchsorted(fs.docids, docids)
+            idx = np.minimum(idx, len(fs.docids) - 1)
+            present = (fs.docids[idx] == docids) & ~resolved
+            if present.any():
+                out[present] = fs.mask(docids[present], filters)
+                resolved |= present
+        return out
+
+    def get_fields(self, docids: np.ndarray, cols: list[str]) -> dict:
+        """Docstore retrieval across the chain (live epoch wins); missing
+        docids yield null."""
+        import pyarrow as pa
+        docids = np.asarray(docids, dtype=np.int64)
+        vals: dict[str, list] = {c: [None] * docids.size for c in cols}
+        resolved = np.zeros(docids.size, dtype=bool)
+        for _, s, _ in reversed(self.entries):
+            if s is None:
+                continue
+            fs = s.fields
+            if not len(fs.docids):
+                continue
+            idx = np.searchsorted(fs.docids, docids)
+            idx = np.minimum(idx, len(fs.docids) - 1)
+            present = (fs.docids[idx] == docids) & ~resolved
+            for i in np.flatnonzero(present):
+                for c in cols:
+                    vals[c][i] = fs.columns[c][idx[i]].item() \
+                        if hasattr(fs.columns[c][idx[i]], "item") \
+                        else fs.columns[c][idx[i]]
+            resolved |= present
+        return {c: pa.array(v) for c, v in vals.items()}

@@ -288,6 +288,14 @@ class Searcher:
         from ..codec import decode_positions
         return decode_positions(row["pos_blob"], tfs)
 
+    def phrase_match_docs(self, terms: list[str], slop: int = 0) -> np.ndarray:
+        """Docids (unsorted int64) whose positions contain the ordered
+        phrase within total gap ≤ slop — the match half of
+        :meth:`match_phrase`, scoring-free so multi-epoch serving can score
+        with its own (current) global stats."""
+        d, _ = self._phrase_impl(terms, k=None, slop=slop)
+        return d
+
     def match_phrase(self, phrase: str | list[str], k: int = 10,
                      filters: dict | None = None, slop: int = 0):
         """Phrase top-k: documents containing the analyzed terms in order,
@@ -303,6 +311,16 @@ class Searcher:
         Requires positions in the index (``build_index(with_positions=True)``).
         Returns (docids, scores) sorted by (-score, docid)."""
         terms = self.analyze(phrase) if isinstance(phrase, str) else list(phrase)
+        md, ms = self._phrase_impl(terms, k=None, slop=slop)
+        if md.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if filters:
+            m = self.fields.mask(md, filters)
+            md, ms = md[m], ms[m]
+        top = np.lexsort((md, -ms))[:k]
+        return md[top], ms[top]
+
+    def _phrase_impl(self, terms: list[str], k, slop: int = 0):
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         rows_by_term = self._lookup(terms)
@@ -363,13 +381,7 @@ class Searcher:
                                   for t in dict.fromkeys(terms)))
         if not matched:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        md = np.array(matched, dtype=np.int64)
-        ms = np.array(scores, dtype=np.float64)
-        if filters:
-            m = self.fields.mask(md, filters)
-            md, ms = md[m], ms[m]
-        top = np.lexsort((md, -ms))[:k]
-        return md[top], ms[top]
+        return np.array(matched, dtype=np.int64), np.array(scores, dtype=np.float64)
 
 
 class QueryScorer:

@@ -51,8 +51,9 @@ class ServeSession:
     epochs after the last full epoch), queries go through
     :class:`MultiEpochSearcher` — a single-epoch Searcher on the latest
     (tiny, delta-only) epoch would silently serve only the delta docs.
-    Phrase / filter / field features need the single-epoch artifacts and
-    return an explanatory error until compaction (a full epoch)."""
+    Filters, phrase/slop queries and field retrieval all work on the chain
+    (per-live-epoch docvalues / positional matching, current global
+    stats)."""
 
     def __init__(self, index_root: str, epoch: int | None = None,
                  warm: bool = True):
@@ -93,15 +94,22 @@ class ServeSession:
             k = int(req.get("k", 10))
             filters = _norm_filters(req.get("filters"))
             if self.multi is not None and op in ("query", "phrase"):
-                if op == "phrase" or filters or req.get("fields"):
-                    return {"id": rid, "ok": False,
-                            "error": "phrase/filter/field queries need a "
-                                     "compacted index (apply a mode='full' "
-                                     "epoch) — delta chain active"}
                 self.n_queries += 1
-                d, sc = self.multi.search(req["query"], k=k)
+                if op == "phrase":
+                    d, sc = self.multi.match_phrase(
+                        req["phrase"], k=k, filters=filters,
+                        slop=int(req.get("slop", 0)))
+                else:
+                    d, sc = self.multi.search(req["query"], k=k,
+                                              filters=filters)
                 hits = [{"doc_id": int(x), "rank": i + 1, "score": float(s)}
                         for i, (x, s) in enumerate(zip(d, sc))]
+                fields = req.get("fields")
+                if fields and len(d):
+                    fv = self.multi.get_fields(d, fields)
+                    for i, h in enumerate(hits):
+                        for c in fields:
+                            h[c] = fv[c][i].as_py()
                 return {"id": rid, "ok": True, "hits": hits}
             if op == "query":
                 self.n_queries += 1

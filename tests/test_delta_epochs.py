@@ -139,6 +139,70 @@ def test_delta_epoch_cost_is_o_delta(ray_session, base_dir, tmp_path):
     assert rows == 1
 
 
+def test_delta_chain_filters_and_phrase_match_full_rebuild(ray_session,
+                                                           tmp_path):
+    """Filtered BM25, phrase and docstore retrieval over a delta chain are
+    identical to a full rebuild with the same artifacts."""
+    d = tmp_path / "fbase"
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "url": [f"u{i}" for i in range(30)],
+        "text": [f"alpha beta doc{i}" if i % 2 else f"beta gamma doc{i}"
+                 for i in range(30)],
+        "lang": ["en" if i % 3 else "de" for i in range(30)],
+    }), str(d / "b.parquet"))
+    kw = dict(id_col="url", analyzer="simple", num_term_partitions=2,
+              num_buckets=4, hot_df_threshold=10**9,
+              with_positions=True, store_fields=["lang"])
+    root = str(tmp_path / "idx5")
+    apply_delta_epoch(root, None, 0, base_paths=[str(d / "b.parquet")], **kw)
+    dd = str(tmp_path / "fd1")
+    os.makedirs(dd)
+    pq.write_table(pa.table({
+        "url": ["u4", "u7", "u200"],
+        "text": ["alpha beta fresh", "", "beta alpha gamma"],
+        "lang": ["fr", "en", "de"],
+        "epoch": pa.array([1, 1, 1], pa.int64()),
+        "action": ["updated", "deleted", "created"],
+    }), os.path.join(dd, "d.parquet"))
+    apply_delta_epoch(root, [os.path.join(dd, "d.parquet")], 1,
+                      mode="delta", **kw)
+    ms = MultiEpochSearcher(root)
+
+    snap_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(snapshot_dir(root, 1))
+        for f in fs if f.endswith(".parquet"))
+    fresh = str(tmp_path / "fresh_filters")
+    build_index(snap_files, fresh, id_col="url", analyzer="simple",
+                num_term_partitions=2, hot_df_threshold=10**9,
+                with_positions=True, store_fields=["lang"])
+    ref = Searcher(fresh)
+
+    for flt in (None, {"lang": "de"}, {"lang": ("in", ["en"])}):
+        d1, sc1 = ms.search_terms(["alpha", "beta"], k=40, filters=flt)
+        d2, sc2 = ref.search_terms(["alpha", "beta"], k=40, filters=flt)
+        assert d1.tolist() == d2.tolist(), flt
+        assert np.allclose(sc1, sc2), flt
+
+    for ph, slop in (("alpha beta", 0), ("beta gamma", 0),
+                     ("alpha fresh", 1), ("beta doc3", 0)):
+        d1, sc1 = ms.match_phrase(ph, k=40, slop=slop)
+        d2, sc2 = ref.match_phrase(ph, k=40, slop=slop)
+        assert d1.tolist() == d2.tolist(), (ph, slop)
+        assert np.allclose(sc1, sc2), (ph, slop)
+
+    # docstore across the chain: live-epoch value wins
+    got = ms.get_fields(np.array([doc_id_hash("u4"), doc_id_hash("u1")]),
+                        ["lang"])
+    assert got["lang"].to_pylist() == ["fr", "en"]
+    # filters resolve against the LIVE epoch's value (u4 is fr now)
+    d1, _ = ms.search_terms(["fresh"], k=5, filters={"lang": "fr"})
+    assert set(d1.tolist()) == {doc_id_hash("u4")}
+    d2, _ = ms.search_terms(["fresh"], k=5, filters={"lang": "de"})
+    assert len(d2) == 0
+
+
 def test_compaction_restores_single_epoch(ray_session, base_dir, tmp_path):
     """A mode='full' epoch after deltas collapses the chain (compaction)."""
     root = str(tmp_path / "idx4")

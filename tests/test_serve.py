@@ -118,7 +118,8 @@ def test_serve_delta_chain_uses_multi_searcher(ray_session, tmp_path):
     }), os.path.join(base, "b.parquet"))
     root = str(tmp_path / "idx")
     kw = dict(id_col="url", analyzer="simple", num_term_partitions=2,
-              num_buckets=4, hot_df_threshold=10**9)
+              num_buckets=4, hot_df_threshold=10**9,
+              with_positions=True, store_fields=["url"])
     apply_delta_epoch(root, None, 0, base_paths=[os.path.join(base, "b.parquet")],
                       **kw)
     delta = str(tmp_path / "d.parquet")
@@ -130,16 +131,22 @@ def test_serve_delta_chain_uses_multi_searcher(ray_session, tmp_path):
 
     served, resps = _run(root, [
         {"op": "query", "id": 1, "query": "common", "k": 50},
-        {"op": "query", "id": 2, "query": "freshterm", "k": 5},
+        {"op": "query", "id": 2, "query": "freshterm", "k": 5,
+         "fields": ["url"]},
         {"op": "status", "id": 3},
         {"op": "phrase", "id": 4, "phrase": "common doc2"},
+        {"op": "query", "id": 5, "query": "common", "k": 50,
+         "filters": {"url": "u3"}},
         {"op": "quit"},
     ])
     by_id = {r["id"]: r for r in resps}
     assert len(by_id[1]["hits"]) == 12  # full corpus, not just the delta
     assert {h["doc_id"] for h in by_id[2]["hits"]} == {doc_id_hash("u1")}
+    assert by_id[2]["hits"][0]["url"] == "u1"  # docstore across the chain
     assert by_id[3]["mode"] == "delta-chain" and by_id[3]["n_docs"] == 12
-    assert by_id[4]["ok"] is False and "compacted" in by_id[4]["error"]
+    # phrase works on the chain (doc2's live version is in the base epoch)
+    assert {h["doc_id"] for h in by_id[4]["hits"]} == {doc_id_hash("u2")}
+    assert {h["doc_id"] for h in by_id[5]["hits"]} == {doc_id_hash("u3")}
 
 
 def test_heal_backfills_only_sick_tables(ray_session, tmp_path, corpus_dir):
