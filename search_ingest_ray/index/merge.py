@@ -24,7 +24,11 @@ are RE-SALTED in the output (sub-list s = docids ≡ s mod S at
 the layout the builder produces, so queries need no special casing and no
 merged partition exceeds the salting budget.  Cold terms merge to one
 unsalted list at their home partition; each input sub-list is consumed
-exactly once per output location that needs it.
+exactly once per output location that needs it.  Known trade: each
+merged-hot term's full list is gathered+deduped once per HOSTING output
+partition (≤ out_salt×, only for the few hot terms, spread across actors)
+— the exact global df stored on every sub-list requires the cross-class
+dedup, and hot terms are precisely where exact idf matters.
 
 Positional inputs are also carried through: the 4th (position) stream is
 decoded per posting, reordered with the docid merge, and re-encoded, so

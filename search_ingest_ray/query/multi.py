@@ -151,6 +151,8 @@ class MultiEpochSearcher:
         (each doc's live version lives in exactly one epoch after
         suppression), scored by BM25 over the phrase terms with the exact
         CURRENT global stats — identical to a full-rebuild match_phrase."""
+        if isinstance(phrase, str) and self.analyze is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         terms = (self.analyze(phrase) if isinstance(phrase, str)
                  else list(phrase))
         if not terms:
@@ -187,46 +189,54 @@ class MultiEpochSearcher:
         top = np.lexsort((md, -acc))[:k]
         return md[top], acc[top]
 
-    def fields_mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:
-        """Filter mask resolving each docid against its LIVE epoch's
-        docvalues (latest epoch containing the docid wins)."""
-        docids = np.asarray(docids, dtype=np.int64)
-        out = np.zeros(docids.size, dtype=bool)
+    def _resolve_live(self, docids: np.ndarray) -> np.ndarray:
+        """Per docid: the index (into self.entries) of its LIVE epoch, or
+        -1.  A docid is live in the latest epoch whose docvalues contain it
+        AND whose copy is not suppressed by a later epoch's dead set — a
+        deleted doc therefore resolves nowhere (parity with a full
+        rebuild, where it simply doesn't exist)."""
+        src = np.full(docids.size, -1, dtype=np.int64)
         resolved = np.zeros(docids.size, dtype=bool)
-        for _, s, _ in reversed(self.entries):  # latest epoch first
+        for i in range(len(self.entries) - 1, -1, -1):
+            _, s, dead_after = self.entries[i]
             if s is None:
                 continue
             fs = s.fields
             if not len(fs.docids):
                 continue
-            idx = np.searchsorted(fs.docids, docids)
-            idx = np.minimum(idx, len(fs.docids) - 1)
-            present = (fs.docids[idx] == docids) & ~resolved
-            if present.any():
-                out[present] = fs.mask(docids[present], filters)
-                resolved |= present
+            _, found = fs._locate(docids)
+            present = found & ~resolved
+            if dead_after.size:
+                present &= ~_isin_sorted(docids, dead_after)
+            src[present] = i
+            resolved |= present
+        return src
+
+    def fields_mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:
+        """Filter mask resolving each docid against its LIVE epoch's
+        docvalues; suppressed/deleted docids never match."""
+        docids = np.asarray(docids, dtype=np.int64)
+        out = np.zeros(docids.size, dtype=bool)
+        src = self._resolve_live(docids)
+        for i in np.unique(src[src >= 0]):
+            sel = src == i
+            fs = self.entries[int(i)][1].fields
+            out[sel] = fs.mask(docids[sel], filters)
         return out
 
     def get_fields(self, docids: np.ndarray, cols: list[str]) -> dict:
-        """Docstore retrieval across the chain (live epoch wins); missing
-        docids yield null."""
+        """Docstore retrieval across the chain (live epoch wins);
+        suppressed/deleted or unknown docids yield null."""
         import pyarrow as pa
         docids = np.asarray(docids, dtype=np.int64)
         vals: dict[str, list] = {c: [None] * docids.size for c in cols}
-        resolved = np.zeros(docids.size, dtype=bool)
-        for _, s, _ in reversed(self.entries):
-            if s is None:
-                continue
-            fs = s.fields
-            if not len(fs.docids):
-                continue
-            idx = np.searchsorted(fs.docids, docids)
-            idx = np.minimum(idx, len(fs.docids) - 1)
-            present = (fs.docids[idx] == docids) & ~resolved
-            for i in np.flatnonzero(present):
-                for c in cols:
-                    vals[c][i] = fs.columns[c][idx[i]].item() \
-                        if hasattr(fs.columns[c][idx[i]], "item") \
-                        else fs.columns[c][idx[i]]
-            resolved |= present
+        src = self._resolve_live(docids)
+        for i in np.unique(src[src >= 0]):
+            sel = np.flatnonzero(src == i)
+            fs = self.entries[int(i)][1].fields
+            got = fs.get(docids[sel], cols)  # vectorized, null-masked
+            for c in cols:
+                pyvals = got[c].to_pylist()
+                for j, v in zip(sel, pyvals):
+                    vals[c][j] = v
         return {c: pa.array(v) for c, v in vals.items()}

@@ -293,7 +293,7 @@ class Searcher:
         phrase within total gap ≤ slop — the match half of
         :meth:`match_phrase`, scoring-free so multi-epoch serving can score
         with its own (current) global stats."""
-        d, _ = self._phrase_impl(terms, k=None, slop=slop)
+        d, _ = self._phrase_impl(terms, slop=slop, want_scores=False)
         return d
 
     def match_phrase(self, phrase: str | list[str], k: int = 10,
@@ -311,7 +311,7 @@ class Searcher:
         Requires positions in the index (``build_index(with_positions=True)``).
         Returns (docids, scores) sorted by (-score, docid)."""
         terms = self.analyze(phrase) if isinstance(phrase, str) else list(phrase)
-        md, ms = self._phrase_impl(terms, k=None, slop=slop)
+        md, ms = self._phrase_impl(terms, slop=slop)
         if md.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         if filters:
@@ -320,7 +320,8 @@ class Searcher:
         top = np.lexsort((md, -ms))[:k]
         return md[top], ms[top]
 
-    def _phrase_impl(self, terms: list[str], k, slop: int = 0):
+    def _phrase_impl(self, terms: list[str], slop: int = 0,
+                     want_scores: bool = True):
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         rows_by_term = self._lookup(terms)
@@ -339,16 +340,15 @@ class Searcher:
                         "with_positions=True for phrase queries")
                 d, tf, dl = self._decode_list(row)
                 plists = self._decode_positions(row, tf)
-                sc = term_scores(tf, dl, row["df"], p)
                 docs.append(d.astype(np.int64))
                 poss.extend(zip(d.astype(np.int64).tolist(), plists))
-                scs.append(sc)
-            per_term.append({
-                "docids": np.concatenate(docs),
-                "pos": dict(poss),
-                "scores": dict(zip(np.concatenate(docs).tolist(),
-                                   np.concatenate(scs).tolist())),
-            })
+                if want_scores:
+                    scs.append(term_scores(tf, dl, row["df"], p))
+            ent = {"docids": np.concatenate(docs), "pos": dict(poss)}
+            if want_scores:
+                ent["scores"] = dict(zip(np.concatenate(docs).tolist(),
+                                         np.concatenate(scs).tolist()))
+            per_term.append(ent)
 
         # candidate docs: intersection across (possibly repeated) terms
         cand = per_term[0]["docids"]
@@ -377,11 +377,15 @@ class Searcher:
                 cur, g = nxt[keep], G[keep]
             if cur.size:
                 matched.append(doc)
-                scores.append(sum(ent_by_term[t]["scores"][doc]
-                                  for t in dict.fromkeys(terms)))
+                if want_scores:
+                    scores.append(sum(ent_by_term[t]["scores"][doc]
+                                      for t in dict.fromkeys(terms)))
         if not matched:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        return np.array(matched, dtype=np.int64), np.array(scores, dtype=np.float64)
+        md = np.array(matched, dtype=np.int64)
+        ms = (np.array(scores, dtype=np.float64) if want_scores
+              else np.zeros(md.size, dtype=np.float64))
+        return md, ms
 
 
 class QueryScorer:

@@ -133,6 +133,12 @@ class ServeSession:
                     slop=int(req.get("slop", 0)))
                 hits = [{"doc_id": int(x), "rank": i + 1, "score": float(s)}
                         for i, (x, s) in enumerate(zip(d, sc))]
+                fields = req.get("fields")
+                if fields and len(d):
+                    fv = self.searcher.fields.get(d, fields)
+                    for i, h in enumerate(hits):
+                        for c in fields:
+                            h[c] = fv[c][i].as_py()
                 return {"id": rid, "ok": True, "hits": hits}
             return {"id": rid, "ok": False, "error": f"unknown op {op!r}"}
         except Exception as e:  # noqa: BLE001 — daemon must not die per-request

@@ -201,6 +201,12 @@ def test_delta_chain_filters_and_phrase_match_full_rebuild(ray_session,
     assert set(d1.tolist()) == {doc_id_hash("u4")}
     d2, _ = ms.search_terms(["fresh"], k=5, filters={"lang": "de"})
     assert len(d2) == 0
+    # DELETED docs resolve to null / never match (full-rebuild parity):
+    # u7 was deleted in epoch 1 but its stale fields row exists in epoch 0
+    dead_got = ms.get_fields(np.array([doc_id_hash("u7")]), ["lang"])
+    assert dead_got["lang"].to_pylist() == [None]
+    assert not ms.fields_mask(np.array([doc_id_hash("u7")]),
+                              {"lang": "en"}).any()
 
 
 def test_compaction_restores_single_epoch(ray_session, base_dir, tmp_path):
