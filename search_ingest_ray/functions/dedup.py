@@ -58,9 +58,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # -- shared vectorized pair emission ----------------------------------------
 
 
-def _bucket_runs(group: pa.Table, key_cols: list[str]):
+def _bucket_runs(group: pa.Table, key_cols: list[str], min_size: int = 2):
     """Sort one hash partition by bucket key and return (table, starts, ends)
-    of multi-member runs — the only buckets that can emit pairs."""
+    of runs with ≥ ``min_size`` members (pair emission wants ≥2 — the only
+    buckets that can emit pairs; ANN probe scoring wants every run)."""
     group = group.combine_chunks()
     group = group.take(pc.sort_indices(
         group, sort_keys=[(k, "ascending") for k in key_cols] + [("id", "ascending")]))
@@ -74,8 +75,8 @@ def _bucket_runs(group: pa.Table, key_cols: list[str]):
         same &= pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
     bounds = np.concatenate([[0], np.flatnonzero(~same) + 1, [n]])
     starts, ends = bounds[:-1], bounds[1:]
-    multi = (ends - starts) > 1
-    return group, starts[multi], ends[multi]
+    keep = (ends - starts) >= min_size
+    return group, starts[keep], ends[keep]
 
 
 _PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])

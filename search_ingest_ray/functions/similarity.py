@@ -5,18 +5,30 @@
   top-k candidates, so the final exact reduce sees ≤ k×num_blocks rows —
   never the full corpus (the "broadcast small side, never shuffle the big
   side" join pattern).
-- LSH-bucketed variant (scale path): random-hyperplane signatures bucket
-  vectors; queries probe only their own bucket (+ optional multiprobe),
-  trading recall for a ~num_buckets× read reduction.
+- LSH-bucketed ANN (scale path): random-hyperplane signatures bucket
+  vectors; queries probe only their own bucket (+ multiprobe bit flips for
+  recall).  Scoring is hash-partitioned on the bucket key with
+  memory-bounded blockwise matmuls — NO per-bucket pandas group and no
+  unbounded per-task materialization.
+- Embedding near-dup: multi-table LSH banding → (table, bucket) keys →
+  hash-partitioned vectorized pair emission (same shape as the
+  simhash/minhash candidates path in ``dedup.py``) → native distinct.
+  The shuffle key is (table, bucket); per-partition pair work is blockwise
+  gram matmuls bounded by ``block``² regardless of bucket size.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
+
+from ..stages.fold import _tag_partition, _PART_COL
+from .dedup import _bucket_runs, _distinct_pairs
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -67,54 +79,139 @@ def _topk_partial(batch: pa.Table, *, q_ref, k: int, id_col: str,
     })
 
 
+def _final_topk_group(g: pa.Table, *, k: int) -> pa.Table:
+    """Arrow-native per-query exact top-k reduce over the ≤ k×blocks
+    partial candidates: sort by (-cos, vec_id), head k, append rank."""
+    g = g.combine_chunks()
+    idx = pc.sort_indices(g, sort_keys=[("cos", "descending"),
+                                        ("vec_id", "ascending")])
+    g = g.take(idx.slice(0, min(k, len(idx))))
+    return g.append_column(
+        "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+
 def knn_cosine(ds, query_vecs, k: int = 10, id_col: str = "vec_id",
                vec_col: str = "embedding", round_to: int | None = None):
     """Exact cosine top-k per query vector.  Returns a Dataset with columns
-    (query_id, vec_id, cos) — k rows per query, sorted by (-cos, vec_id)."""
+    (query_id, vec_id, cos, rank) — k rows per query, sorted by (-cos, vec_id)."""
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(q)
     partial = ds.map_batches(
         _topk_partial, batch_format="pyarrow", batch_size=4096,
         fn_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col,
                        round_to=round_to))
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_final_topk_group, k=k), batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+# -- embedding near-duplicate pairs (banded multi-table LSH) -----------------
+
+_NDUP_PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("cos", pa.float64())])
+
+
+def _vec_list_array(flat: np.ndarray, dim: int) -> pa.Array:
+    return pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), dim)
+
+
+def _neardup_explode(batch: pa.Table, *, planes: np.ndarray, id_col: str,
+                     vec_col: str) -> pa.Table:
+    """doc → ``ntables`` rows (table, bucket, id, vec).  The shuffle key is
+    the (table, bucket) pair — raw vectors ride along once per table, the
+    heavy text/html columns never enter the exchange."""
+    if batch.num_rows == 0:
+        dim = planes.shape[2]
+        return pa.table({
+            "table": pa.array([], pa.int32()),
+            "bucket": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+            "vec": _vec_list_array(np.empty(0, np.float64), dim)})
+    m = _as_matrix(batch[vec_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n, dim = m.shape
+    ntables = planes.shape[0]
+    tables, buckets = [], []
+    for t in range(ntables):
+        bits = (m @ planes[t].T) > 0
+        b = np.zeros(n, dtype=np.int64)
+        for i in range(planes.shape[1]):
+            b |= bits[:, i].astype(np.int64) << i
+        tables.append(np.full(n, t, dtype=np.int32))
+        buckets.append(b)
+    return pa.table({
+        "table": pa.array(np.concatenate(tables)),
+        "bucket": pa.array(np.concatenate(buckets)),
+        "id": pa.array(np.tile(ids, ntables)),
+        "vec": _vec_list_array(np.tile(m.ravel(), ntables), dim),
+    })
+
+
+def _neardup_pairs_partition(group: pa.Table, *, threshold: float,
+                             block: int) -> pa.Table:
+    """Exact-cosine pair emission for one hash partition: per multi-member
+    (table, bucket) run, blockwise gram matmuls (≤ block² floats live at
+    once) — bucket size bounds memory no more."""
+    group, starts, ends = _bucket_runs(group, ["table", "bucket"])
+    if len(starts) == 0:
+        return _NDUP_PAIRS_SCHEMA.empty_table()
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    m = _normalize(_as_matrix(group["vec"]))
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        uniq, first = np.unique(ids[s:e], return_index=True)
+        sub = m[s:e][first]
+        mlen = len(uniq)
+        if mlen < 2:
+            continue
+        for i0 in range(0, mlen, block):
+            mi = sub[i0:i0 + block]
+            for j0 in range(i0, mlen, block):
+                sims = mi @ sub[j0:j0 + block].T
+                mask = sims >= threshold
+                if i0 == j0:
+                    mask &= np.triu(np.ones(sims.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(mask)
+                if ii.size:
+                    out_a.append(uniq[i0 + ii])
+                    out_b.append(uniq[j0 + jj])
+                    out_c.append(sims[ii, jj])
+    if not out_a:
+        return _NDUP_PAIRS_SCHEMA.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b)),
+                     "cos": pa.array(np.concatenate(out_c))})
 
 
 def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                       vec_col: str = "embedding", nbits: int = 6, seed: int = 11):
+                       vec_col: str = "embedding", nbits: int = 6,
+                       seed: int = 11, ntables: int = 1,
+                       num_partitions: int = 32, block: int = 1024):
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
-    Scale shape: LSH-bucket the vectors (random hyperplanes), compute exact
-    pairwise cosines only within buckets.  High-threshold near-dups almost
-    always share a bucket (few sign flips across hyperplanes); recall-vs-
-    cost is tuned by nbits.  The per-bucket work is one numpy gram matrix.
-    """
+    Scale shape (mirrors ``dedup.simhash_candidates``): ``ntables``
+    independent hyperplane tables band each vector into (table, bucket)
+    keys; candidate buckets are hash-partitioned and pairs are emitted by
+    blockwise exact-cosine matmuls, then deduped across tables by a NATIVE
+    groupby — no global buckets, no per-bucket pandas gram, no task whose
+    memory grows with bucket size.  Recall is tuned by (nbits, ntables):
+    grow nbits with log2(N) to keep expected bucket size flat; add tables
+    to recover the recall a finer bucketing loses.  Table 0 with the same
+    seed reproduces the legacy single-table bucketing exactly."""
     dim = len(ds.take(1)[0][vec_col])
-    planes = _hyperplanes(dim, nbits, seed)
-    bucketed = ds.map_batches(lsh_bucket_batch, batch_format="pyarrow",
-                              fn_kwargs=dict(planes=planes, vec_col=vec_col))
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
-        ids = g[id_col].to_numpy()
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                 for v in g[vec_col]]))
-        sims = m @ m.T
-        iu = np.triu_indices(len(g), k=1)
-        mask = sims[iu] >= threshold
-        a = np.minimum(ids[iu[0][mask]], ids[iu[1][mask]])
-        b = np.maximum(ids[iu[0][mask]], ids[iu[1][mask]])
-        return pd.DataFrame({"a": a, "b": b, "cos": sims[iu][mask]})
-
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    planes = np.stack([_hyperplanes(dim, nbits, seed + t)
+                       for t in range(ntables)])
+    exploded = ds.map_batches(
+        _neardup_explode, batch_format="pyarrow",
+        fn_kwargs=dict(planes=planes, id_col=id_col, vec_col=vec_col))
+    tagged = exploded.map_batches(
+        functools.partial(_tag_partition, key_cols=["table", "bucket"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    cand = tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_neardup_pairs_partition, threshold=threshold,
+                          block=block),
+        batch_format="pyarrow")
+    return _distinct_pairs(cand, extra_min="cos")
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -271,56 +368,120 @@ def ann_ivf(ds, query_vecs, k: int = 10, nlist: int = 16, nprobe: int = 2,
         _ivf_topk_partial, batch_format="pyarrow", batch_size=4096,
         fn_kwargs=dict(q_ref=q_ref, probe_ref=probe_ref, k=k,
                        id_col=id_col, vec_col=vec_col))
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_final_topk_group, k=k), batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+# -- LSH ANN with multiprobe (scale path) ------------------------------------
+
+_ANN_PARTIAL_SCHEMA = pa.schema([("query_id", pa.int64()),
+                                 ("vec_id", pa.int64()),
+                                 ("cos", pa.float64())])
+
+
+def _ann_prepare(batch: pa.Table, *, planes: np.ndarray, wanted: np.ndarray,
+                 id_col: str, vec_col: str) -> pa.Table:
+    """Fused bucket + probe-filter + project: emits (bucket, id, vec) only
+    for rows landing in a probed bucket — everything else is dropped before
+    the exchange, so the shuffle moves ~(probed buckets / 2^nbits) of the
+    data."""
+    dim = planes.shape[1]
+    if batch.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int64()),
+                         "vec": _vec_list_array(np.empty(0, np.float64), dim)})
+    m = _as_matrix(batch[vec_col])
+    bits = (m @ planes.T) > 0
+    b = np.zeros(len(m), dtype=np.int64)
+    for i in range(planes.shape[0]):
+        b |= bits[:, i].astype(np.int64) << i
+    keep = np.isin(b, wanted)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"bucket": pa.array(b[keep]),
+                     "id": pa.array(ids[keep]),
+                     "vec": _vec_list_array(m[keep].ravel(), m.shape[1])})
+
+
+def _ann_score_partition(group: pa.Table, *, q_norm: np.ndarray,
+                         bucket2q: dict, k: int, block: int) -> pa.Table:
+    """Score one hash partition: per bucket run, matmul the probing queries
+    against the run's vectors in ``block``-row slices, emitting each
+    block's local top-k — the global per-query reduce merges them.  Memory
+    per task ≤ Q×block floats no matter how large a bucket grows."""
+    group, starts, ends = _bucket_runs(group, ["bucket"], min_size=1)
+    if len(starts) == 0:
+        return _ANN_PARTIAL_SCHEMA.empty_table()
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    buckets = group["bucket"].to_numpy(zero_copy_only=False)
+    m = _normalize(_as_matrix(group["vec"]))
+    out_q, out_v, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        qidx = bucket2q.get(int(buckets[s]))
+        if not qidx:
+            continue
+        qsub = q_norm[qidx]
+        for i0 in range(s, e, block):
+            sl = slice(i0, min(i0 + block, e))
+            sims = qsub @ m[sl].T      # (Qb, ≤block)
+            bids = ids[sl]
+            kk = min(k, sims.shape[1])
+            for row_i, qi in enumerate(qidx):
+                row = sims[row_i]
+                idx = np.lexsort((bids, -row))[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_v.append(bids[idx])
+                out_c.append(row[idx])
+    if not out_q:
+        return _ANN_PARTIAL_SCHEMA.empty_table()
+    return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                     "vec_id": pa.array(np.concatenate(out_v)),
+                     "cos": pa.array(np.concatenate(out_c))})
 
 
 def ann_lsh(ds, query_vecs, k: int = 10, nbits: int = 8, id_col: str = "vec_id",
-            vec_col: str = "embedding", seed: int = 11):
-    """Approximate top-k: probe only each query's LSH bucket.
+            vec_col: str = "embedding", seed: int = 11, multiprobe: int = 1,
+            num_partitions: int = 32, block: int = 4096):
+    """Approximate top-k: probe each query's own LSH bucket plus its
+    ``multiprobe`` nearest neighbor buckets (flip the lowest-|margin| bits
+    — the hyperplanes the query sits closest to, hence the most likely
+    sign flips of its true neighbors).
 
-    Partitioning assumption (documented per SURVEY §2.2 custom-operator
-    rule): vectors are grouped by ``bucket``; recall depends on nbits and
-    data distribution — this is the 10^12-scale path where brute force is
-    infeasible; the brute-force `knn_cosine` is the correctness baseline."""
+    Scale shape: candidates are hash-partitioned on the bucket key and
+    scored with blockwise matmuls (no per-bucket pandas group, no task
+    memory proportional to bucket size); the per-query exact reduce sees
+    ≤ k × scored-blocks rows.  Partitioning assumption (SURVEY §2.2):
+    recall depends on (nbits, multiprobe) and data distribution — the
+    brute-force `knn_cosine` is the correctness baseline."""
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     planes = _hyperplanes(q.shape[1], nbits, seed)
-    bucketed = ds.map_batches(lsh_bucket_batch, batch_format="pyarrow",
-                              fn_kwargs=dict(planes=planes, vec_col=vec_col))
-    qbits = (q @ planes.T) > 0
+    qn = _normalize(q)
+    margins = qn @ planes.T                      # (Q, nbits) signed distances
+    qbits = margins > 0
     qbuckets = np.zeros(len(q), dtype=np.int64)
     for i in range(nbits):
         qbuckets |= qbits[:, i].astype(np.int64) << i
-    wanted = pa.array(sorted(set(qbuckets.tolist())), pa.int64())
-
-    def keep_wanted(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.is_in(t["bucket"], value_set=wanted))
-
-    cand = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
-    qn = _normalize(q)
-
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["bucket"].iloc[0])
-        qidx = [i for i, qb in enumerate(qbuckets.tolist()) if qb == b]
-        if not qidx:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
-        sims = qn[qidx] @ m.T
-        out_q, out_v, out_c = [], [], []
-        ids = g[id_col].to_numpy()
-        for row_i, qi in enumerate(qidx):
-            row = sims[row_i]
-            idx = np.lexsort((ids, -row))[:k]
-            out_q.extend([qi] * len(idx))
-            out_v.extend(ids[idx])
-            out_c.extend(row[idx])
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
-
-    return cand.groupby("bucket").map_groups(score, batch_format="pandas")
+    bucket2q: dict[int, list[int]] = {}
+    flip_order = np.argsort(np.abs(margins), axis=1, kind="stable")
+    for qi in range(len(q)):
+        probes = [int(qbuckets[qi])]
+        for j in range(min(multiprobe, nbits)):
+            probes.append(int(qbuckets[qi]) ^ (1 << int(flip_order[qi, j])))
+        for b in probes:
+            bucket2q.setdefault(b, [])
+            if qi not in bucket2q[b]:
+                bucket2q[b].append(qi)
+    wanted = np.array(sorted(bucket2q), dtype=np.int64)
+    cand = ds.map_batches(
+        _ann_prepare, batch_format="pyarrow",
+        fn_kwargs=dict(planes=planes, wanted=wanted, id_col=id_col,
+                       vec_col=vec_col))
+    tagged = cand.map_batches(
+        functools.partial(_tag_partition, key_cols=["bucket"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    partial = tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_ann_score_partition, q_norm=qn, bucket2q=bucket2q,
+                          k=k, block=block),
+        batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_final_topk_group, k=k), batch_format="pyarrow")

@@ -560,6 +560,7 @@ def build_index(input_paths, index_root: str, *,
                 num_term_partitions: int | None = None,
                 chunk_files: int = 16,
                 hot_df_threshold: int | None = None, hot_salt: int = 8,
+                hot_candidate_cap: int = 200_000,
                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                 epoch: int = 0, resume: bool = True,
                 batch_size: int = 1024, concurrency: int | None = None,
@@ -815,14 +816,23 @@ def build_index(input_paths, index_root: str, *,
     candidates: set = set()
     if n_postings:
         sample_files, sampled_rows = _sample_files(post_files, 2_000_000)
-        cand_rows = rd.read_parquet(sample_files, columns=["term"]).map_batches(
+        cand_ds = rd.read_parquet(sample_files, columns=["term"]).map_batches(
             _hot_candidates_batch, batch_format="pyarrow", batch_size=131072,
             fn_kwargs=dict(threshold=hot_df_threshold,
-                           total_rows=n_postings)).take_all()
+                           total_rows=n_postings))
+        # enforce the cap DISTRIBUTED, before anything reaches the driver:
+        # sum the per-batch partials per term, keep the top-cap by count —
+        # the take_all below is bounded by hot_candidate_cap rows no matter
+        # how pathological the vocabulary/threshold combination is.  Terms
+        # trimmed here just lose salting (correctness unaffected: cold
+        # terms compute exact df inside their single partition).
+        cand_rows = (cand_ds.groupby("term").sum("cnt")
+                     .sort("sum(cnt)", descending=True)
+                     .limit(hot_candidate_cap).take_all())
         candidates = {r["term"] for r in cand_rows}
-        if len(candidates) > 200_000:
-            log.warning("hot-candidate set unexpectedly large (%d); keeping "
-                        "top by partial count", len(candidates))
+        if len(candidates) >= hot_candidate_cap:
+            log.warning("hot-candidate set hit the cap (%d); kept the top "
+                        "by partial count", hot_candidate_cap)
 
     if any("tokens" not in c for c in manifest["chunks"].values()):
         # manifest predates per-chunk token sums (resume from an older

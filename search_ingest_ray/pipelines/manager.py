@@ -15,12 +15,60 @@ the per-index ``index_meta.json`` fingerprint check inside build_index.
 
 from __future__ import annotations
 
+import importlib
 import os
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from ..index.build import build_index, reindex
 from ..util import read_json
+
+# -- lazy-import warm-up -----------------------------------------------------
+# Concurrent first-builds used to race Ray Data's lazily-imported reader
+# machinery (fsspec / pyarrow.fs / the parquet datasource): thread A begins
+# importing a module, thread B observes the partially-initialised module in
+# sys.modules and raises ImportError.  CPython's per-module import locks do
+# not protect attribute access on a module mid-initialisation via lazy
+# `__getattr__` hooks.  Root-cause fix: import the whole reader dependency
+# chain ONCE, serialized behind a lock, before any thread pool fans out.
+
+_WARM_LOCK = threading.Lock()
+_WARMED = False
+
+_LAZY_MODULES = (
+    "fsspec",
+    "fsspec.implementations.local",
+    "pyarrow.fs",
+    "pyarrow.dataset",
+    "pyarrow.parquet",
+    "pandas",
+    "ray.data",
+    "ray.data._internal.datasource.parquet_datasource",
+    "ray.data._internal.datasource.parquet_datasink",
+    "ray.data._internal.arrow_block",
+    "ray.data._internal.planner",
+)
+
+
+def warm_lazy_imports() -> None:
+    """Eagerly import every module the build path touches lazily, once per
+    process.  Safe to call from any thread; idempotent."""
+    global _WARMED
+    if _WARMED:
+        return
+    with _WARM_LOCK:
+        if _WARMED:
+            return
+        for mod in _LAZY_MODULES:
+            try:
+                importlib.import_module(mod)
+            except ImportError:
+                # module path moved between Ray versions — the ones that
+                # exist still cover the chain; missing ones are harmless
+                pass
+        _WARMED = True
 
 
 @dataclass
@@ -50,25 +98,30 @@ class TableManager:
         """All tables concurrently; all-success aggregation — a failed table
         raises after the others finish (vs the reference's boolean)."""
         self.load_state = "loading"
+        warm_lazy_imports()   # serialize lazy reader imports BEFORE fan-out
         results: dict[str, dict] = {}
         errors: dict[str, Exception] = {}
 
         def one(t: ManagedTable):
-            # concurrent first-reads can race Ray's lazy fsspec import
-            # (partial module → ImportError not caught upstream); one retry
-            # lands after the import settles
-            for attempt in range(2):
+            # warm_lazy_imports() removes the known import race; keep a
+            # belt-and-braces retry for any residual lazy import, serialized
+            # behind the warm lock and preserving the real exception
+            last: Exception | None = None
+            for attempt in range(3):
                 try:
                     results[t.name] = build_index(
                         t.input_paths, self.index_root(t.name), epoch=epoch,
                         **t.build_kwargs)
                     return
-                except ImportError:
-                    if attempt == 1:
-                        errors[t.name] = ImportError("import race persisted")
+                except ImportError as e:
+                    last = e
+                    with _WARM_LOCK:     # let any in-flight import settle
+                        time.sleep(0.2 * (attempt + 1))
                 except Exception as e:  # noqa: BLE001 — aggregated below
                     errors[t.name] = e
                     return
+            errors[t.name] = last if last is not None else RuntimeError(
+                "backfill retries exhausted")
 
         with ThreadPoolExecutor(max_workers=self.max_concurrent) as ex:
             list(ex.map(one, self.tables.values()))

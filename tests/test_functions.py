@@ -132,6 +132,79 @@ def test_ann_ivf_clustered_recall(rd):
     assert (out["vec_id"] < 25).all()
 
 
+def test_embedding_near_dup_recall_and_precision(rd):
+    """Clustered fixture: every brute-force pair with cos ≥ threshold must
+    be found (recall 1 via multi-table banding), and every emitted pair
+    must truly have cos ≥ threshold (exact verify ⇒ precision 1)."""
+    from search_ingest_ray.functions.similarity import embedding_near_dup
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((30, 16))
+    dups = base[:12] + 0.02 * rng.standard_normal((12, 16))
+    vecs = np.vstack([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float64())),
+    })
+    thr = 0.97
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(vecs), k=1)
+    oracle = {(int(a), int(b)) for a, b in
+              zip(iu[0][sims[iu] >= thr], iu[1][sims[iu] >= thr])}
+    assert len(oracle) >= 10  # fixture actually plants near-dups
+    out = embedding_near_dup(rd.from_arrow(tbl), threshold=thr,
+                             nbits=5, ntables=6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out.a, out.b)}
+    assert got >= oracle, f"missed {oracle - got}"
+    for a, b in got:  # exact verification: no false positives
+        assert sims[a, b] >= thr
+
+
+def test_embedding_near_dup_blockwise_identical(rd):
+    """The blockwise gram (memory bound) emits the same pair set as one
+    big matmul (block larger than any bucket)."""
+    from search_ingest_ray.functions.similarity import embedding_near_dup
+    rng = np.random.default_rng(22)
+    base = rng.standard_normal((20, 8))
+    vecs = np.vstack([base, base[:8] + 0.01 * rng.standard_normal((8, 8))])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float64())),
+    })
+    kw = dict(threshold=0.95, nbits=2, ntables=3)
+    big = embedding_near_dup(rd.from_arrow(tbl), block=4096, **kw).to_pandas()
+    small = embedding_near_dup(rd.from_arrow(tbl), block=4, **kw).to_pandas()
+    key = lambda df: sorted(zip(df.a, df.b))  # noqa: E731
+    assert key(big) == key(small)
+
+
+def test_ann_lsh_multiprobe_recall_vs_brute_force(rd):
+    """Multiprobe recovers neighbors that fall one hyperplane flip away:
+    recall@5 vs knn_cosine must be high on a clustered fixture, and the
+    top hit must agree with brute force."""
+    rng = np.random.default_rng(23)
+    centers = np.eye(5, 24) * 8.0
+    vecs = np.concatenate([
+        centers[c] + 0.1 * rng.standard_normal((20, 24))
+        for c in range(5)]).astype(np.float64)
+    tbl = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float64())),
+    })
+    queries = [vecs[7], vecs[33], vecs[88]]
+    exact = knn_cosine(rd.from_arrow(tbl), queries, k=5).to_pandas()
+    approx = ann_lsh(rd.from_arrow(tbl), queries, k=5, nbits=6,
+                     multiprobe=3).to_pandas()
+    hits = total = 0
+    for qi in range(3):
+        e = exact[exact.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        a = set(approx[approx.query_id == qi]["vec_id"].tolist())
+        assert e[0] in a  # brute-force top-1 recovered
+        hits += len(set(e) & a)
+        total += len(e)
+    assert hits / total >= 0.8
+
+
 def test_ann_lsh_finds_self(rd):
     rng = np.random.default_rng(4)
     vecs = rng.standard_normal((100, 16)).astype(np.float32)

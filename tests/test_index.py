@@ -85,6 +85,27 @@ def test_hot_term_salted_lists_agree_with_oracle(built):
     assert np.allclose(sc_eng, sc_or, rtol=1e-9)
 
 
+def test_hot_candidate_cap_bounds_driver_set(ray_session, corpus_dir,
+                                             tmp_path):
+    """A pathological threshold floods the candidate pass; the cap must
+    trim the set DISTRIBUTED (≤ cap terms ever reach the driver) without
+    changing any query result — trimmed terms just lose salting."""
+    root = str(tmp_path / "idx_capped")
+    m = build_index(corpus_dir, root, html_col="html", chunk_files=2,
+                    num_term_partitions=4, hot_df_threshold=2, hot_salt=2,
+                    hot_candidate_cap=3)
+    # bounded: only the top-3 candidates by partial count survived, so at
+    # most 3 terms can be salted/hot
+    assert len(m["stats"]["hot_terms"]) <= 3
+    texts, ids = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    for terms in query_set(seed=5, n=8):
+        d_eng, sc_eng = s.search_terms(terms, k=10)
+        d_or, sc_or = oracle_topk(texts, ids, terms, k=10)
+        assert np.array_equal(d_eng, d_or)
+        assert np.allclose(sc_eng, sc_or, rtol=1e-9, atol=1e-12)
+
+
 def test_resume_skips_done_chunks(built, tmp_path):
     root, manifest, corpus_dir = built
     # simulate crash: wipe segments + stage-2 manifest state, keep chunks
