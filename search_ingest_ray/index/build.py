@@ -111,9 +111,11 @@ def _link_tree(src: str, dst: str) -> None:
 
 
 def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
-                  store_fields: list[str]) -> pa.Table:
-    """Docvalues rows: (docid, field...) — docid derived exactly as in
-    posting emission so the sidecar joins postings without any lookup."""
+                  store_fields: list[str], field_shards: int = 1) -> pa.Table:
+    """Docvalues rows: (docid, field..., fshard) — docid derived exactly as
+    in posting emission so the sidecar joins postings without any lookup.
+    ``fshard`` range-partitions the sidecar by docid high bits so a query
+    actor loads only the shards its candidate docids touch (FieldStore)."""
     if id_is_int:
         docids = batch[id_col].cast(pa.int64())
     else:
@@ -121,6 +123,11 @@ def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
     cols = {"docid": docids}
     for f in store_fields:
         cols[f] = batch[f]
+    import numpy as _np
+    width = -(-(1 << 63) // max(1, field_shards))
+    d = docids.to_numpy(zero_copy_only=False) if hasattr(docids, "to_numpy") \
+        else _np.asarray(docids)
+    cols["fshard"] = pa.array((_np.abs(d) // width).astype(_np.int32))
     return pa.table(cols)
 
 
@@ -561,6 +568,7 @@ def build_index(input_paths, index_root: str, *,
                 chunk_files: int = 16,
                 hot_df_threshold: int | None = None, hot_salt: int = 8,
                 hot_candidate_cap: int = 200_000,
+                field_shards: int = 16,
                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                 epoch: int = 0, resume: bool = True,
                 batch_size: int = 1024, concurrency: int | None = None,
@@ -639,6 +647,12 @@ def build_index(input_paths, index_root: str, *,
     manifest_path = os.path.join(ed, "manifest.json")
 
     store_fields = sorted(store_fields) if store_fields else []
+    if store_fields:
+        os.makedirs(fields_dir, exist_ok=True)
+        # self-describing shard layout so FieldStore can map candidate
+        # docids -> shards without out-of-band config
+        atomic_write_json(os.path.join(fields_dir, "meta.json"),
+                          {"field_shards": int(field_shards)})
 
     # --- index meta / consistency check (G4/G5 analog) ---------------------
     meta_path = os.path.join(index_root, "index_meta.json")
@@ -720,17 +734,45 @@ def build_index(input_paths, index_root: str, *,
                 # its postings (and fields) instead of re-tokenizing —
                 # the O(delta) incremental-epoch path (ref sync touches only
                 # changed docs, table.cr:25-46)
-                psrc = os.path.join(reuse_dir, "postings", f"chunk={cid}")
-                if os.path.isdir(psrc):  # empty buckets have no postings dir
-                    _link_tree(psrc, os.path.join(postings_dir, f"chunk={cid}"))
-                fsrc = os.path.join(reuse_dir, "fields", f"chunk={cid}")
-                if os.path.isdir(fsrc):
-                    _link_tree(fsrc, os.path.join(fields_dir, f"chunk={cid}"))
-                manifest["chunks"][cid] = {**prev, "files": files,
-                                           "reused_from_epoch": reuse_from_epoch}
-                atomic_write_json(manifest_path, manifest)
-                chunks_changed = True
-                continue
+                src_meta = read_json(os.path.join(
+                    reuse_dir, "fields", "meta.json")) if os.path.isfile(
+                    os.path.join(reuse_dir, "fields", "meta.json")) else None
+                same_shards = (not store_fields) or (
+                    src_meta is not None
+                    and src_meta.get("field_shards") == field_shards)
+                if not same_shards:
+                    # shard layout changed: fields must be regenerated, and
+                    # they are only written together with postings — fall
+                    # through to a full rebuild of this chunk
+                    pass
+                else:
+                    psrc = os.path.join(reuse_dir, "postings", f"chunk={cid}")
+                    if os.path.isdir(psrc):  # empty buckets: no postings dir
+                        _link_tree(psrc,
+                                   os.path.join(postings_dir, f"chunk={cid}"))
+                    fsrc = os.path.join(reuse_dir, "fields", f"chunk={cid}")
+                    if os.path.isdir(fsrc):
+                        # fshard=S subdirs survive the link (recursive)
+                        import shutil as _rsh
+                        dstc = os.path.join(fields_dir, f"chunk={cid}")
+                        for rdir, _, rfs in os.walk(fsrc):
+                            rel = os.path.relpath(rdir, fsrc)
+                            dd = os.path.join(dstc, rel) if rel != "." else dstc
+                            os.makedirs(dd, exist_ok=True)
+                            for f in rfs:
+                                sp = os.path.join(rdir, f)
+                                dp = os.path.join(dd, f)
+                                if os.path.isfile(sp) and not os.path.exists(dp):
+                                    try:
+                                        os.link(sp, dp)
+                                    except OSError:
+                                        _rsh.copy2(sp, dp)
+                    manifest["chunks"][cid] = {
+                        **prev, "files": files,
+                        "reused_from_epoch": reuse_from_epoch}
+                    atomic_write_json(manifest_path, manifest)
+                    chunks_changed = True
+                    continue
         chunks_changed = True
         if not files:  # empty bucket holds its chunk slot
             manifest["chunks"][cid] = {"files": [], "rows": 0, "tokens": 0,
@@ -767,8 +809,11 @@ def build_index(input_paths, index_root: str, *,
             fds = fds.map_batches(
                 _fields_batch, batch_format="pyarrow", batch_size=8192,
                 fn_kwargs=dict(id_col=id_col, id_is_int=id_is_int,
-                               store_fields=store_fields))
-            fds.write_parquet(fout)
+                               store_fields=store_fields,
+                               field_shards=field_shards))
+            # hive-partitioned by docid-range shard: chunk=N/fshard=S/ —
+            # query actors load only touched shards (query/fields.py)
+            fds.write_parquet(fout, partition_cols=["fshard"])
         # per-chunk token sum: a cheap projected read-back of one int32
         # column, recorded in the lineage so corpus stats need no extra
         # full pass later

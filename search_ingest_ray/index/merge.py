@@ -381,10 +381,14 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
     # merged docvalues/docstore sidecar: hard-link every input's field
     # chunks (disjoint docids → concatenation is the merged store)
     fields_out = os.path.join(ed, "fields")
+    shard_counts = set()
     for i, (r, e) in enumerate(zip(roots, epochs)):
         src = os.path.join(epoch_dir(r, e), "fields")
         if not os.path.isdir(src):
             continue
+        mp = os.path.join(src, "meta.json")
+        shard_counts.add(read_json(mp).get("field_shards")
+                         if os.path.isfile(mp) else None)
         for rdir, _, fs in os.walk(src):
             rel = os.path.relpath(rdir, src)
             for f in fs:
@@ -399,6 +403,13 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
                     except OSError:
                         import shutil
                         shutil.copy2(os.path.join(rdir, f), dst)
+    # self-describing shard layout survives the merge only when every input
+    # used the same field_shards; otherwise omit meta.json and FieldStore
+    # degrades to the legacy load-all mode (correct, unpruned)
+    if len(shard_counts) == 1 and None not in shard_counts:
+        os.makedirs(fields_out, exist_ok=True)
+        atomic_write_json(os.path.join(fields_out, "meta.json"),
+                          {"field_shards": int(shard_counts.pop())})
 
     stats = dict(statss[0])
     stats.update({"n_docs": n_docs, "total_tokens": total_tokens,

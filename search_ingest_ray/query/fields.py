@@ -7,38 +7,104 @@ non-text column of a managed table is queryable by exact term / range
 delegates the storage to Elasticsearch doc_values, here it is a per-chunk
 Parquet sidecar written by ``build_index(store_fields=...)``).
 
-Load shape: all sidecar chunks concatenate into docid-sorted parallel
-arrays; lookups are ``np.searchsorted`` — O(log n) per candidate docid,
-vectorized over the whole candidate set.
-
-Scale note (partitioning assumption, SURVEY §2.2 custom-operator rule): a
-single FieldStore materializes the docvalues of ONE index partition.  At
-10^12 docs the sidecar is docid-range partitioned and each query actor
-holds only its range; this sandbox serves whole small indexes per actor, so
-the store loads every chunk.  Filters are evaluated ONLY on candidate
-docids produced by the term index — never as a full scan.
+Scale shape: the sidecar is DOCID-RANGE SHARDED at build time
+(``fields/chunk=N/fshard=S/``, S = docid // width with width ≈ 2^63 /
+field_shards; ``fields/meta.json`` records the shard count).  A FieldStore
+loads shards LAZILY — only those its candidate docids actually touch — and
+keeps at most ``max_loaded`` shards resident (LRU), so a query actor's
+docvalues footprint is bounded by (touched shards × shard size), not the
+whole index: at 10^9+ docs with several stored fields, loading everything
+per actor was the first OOM.  Within a shard, lookups are
+``np.searchsorted`` over docid-sorted parallel arrays — O(log n) per
+candidate, vectorized over the shard's candidate slice.  Filters are
+evaluated ONLY on candidate docids produced by the term index — never as a
+full scan.  Legacy unsharded sidecars (no ``meta.json`` / no ``fshard=``
+path component) degrade to a single always-loaded shard.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+_FSHARD_RE = re.compile(r"fshard=(\d+)")
+
+
+class _Shard:
+    __slots__ = ("docids", "columns")
+
+    def __init__(self, docids: np.ndarray, columns: dict):
+        self.docids = docids
+        self.columns = columns
+
+
+_EMPTY_SHARD = _Shard(np.empty(0, dtype=np.int64), {})
+
 
 class FieldStore:
-    def __init__(self, epoch_dir: str):
+    def __init__(self, epoch_dir: str, max_loaded: int | None = None):
         fdir = os.path.join(epoch_dir, "fields")
         files = sorted(
             os.path.join(r, f) for r, _, fs in os.walk(fdir)
             for f in fs if f.endswith(".parquet")) if os.path.isdir(fdir) else []
-        if not files:
-            self.docids = np.empty(0, dtype=np.int64)
-            self.columns: dict[str, np.ndarray] = {}
-            return
-        tbl = pa.concat_tables([pq.read_table(f) for f in files],
+        meta_path = os.path.join(fdir, "meta.json")
+        nshards = None
+        if os.path.isfile(meta_path):
+            try:
+                nshards = int(json.load(open(meta_path)).get("field_shards"))
+            except (ValueError, TypeError, OSError):
+                nshards = None
+        # shard id per file from the hive path; any file without the
+        # component forces legacy single-shard mode (mapping unknowable)
+        by_shard: dict[int, list[str]] = {}
+        legacy = nshards is None
+        for f in files:
+            m = _FSHARD_RE.search(f)
+            if m is None:
+                legacy = True
+                break
+            by_shard.setdefault(int(m.group(1)), []).append(f)
+        if legacy:
+            by_shard = {0: files} if files else {}
+            nshards = 1
+        self.nshards = nshards
+        self._width = -(-(1 << 63) // max(1, nshards))
+        self._shard_files = by_shard
+        self._loaded: OrderedDict[int, _Shard] = OrderedDict()
+        self.max_loaded = max_loaded
+        self.shard_loads: list[int] = []   # instrumentation: load order
+        # schema without loading any data: one parquet footer
+        self._field_names: list[str] = []
+        if files:
+            names = pq.read_schema(files[0]).names
+            self._field_names = sorted(n for n in names
+                                       if n not in ("docid", "fshard"))
+        self._has_files = bool(files)
+
+    @property
+    def field_names(self) -> list[str]:
+        return self._field_names
+
+    # -- shard management ----------------------------------------------------
+
+    def _shard_of(self, docids: np.ndarray) -> np.ndarray:
+        return np.abs(docids) // self._width
+
+    def _get_shard(self, sh: int) -> _Shard:
+        got = self._loaded.get(sh)
+        if got is not None:
+            self._loaded.move_to_end(sh)
+            return got
+        flist = self._shard_files.get(sh)
+        if not flist:
+            return _EMPTY_SHARD
+        tbl = pa.concat_tables([pq.read_table(f) for f in flist],
                                promote_options="default").combine_chunks()
         d = tbl["docid"].to_numpy()
         order = np.argsort(d, kind="stable")
@@ -47,28 +113,54 @@ class FieldStore:
         # per (term, docid) by max tf (build.py), so stored fields and
         # indexed text may come from different duplicate rows — dedupe
         # upstream (exact_dedup / fold) when attribution matters.
-        d = d[order]
-        keep = np.concatenate([d[1:] != d[:-1], [True]]) if d.size else \
+        ds = d[order]
+        keep = np.concatenate([ds[1:] != ds[:-1], [True]]) if ds.size else \
             np.empty(0, dtype=bool)
-        sel = order[keep] if d.size else order
-        self.docids = d[keep] if d.size else d
-        self.columns = {}
+        sel = order[keep] if ds.size else order
+        columns = {}
         for name in tbl.column_names:
-            if name == "docid":
+            if name in ("docid", "fshard"):
                 continue
             col = tbl[name].combine_chunks().take(pa.array(sel, pa.int64()))
-            self.columns[name] = col.to_numpy(zero_copy_only=False)
+            columns[name] = col.to_numpy(zero_copy_only=False)
+        shard = _Shard(ds[keep] if ds.size else ds, columns)
+        self._loaded[sh] = shard
+        self.shard_loads.append(sh)
+        if self.max_loaded is not None:
+            while len(self._loaded) > self.max_loaded:
+                self._loaded.popitem(last=False)
+        return shard
 
     @property
-    def field_names(self) -> list[str]:
-        return sorted(self.columns)
+    def shards_loaded(self) -> int:
+        """Distinct shards ever loaded (for tests / metrics)."""
+        return len(set(self.shard_loads))
 
-    def _locate(self, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        idx = np.searchsorted(self.docids, docids)
-        idx = np.minimum(idx, max(0, len(self.docids) - 1))
-        found = (self.docids[idx] == docids) if len(self.docids) else \
+    # -- lookups -------------------------------------------------------------
+
+    @staticmethod
+    def _locate_in(shard: _Shard, docids: np.ndarray):
+        idx = np.searchsorted(shard.docids, docids)
+        idx = np.minimum(idx, max(0, len(shard.docids) - 1))
+        found = (shard.docids[idx] == docids) if len(shard.docids) else \
             np.zeros(len(docids), dtype=bool)
         return idx, found
+
+    @staticmethod
+    def _spec_mask(vals: np.ndarray, spec) -> np.ndarray:
+        if isinstance(spec, tuple) and len(spec) and spec[0] == "in":
+            m = np.isin(vals, np.asarray(list(spec[1]), dtype=vals.dtype)
+                        if vals.dtype != object else list(spec[1]))
+        elif isinstance(spec, tuple) and len(spec) == 3 and spec[0] == "range":
+            _, lo, hi = spec
+            m = np.ones(len(vals), dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals <= hi
+        else:
+            m = vals == spec
+        return np.asarray(m, dtype=bool)
 
     def mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:
         """Vectorized predicate over candidate docids.
@@ -77,34 +169,71 @@ class FieldStore:
         - a scalar            → exact term match,
         - ``("in", [v, ...])``→ membership,
         - ``("range", lo, hi)``→ lo ≤ value ≤ hi (None = unbounded).
-        Docids absent from the store never match.
-        """
+        Docids absent from the store never match.  Only the shards the
+        candidate docids fall into are loaded."""
         docids = np.asarray(docids, dtype=np.int64)
-        idx, ok = self._locate(docids)
-        for col, spec in filters.items():
-            vals = self.columns[col][idx]
-            if isinstance(spec, tuple) and len(spec) and spec[0] == "in":
-                m = np.isin(vals, np.asarray(list(spec[1]), dtype=vals.dtype)
-                            if vals.dtype != object else list(spec[1]))
-            elif isinstance(spec, tuple) and len(spec) == 3 and spec[0] == "range":
-                _, lo, hi = spec
-                m = np.ones(len(vals), dtype=bool)
-                if lo is not None:
-                    m &= vals >= lo
-                if hi is not None:
-                    m &= vals <= hi
-            else:
-                m = vals == spec
-            ok &= np.asarray(m, dtype=bool)
-        return ok
+        out = np.zeros(len(docids), dtype=bool)
+        if not self._has_files or not len(docids):
+            return out
+        shards = self._shard_of(docids)
+        for sh in np.unique(shards):
+            sel = shards == sh
+            store = self._get_shard(int(sh))
+            idx, ok = self._locate_in(store, docids[sel])
+            for col, spec in filters.items():
+                if not ok.any():
+                    break
+                ok &= self._spec_mask(store.columns[col][idx], spec)
+            out[sel] = ok
+        return out
+
+    def contains(self, docids: np.ndarray) -> np.ndarray:
+        """Presence mask (docid stored?), loading only touched shards —
+        the delta-chain field-resolution probe (query/multi.py)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        out = np.zeros(len(docids), dtype=bool)
+        if not self._has_files or not len(docids):
+            return out
+        shards = self._shard_of(docids)
+        for sh in np.unique(shards):
+            sel = shards == sh
+            _, found = self._locate_in(self._get_shard(int(sh)), docids[sel])
+            out[sel] = found
+        return out
+
+    @property
+    def is_empty(self) -> bool:
+        return not self._has_files
+
+    def count_rows(self) -> int:
+        """Total stored docs (diagnostics/tests only: loads every shard)."""
+        return sum(len(self._get_shard(sh).docids)
+                   for sh in list(self._shard_files))
 
     def get(self, docids: np.ndarray, cols: list[str]) -> dict[str, pa.Array]:
         """Field values for docids (docstore retrieval) as Arrow arrays;
         docids absent from the store yield NULL (never a neighbor's
-        values)."""
+        values).  Loads only the touched shards."""
         docids = np.asarray(docids, dtype=np.int64)
-        idx, found = self._locate(docids)
-        missing = ~found
-        return {c: pa.array(self.columns[c][idx].tolist(),
-                            mask=missing if missing.any() else None)
-                for c in cols}
+        n = len(docids)
+        vals: dict[str, list] = {c: [None] * n for c in cols}
+        if self._has_files and n:
+            shards = self._shard_of(docids)
+            for sh in np.unique(shards):
+                sel = np.flatnonzero(shards == sh)
+                store = self._get_shard(int(sh))
+                if not len(store.docids):
+                    continue
+                idx, found = self._locate_in(store, docids[sel])
+                for c in cols:
+                    colv = store.columns[c][idx]
+                    for j, pos in enumerate(sel):
+                        if found[j]:
+                            vals[c][pos] = colv[j]
+        out = {}
+        for c in cols:
+            pylist = [None if v is None
+                      else (v.item() if isinstance(v, np.generic) else v)
+                      for v in vals[c]]
+            out[c] = pa.array(pylist)
+        return out

@@ -202,9 +202,9 @@ class MultiEpochSearcher:
             if s is None:
                 continue
             fs = s.fields
-            if not len(fs.docids):
+            if fs.is_empty:
                 continue
-            _, found = fs._locate(docids)
+            found = fs.contains(docids)
             present = found & ~resolved
             if dead_after.size:
                 present &= ~_isin_sorted(docids, dead_after)

@@ -320,19 +320,37 @@ class Searcher:
         top = np.lexsort((md, -ms))[:k]
         return md[top], ms[top]
 
+    # (docrank << 32) | position keys make the concatenation of all
+    # candidates' per-doc sorted position lists GLOBALLY sorted, so one
+    # searchsorted serves every candidate at once
+    _PHRASE_K = np.int64(1) << 32
+    # per-doc value offset: doc d's DP values sit BIG·d below doc d-1's, so
+    # a single global cummin never lets an earlier doc's value win inside a
+    # later doc's segment (BIG > any |g − pos| spread: pos < 2^31, g ≤ slop)
+    _PHRASE_BIG = np.int64(1) << 33
+
     def _phrase_impl(self, terms: list[str], slop: int = 0,
                      want_scores: bool = True):
+        """Sloppy-phrase match, DP flattened ACROSS candidate docs.
+
+        Per phrase term, all candidates' position lists are gathered into
+        one flat array keyed by (candidate_rank, position); the gap DP
+        G(q) = q − 1 + min_{p<q, same doc}(G(p) − p) then runs as ONE
+        cummin + ONE searchsorted per term over the whole candidate set —
+        no per-doc Python loop, so a phrase of two common terms costs
+        O(total positions) numpy work instead of O(candidates) Python
+        iterations."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not terms:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return empty
         rows_by_term = self._lookup(terms)
-        per_term: list[dict] = []
         p = self.params
+        per_term: dict[str, dict] = {}
         for t in dict.fromkeys(terms):
             rows = rows_by_term.get(t) or []
             if not rows:
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64))
-            docs, poss, scs = [], [], []
+                return empty
+            docs, counts, flats, scs = [], [], [], []
             for row in rows:
                 if "pos_blob" not in row:
                     raise ValueError(
@@ -341,51 +359,78 @@ class Searcher:
                 d, tf, dl = self._decode_list(row)
                 plists = self._decode_positions(row, tf)
                 docs.append(d.astype(np.int64))
-                poss.extend(zip(d.astype(np.int64).tolist(), plists))
+                counts.append(tf.astype(np.int64))
+                flats.append(np.concatenate(plists) if plists
+                             else np.empty(0, dtype=np.int64))
                 if want_scores:
                     scs.append(term_scores(tf, dl, row["df"], p))
-            ent = {"docids": np.concatenate(docs), "pos": dict(poss)}
+            ent = {"docs": np.concatenate(docs),
+                   "counts": np.concatenate(counts),
+                   "flat": np.concatenate(flats).astype(np.int64)}
+            ent["cum"] = np.concatenate(
+                [[0], np.cumsum(ent["counts"])]).astype(np.int64)
             if want_scores:
-                ent["scores"] = dict(zip(np.concatenate(docs).tolist(),
-                                         np.concatenate(scs).tolist()))
-            per_term.append(ent)
+                ent["scores"] = np.concatenate(scs)
+            # a doc appears in exactly one (possibly salted) sub-list, so
+            # one stable argsort maps candidate docids → posting index
+            ent["order"] = np.argsort(ent["docs"], kind="stable")
+            ent["sorted_docs"] = ent["docs"][ent["order"]]
+            per_term[t] = ent
 
-        # candidate docs: intersection across (possibly repeated) terms
-        cand = per_term[0]["docids"]
-        for ent in per_term[1:]:
-            cand = np.intersect1d(cand, ent["docids"], assume_unique=False)
-        # order of per_term entries must follow the PHRASE order incl.
-        # repeats — rebuild term→entry map
-        ent_by_term = dict(zip(dict.fromkeys(terms), per_term))
-        matched, scores = [], []
-        for doc in cand.tolist():
-            # gap DP: cur = candidate end positions of the phrase-so-far,
-            # g = minimal accumulated gap for each; positions are sorted
-            cur = np.asarray(ent_by_term[terms[0]]["pos"][doc], dtype=np.int64)
-            g = np.zeros(cur.size, dtype=np.int64)
-            for t in terms[1:]:
-                nxt = np.asarray(ent_by_term[t]["pos"][doc], dtype=np.int64)
-                if cur.size == 0:
-                    break
-                # G(q) = q - 1 + min_{p in cur, p < q} (g(p) - p)
-                pref = np.minimum.accumulate(g - cur)
-                idx = np.searchsorted(cur, nxt, side="left") - 1
-                valid = idx >= 0
-                G = np.where(valid, nxt - 1 + pref[np.maximum(idx, 0)],
-                             np.iinfo(np.int64).max)
-                keep = valid & (G <= slop)
-                cur, g = nxt[keep], G[keep]
-            if cur.size:
-                matched.append(doc)
-                if want_scores:
-                    scores.append(sum(ent_by_term[t]["scores"][doc]
-                                      for t in dict.fromkeys(terms)))
-        if not matched:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        md = np.array(matched, dtype=np.int64)
-        ms = (np.array(scores, dtype=np.float64) if want_scores
-              else np.zeros(md.size, dtype=np.float64))
-        return md, ms
+        # candidate docs: intersection across distinct terms (sorted)
+        uniq_terms = list(per_term)
+        cand = per_term[uniq_terms[0]]["sorted_docs"]
+        for t in uniq_terms[1:]:
+            cand = np.intersect1d(cand, per_term[t]["sorted_docs"],
+                                  assume_unique=False)
+        if cand.size == 0:
+            return empty
+
+        def flat_keys(t: str):
+            """(keys, lens) — every candidate's positions for term t as
+            sorted (docrank<<32 | pos) keys (ragged gather, no Python)."""
+            ent = per_term[t]
+            pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
+            lens = ent["counts"][pi]
+            starts = ent["cum"][pi]
+            total = int(lens.sum())
+            seg_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            out_idx = np.repeat(starts - seg_off, lens) + np.arange(total)
+            pos = ent["flat"][out_idx]
+            dr = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            return dr * self._PHRASE_K + pos, pi
+
+        cur_keys, _ = flat_keys(terms[0])
+        g = np.zeros(cur_keys.size, dtype=np.int64)
+        for t in terms[1:]:
+            if cur_keys.size == 0:
+                break
+            nxt_keys, _ = flat_keys(t)
+            dr_cur = cur_keys >> 32
+            pos_cur = cur_keys & (self._PHRASE_K - 1)
+            # segmented prefix-min via per-doc offsets (see _PHRASE_BIG)
+            prefmin = np.minimum.accumulate((g - pos_cur) - dr_cur
+                                            * self._PHRASE_BIG)
+            idx = np.searchsorted(cur_keys, nxt_keys, side="left") - 1
+            idxc = np.maximum(idx, 0)
+            dr_nxt = nxt_keys >> 32
+            same = (idx >= 0) & ((cur_keys[idxc] >> 32) == dr_nxt)
+            G = (nxt_keys & (self._PHRASE_K - 1)) - 1 \
+                + prefmin[idxc] + dr_nxt * self._PHRASE_BIG
+            keep = same & (G <= slop)
+            cur_keys, g = nxt_keys[keep], G[keep]
+        if cur_keys.size == 0:
+            return empty
+        matched_dr = np.unique(cur_keys >> 32)
+        md = cand[matched_dr]
+        if not want_scores:
+            return md, np.zeros(md.size, dtype=np.float64)
+        cand_scores = np.zeros(cand.size, dtype=np.float64)
+        for t in uniq_terms:
+            ent = per_term[t]
+            pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
+            cand_scores += ent["scores"][pi]
+        return md, cand_scores[matched_dr]
 
 
 class QueryScorer:

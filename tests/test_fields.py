@@ -202,4 +202,47 @@ def test_duplicate_ids_fieldstore_keeps_one(ray_session, tmp_path):
     build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
                 num_term_partitions=1, store_fields=["lang"])
     s = Searcher(root)
-    assert len(s.fields.docids) == 1
+    assert s.fields.count_rows() == 1
+
+
+def test_sharded_fieldstore_loads_only_touched_shards(ray_session, tmp_path):
+    """Docid-range sharding: a filtered query must load strictly fewer
+    shards than exist, with results identical to an unsharded build."""
+    import shutil
+    n = 40
+    t = pa.table({
+        "url": [f"u{i}" for i in range(n)],
+        "text": [("alpha beta" if i % 4 == 0 else "gamma delta")
+                 for i in range(n)],
+        "lang": [("en" if i % 2 == 0 else "de") for i in range(n)],
+        "stars": pa.array(list(range(n)), pa.int64()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    root_s = str(tmp_path / "idx_sharded")
+    root_u = str(tmp_path / "idx_unsharded")
+    build_index([src], root_s, analyzer="simple", num_term_partitions=2,
+                store_fields=["lang", "stars"], field_shards=8)
+    build_index([src], root_u, analyzer="simple", num_term_partitions=2,
+                store_fields=["lang", "stars"], field_shards=1)
+    ss, su = Searcher(root_s), Searcher(root_u)
+    d_s, sc_s = ss.search_terms(["alpha"], k=5, filters={"lang": "en"})
+    d_u, sc_u = su.search_terms(["alpha"], k=5, filters={"lang": "en"})
+    assert np.array_equal(d_s, d_u)
+    assert np.allclose(sc_s, sc_u, rtol=1e-12)
+    fs = ss.fields
+    assert fs.nshards == 8
+    # candidates = docs matching "alpha" (n/4 docs) — their docids touch
+    # some but not all shards on this tiny corpus
+    assert 0 < fs.shards_loaded < 8
+    # docstore retrieval equality too
+    got_s = fs.get(d_s.astype(np.int64), ["lang", "stars"])
+    got_u = su.fields.get(d_u.astype(np.int64), ["lang", "stars"])
+    assert got_s["lang"].to_pylist() == got_u["lang"].to_pylist()
+    assert got_s["stars"].to_pylist() == got_u["stars"].to_pylist()
+    # LRU cap bounds residency
+    from search_ingest_ray.query.fields import FieldStore
+    from search_ingest_ray.index.build import epoch_dir
+    capped = FieldStore(epoch_dir(root_s, 0), max_loaded=2)
+    capped.mask(d_s.astype(np.int64), {"lang": "en"})
+    assert len(capped._loaded) <= 2
