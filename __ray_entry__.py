@@ -104,7 +104,7 @@ def q_bm25_topk(sf_dir: str):
     })
 
 
-DOC_FIELDS = ("lang", "n_chars", "source")
+DOC_FIELDS = ("lang", "n_chars", "source", "text")
 
 
 def _fields_index(sf_dir: str) -> str:
@@ -155,6 +155,24 @@ def q_bm25_topk_docs(sf_dir: str):
     })
 
 
+def q_keyword_exact(sf_dir: str):
+    """Exact match on a TEXT column's keyword subfield: the generated
+    mapping promises text+keyword multi-fields (T2, ref schemas.cr:313-322)
+    — filter by the VERBATIM untokenized value (two probe texts via "in"),
+    served from the docvalues sidecar as an ES constant_score term query.
+    Docs that analyze identically but differ verbatim never match."""
+    import pyarrow.parquet as pq
+    from search_ingest_ray.query.searcher import Searcher
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    txt = t["text"].to_pylist()
+    probes = [txt[int(np.argmin(ids))], txt[int(np.argmax(ids))]]
+    s = Searcher(_fields_index(sf_dir))
+    d = s.filter_docs({"text": ("in", probes)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -192,6 +210,39 @@ def q_events_fold_tombstone(sf_dir: str):
     return out.map_batches(
         lambda t: pa.table({"user_id": t["user_id"],
                             "last_type": t["event_type"]}),
+        batch_format="pyarrow")
+
+
+def q_events_fold_partial(sf_dir: str):
+    """Changed-fields delta merge (ref changed_json / ES doc_as_upsert,
+    elastic.cr:231-232,420): a CDC stream whose rows carry only changed
+    columns — per user, each column independently takes its newest
+    non-null value.  The partial pattern is synthesized deterministically:
+    event_type present when event_id % 3 != 0, value when event_id % 2 == 0."""
+    import ray.data as rd
+    from search_ingest_ray.stages.fold import fold_changed_fields
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        eid = t["event_id"].to_numpy()
+        etype = pc.if_else(pa.array(eid % 3 != 0), t["event_type"],
+                           pa.scalar(None, pa.string()))
+        val = pc.if_else(pa.array(eid % 2 == 0), t["value"],
+                         pa.scalar(None, pa.float64()))
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "event_type": etype, "value": val})
+
+    delta = ev.map_batches(to_partial, batch_format="pyarrow")
+    out = fold_changed_fields(delta, "user_id", ["ts", "event_id"])
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "last_type": t["event_type"],
+                            "last_value": t["value"]}),
         batch_format="pyarrow")
 
 
@@ -301,6 +352,20 @@ def q_phrase_match(sf_dir: str):
 
 
 PHRASE_SLOP = 2
+PHRASE_COMMON = ("join", "row")  # two of the corpus's most frequent terms
+
+
+def q_phrase_common(sf_dir: str):
+    """Worst-case phrase shape: BOTH terms are among the corpus's most
+    frequent, so candidates ≈ the intersection of two huge posting lists —
+    the case the flattened (cross-candidate vectorized) gap DP exists for;
+    also the bench entry showing the per-doc loop no longer dominates."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d, _ = s.match_phrase(list(PHRASE_COMMON), k=10**9)
+    return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
 
 
 def q_phrase_slop(sf_dir: str):
@@ -457,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "events_fold": q_events_fold,
         "events_fold_tombstone": q_events_fold_tombstone,
+        "events_fold_partial": q_events_fold_partial,
+        "keyword_exact": q_keyword_exact,
         "replicate_orders": q_replicate_orders,
         "has_child_orders": q_has_child_orders,
         "has_parent_orders": q_has_parent_orders,
@@ -464,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "token_jaccard": q_token_jaccard,
         "phrase_match": q_phrase_match,
+        "phrase_common": q_phrase_common,
         "phrase_slop": q_phrase_slop,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
@@ -544,6 +612,11 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             where="d.n_chars BETWEEN 150 AND 350 "
                   "AND d.source IN ('src3', 'src7')"),
         "bm25_topk_docs": bm25_sql(extra_cols=", d.lang, d.source"),
+        "keyword_exact": """
+            SELECT doc_id FROM documents
+            WHERE text IN (
+              (SELECT text FROM documents ORDER BY doc_id ASC LIMIT 1),
+              (SELECT text FROM documents ORDER BY doc_id DESC LIMIT 1))""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
@@ -557,6 +630,19 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
             WHERE rn = 1 AND event_type != 'error'""",
+        "events_fold_partial": """
+            WITH delta AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_id % 3 != 0 THEN event_type END
+                       AS event_type,
+                     CASE WHEN event_id % 2 = 0 THEN value END AS value
+              FROM events)
+            SELECT user_id,
+                   (array_agg(event_type ORDER BY ts DESC, event_id DESC)
+                      FILTER (WHERE event_type IS NOT NULL))[1] AS last_type,
+                   (array_agg(value ORDER BY ts DESC, event_id DESC)
+                      FILTER (WHERE value IS NOT NULL))[1] AS last_value
+            FROM delta GROUP BY user_id""",
         "replicate_orders": """
             SELECT o_orderkey, o_custkey,
                    'orders' AS target_index,
@@ -590,6 +676,9 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
         "phrase_match": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || lower(text) || ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'""",
+        "phrase_common": f"""
+            SELECT doc_id FROM documents
+            WHERE ' ' || lower(text) || ' ' LIKE '% {' '.join(PHRASE_COMMON)} %'""",
         "phrase_slop": f"""
             SELECT doc_id FROM documents
             WHERE regexp_matches(' ' || lower(text) || ' ',

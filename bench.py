@@ -151,7 +151,10 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "dedup_exact", "events_fold",
                  "replicate_orders", "has_child_orders", "has_parent_orders",
                  "ann_cosine", "quality",
-                 "minhash_pairs", "simhash", "fingerprint"]:
+                 "minhash_pairs", "simhash", "fingerprint",
+                 "events_fold_partial", "keyword_exact",
+                 "phrase_match", "phrase_common", "embedding_near_dup",
+                 "ann_lsh"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

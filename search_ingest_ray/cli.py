@@ -102,6 +102,37 @@ def cmd_serve(args) -> int:
             ray.shutdown()
 
 
+def cmd_http(args) -> int:
+    """HTTP service (api.cr:25-90 parity): management routes
+    (reindex/backfill/ready/health/version) + query/phrase per table.
+    ``--table name=input_path`` registers managed tables."""
+    ray, owned = _ray_session()
+    try:
+        from .http import make_server
+        from .pipelines.manager import ManagedTable, TableManager
+        tables = []
+        for spec in args.table:
+            name, _, path = spec.partition("=")
+            tables.append(ManagedTable(name, path))
+        mgr = TableManager(args.index_base, tables)
+        if args.backfill:
+            mgr.backfill_all()
+        srv, _svc = make_server(mgr, host=args.host, port=args.port)
+        print(json.dumps({"listening":
+                          f"http://{srv.server_address[0]}:"
+                          f"{srv.server_address[1]}"}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def cmd_status(args) -> int:
     """Health/status — the analog of GET / and GET /ready (api.cr:59-90)."""
     from .util import read_json
@@ -187,6 +218,16 @@ def main(argv=None) -> int:
     sv.add_argument("--actors", type=int, default=0,
                     help="Ray actor-pool size (throughput serving mode)")
     sv.set_defaults(fn=cmd_serve)
+
+    ht = sub.add_parser("http", help="HTTP service (management + query)")
+    ht.add_argument("index_base", help="base dir: one index per table")
+    ht.add_argument("--table", action="append", default=[],
+                    help="name=input_parquet_path (repeatable)")
+    ht.add_argument("--host", default="127.0.0.1")
+    ht.add_argument("--port", type=int, default=8080)
+    ht.add_argument("--backfill", action="store_true",
+                    help="backfill all tables before serving")
+    ht.set_defaults(fn=cmd_http)
 
     st = sub.add_parser("status", help="index health/progress")
     st.add_argument("index_root")

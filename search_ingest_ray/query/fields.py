@@ -148,6 +148,27 @@ class FieldStore:
 
     @staticmethod
     def _spec_mask(vals: np.ndarray, spec) -> np.ndarray:
+        if isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "cidr":
+            # typed `ip` semantics (the reference maps ip columns to the ES
+            # `ip` type, schemas.cr:211-222): value ∈ IPv4 CIDR block.
+            # Parsing is per-value Python — fine on the candidate path
+            # (mask() sees only term-index candidates); a scan()-heavy ip
+            # workload would cache parsed uint32s per shard.
+            import socket
+            import struct
+            net, _, bits_s = spec[1].partition("/")
+            bits = int(bits_s) if bits_s else 32
+            mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+            want = struct.unpack("!I", socket.inet_aton(net))[0] & mask
+
+            def in_block(v) -> bool:
+                try:
+                    return (struct.unpack("!I", socket.inet_aton(v))[0]
+                            & mask) == want
+                except (OSError, TypeError):
+                    return False   # non-IPv4 / null never matches
+            return np.fromiter((in_block(v) for v in vals.tolist()),
+                               dtype=bool, count=len(vals))
         if isinstance(spec, tuple) and len(spec) and spec[0] == "in":
             m = np.isin(vals, np.asarray(list(spec[1]), dtype=vals.dtype)
                         if vals.dtype != object else list(spec[1]))
@@ -209,6 +230,28 @@ class FieldStore:
         """Total stored docs (diagnostics/tests only: loads every shard)."""
         return sum(len(self._get_shard(sh).docids)
                    for sh in list(self._shard_files))
+
+    def scan(self, filters: dict) -> np.ndarray:
+        """Filter-context-ONLY query (no scoring terms): docids whose
+        stored fields satisfy ``filters`` — the ES ``constant_score`` term/
+        range query on a keyword (sub)field.  This is a full docvalues scan
+        (vectorized per shard, shards streamed through the LRU); a
+        dedicated keyword posting index is the optimization path if these
+        dominate a workload."""
+        out = []
+        for sh in sorted(self._shard_files):
+            store = self._get_shard(int(sh))
+            if not len(store.docids):
+                continue
+            m = np.ones(len(store.docids), dtype=bool)
+            for col, spec in filters.items():
+                if not m.any():
+                    break
+                m &= self._spec_mask(store.columns[col], spec)
+            if m.any():
+                out.append(store.docids[m])
+        return (np.sort(np.concatenate(out)) if out
+                else np.empty(0, dtype=np.int64))
 
     def get(self, docids: np.ndarray, cols: list[str]) -> dict[str, pa.Array]:
         """Field values for docids (docstore retrieval) as Arrow arrays;

@@ -279,6 +279,44 @@ class Searcher:
             cols[name] = vals  # Arrow arrays (missing docids → null)
         return pa.table(cols)
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix completion over the term dictionary — the engine-native
+        analog of the ES ``completion`` type the reference's mapping can
+        declare (schemas.cr:211-222): top-k terms starting with ``prefix``,
+        ranked by (-df, term).  Each partition's dictionary is term-sorted,
+        so the prefix range is two binary searches per partition; df is the
+        GLOBAL df stored on every (possibly salted) list, so duplicates
+        across salts/partitions agree and collapse by max."""
+        agg: dict[str, int] = {}
+        hi_key = prefix + "\U0010ffff"
+        for tp in range(self.P):
+            ent = self._part(tp)
+            if ent is None:
+                continue
+            tbl = ent[0]
+            terms = tbl["term"].to_numpy(zero_copy_only=False)
+            lo = int(np.searchsorted(terms, prefix, side="left"))
+            hi = int(np.searchsorted(terms, hi_key, side="right"))
+            if hi <= lo:
+                continue
+            dfs = tbl["df"].to_numpy()[lo:hi]
+            for t, df in zip(terms[lo:hi], dfs):
+                got = agg.get(t)
+                if got is None or df > got:
+                    agg[t] = int(df)
+        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def filter_docs(self, filters: dict, k: int | None = None) -> np.ndarray:
+        """Filter-context-ONLY query: docids (sorted ascending) whose
+        stored fields satisfy ``filters`` — the ES ``constant_score``
+        term/range query, and in particular the exact-match query on a
+        TEXT column's ``keyword`` subfield (store the text column itself
+        via ``store_fields`` and filter by the verbatim untokenized value;
+        the generated mapping's text+keyword multi-field promise,
+        /root/reference/src/search-ingest/schemas.cr:313-322)."""
+        d = self.fields.scan(filters)
+        return d[:k] if k is not None else d
+
     # -- phrase queries (requires an index built with_positions=True) -------
 
     @staticmethod

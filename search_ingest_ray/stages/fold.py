@@ -141,6 +141,92 @@ def fold_last_write_wins(ds, id_col: str, order_cols: list[str],
     return out
 
 
+def _merge_partition(group: pa.Table, *, key_cols: list[str],
+                     order_cols: list[str],
+                     action_col: str | None) -> pa.Table:
+    """One hash partition of the changed-fields merge: sort newest-first
+    per key, then per column keep each key's NEWEST NON-NULL value — all
+    reduceat/take kernels, one Python call per partition."""
+    import numpy as np
+    group = group.combine_chunks()
+    if group.num_rows == 0:
+        return group.drop_columns([_PART_COL])
+    rest = [c for c in group.column_names
+            if c not in key_cols and c not in order_cols and c != _PART_COL
+            and _sortable(group.schema.field(c).type)]
+    sort_keys = ([(k, "ascending") for k in key_cols]
+                 + [(o, "descending") for o in order_cols]
+                 + [(c, "descending") for c in rest])
+    group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+    n = group.num_rows
+    firsts = _run_firsts_mask(group, key_cols)
+    run_starts = np.flatnonzero(firsts)
+    run_id = np.cumsum(firsts) - 1
+    idx = np.arange(n, dtype=np.int64)
+    if action_col is not None:
+        deleted = pc.equal(pc.coalesce(group[action_col], pa.scalar("")),
+                           pa.scalar("deleted")).to_numpy(
+                               zero_copy_only=False)
+        del_pos_run = np.minimum.reduceat(np.where(deleted, idx, n),
+                                          run_starts)
+    else:
+        del_pos_run = np.full(len(run_starts), n, dtype=np.int64)
+    # rows at/after the newest tombstone are dead history; a key whose
+    # newest row IS the tombstone disappears entirely
+    eligible = idx < del_pos_run[run_id]
+    alive = del_pos_run != run_starts
+    head_cols = set(key_cols) | set(order_cols) | (
+        {action_col} if action_col else set())
+    out = {}
+    for name in group.column_names:
+        if name == _PART_COL:
+            continue
+        col = group[name]
+        if name in head_cols:
+            # identity / order / action come from the newest row per key
+            out[name] = col.take(pa.array(run_starts[alive], pa.int64()))
+            continue
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        first = np.minimum.reduceat(np.where(valid & eligible, idx, n),
+                                    run_starts)[alive]
+        missing = first == n
+        vals = col.take(pa.array(np.minimum(first, n - 1), pa.int64()))
+        if missing.any():
+            vals = pc.if_else(pa.array(~missing), vals,
+                              pa.scalar(None, type=vals.type))
+        out[name] = vals
+    return pa.table(out)
+
+
+def fold_changed_fields(ds, id_col: str, order_cols: list[str],
+                        action_col: str | None = None,
+                        num_partitions: int = 32):
+    """Fold a PARTIAL-ROW delta stream to one merged row per ``id_col``.
+
+    The reference updates documents with ``document.changed_json`` — only
+    the attributes that changed — merged by Elasticsearch's
+    ``doc_as_upsert`` (/root/reference/src/search-ingest/elastic.cr:231-232,
+    420).  This is the batch analog for CDC feeds whose delta rows carry
+    only changed columns: within an id, each column independently takes its
+    NEWEST NON-NULL value (``order_cols`` descending); a null means "this
+    delta did not touch the column" (genuine null assignment is not
+    representable — exactly ES's absent-key semantics).  A winning
+    ``action_col == 'deleted'`` tombstone removes the id, and any partial
+    updates OLDER than the newest tombstone never leak into the merge
+    (delete clears the document; only newer deltas rebuild it).
+
+    Same scale shape as :func:`partitioned_fold`: hash-partition on the id,
+    one vectorized sort + reduceat pass per partition.
+    """
+    tagged = ds.map_batches(
+        functools.partial(_tag_partition, key_cols=[id_col],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    merger = functools.partial(_merge_partition, key_cols=[id_col],
+                               order_cols=order_cols, action_col=action_col)
+    return tagged.groupby(_PART_COL).map_groups(merger, batch_format="pyarrow")
+
+
 def apply_epoch(base_ds, delta_ds, id_col: str, epoch_col: str = "epoch",
                 action_col: str = "action"):
     """Apply one epoch of deltas onto a base snapshot: union then fold.

@@ -246,3 +246,73 @@ def test_sharded_fieldstore_loads_only_touched_shards(ray_session, tmp_path):
     capped = FieldStore(epoch_dir(root_s, 0), max_loaded=2)
     capped.mask(d_s.astype(np.int64), {"lang": "en"})
     assert len(capped._loaded) <= 2
+
+
+def test_text_keyword_subfield_exact_match(ray_session, tmp_path):
+    """The mapping's text+keyword multi-field promise (T2, ref
+    schemas.cr:313-322): storing the text column itself gives exact-match
+    on the VERBATIM value — docs that ANALYZE identically (folded umlaut)
+    but differ verbatim must not cross-match."""
+    from search_ingest_ray.util import doc_id_hash
+    t = pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["Straße kern", "Strasse kern", "andere sache"],
+    })
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="standard",
+                num_term_partitions=1, store_fields=["text"])
+    s = Searcher(root)
+    # analyzed forms collide: a match query for "strasse" hits both docs
+    d_match, _ = s.search("strasse", k=10)
+    assert set(d_match.tolist()) == {doc_id_hash("a"), doc_id_hash("b")}
+    # keyword-subfield exact match separates them
+    assert s.filter_docs({"text": "Straße kern"}).tolist() == \
+        [doc_id_hash("a")]
+    assert s.filter_docs({"text": "Strasse kern"}).tolist() == \
+        [doc_id_hash("b")]
+    assert s.filter_docs({"text": "strasse kern"}).size == 0  # verbatim only
+    # and composes with BM25 filters (filter-context on the subfield)
+    d, _ = s.search_terms(["kern"], k=10, filters={"text": "Straße kern"})
+    assert d.tolist() == [doc_id_hash("a")]
+
+
+def test_ip_cidr_filter(ray_session, tmp_path):
+    """Typed `ip` semantics (ref schemas.cr:211-222 maps ip → ES ip type):
+    CIDR block membership as a filter spec."""
+    from search_ingest_ray.util import doc_id_hash
+    t = pa.table({
+        "url": ["a", "b", "c", "d"],
+        "text": ["host alpha", "host beta", "host gamma", "host delta"],
+        "ip": ["10.1.2.3", "10.1.9.9", "10.2.0.1", "not-an-ip"],
+    })
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, store_fields=["ip"])
+    s = Searcher(root)
+    d, _ = s.search_terms(["host"], k=10,
+                          filters={"ip": ("cidr", "10.1.0.0/16")})
+    assert set(d.tolist()) == {doc_id_hash("a"), doc_id_hash("b")}
+    d2 = s.filter_docs({"ip": ("cidr", "10.0.0.0/8")})
+    assert set(d2.tolist()) == {doc_id_hash("a"), doc_id_hash("b"),
+                                doc_id_hash("c")}  # bad ip never matches
+
+
+def test_prefix_completion(ray_session, tmp_path):
+    """Completion analog: prefix suggest over the term dictionary, ranked
+    by global df."""
+    t = pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["merge merger merged", "merge scan", "scan scanner"],
+    })
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=2)
+    s = Searcher(root)
+    got = s.suggest("merge", k=10)
+    assert got[0] == ("merge", 2)            # df 2 beats the df-1 variants
+    assert {t for t, _ in got} == {"merge", "merged", "merger"}
+    assert s.suggest("sc", k=1) == [("scan", 2)]
+    assert s.suggest("zz") == []
