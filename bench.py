@@ -183,7 +183,10 @@ def run_once() -> dict:
 
     build = bench_build(ncpu)
     query = bench_query(build["index_root"], ncpu)
-    qtimes = bench_sf_queries(sf_dir)
+    # scaling legs only need build/query throughput — the sf-dir query sweep
+    # is wall-clock dead time inside a trial (SCALE_SKIP_SF=1 skips it)
+    qtimes = ({} if os.environ.get("SCALE_SKIP_SF") == "1"
+              else bench_sf_queries(sf_dir))
 
     result = {
         "metric": "index_build_plus_query_sec",
@@ -232,7 +235,7 @@ def run_scaling() -> dict:
     threads).  Override with SCALE_LO / SCALE_HI.
     """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SCALE_SKIP_SF="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -22,18 +22,25 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
 def varint_lengths(values: np.ndarray) -> np.ndarray:
-    """Exact encoded byte count per value: 1 + #thresholds passed."""
+    """Exact encoded byte count per value: 1 + #thresholds passed.
+    One searchsorted pass (binary search over the 9 thresholds) instead of
+    nine full compare passes — ~9× less memory traffic."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    nbytes = np.ones(v.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
-    return nbytes
+    return 1 + np.searchsorted(_THRESHOLDS, v, side="right")
+
+
+_ENC_CHUNK = 1 << 20  # values per encode slice (intermediates stay ~L2/L3)
 
 
 def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-varint encode a uint64 array (vectorized); also returns the
     per-value byte lengths so callers can slice the stream at value
-    boundaries (used by the batched segment builder)."""
+    boundaries (used by the batched segment builder).
+
+    The scatter runs in ``_ENC_CHUNK``-value slices so the (value×bytelen)
+    position/group intermediates never leave cache — whole-partition
+    encodes used to stream several N-sized int64 temporaries through DRAM,
+    which made concurrent segment builders memory-bandwidth-bound."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
@@ -43,17 +50,23 @@ def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     starts = np.empty(v.size, dtype=np.int64)
     starts[0] = 0
     np.cumsum(nbytes[:-1], out=starts[1:])
-    # process values grouped by encoded length: small dense matrices, no
-    # giant boolean masks — minimal memory traffic
-    for k in np.unique(nbytes):
-        k = int(k)
-        sel = nbytes == k
-        vv = v[sel]
-        g = ((vv[:, None] >> _SHIFTS[None, :k]) & np.uint64(0x7F)).astype(np.uint8)
-        if k > 1:
-            g[:, :k - 1] |= 0x80
-        pos = starts[sel][:, None] + np.arange(k, dtype=np.int64)[None, :]
-        out[pos.ravel()] = g.ravel()
+    for lo in range(0, v.size, _ENC_CHUNK):
+        hi = min(lo + _ENC_CHUNK, v.size)
+        nb = nbytes[lo:hi]
+        vv_sl = v[lo:hi]
+        st_sl = starts[lo:hi]
+        # process values grouped by encoded length: small dense matrices,
+        # no giant boolean masks
+        for k in np.unique(nb):
+            k = int(k)
+            sel = nb == k
+            vv = vv_sl[sel]
+            g = ((vv[:, None] >> _SHIFTS[None, :k])
+                 & np.uint64(0x7F)).astype(np.uint8)
+            if k > 1:
+                g[:, :k - 1] |= 0x80
+            pos = st_sl[sel][:, None] + np.arange(k, dtype=np.int64)[None, :]
+            out[pos.ravel()] = g.ravel()
     return out.tobytes(), nbytes
 
 

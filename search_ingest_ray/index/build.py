@@ -287,7 +287,9 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     has_pos = "pos" in group.column_names
     pos_sorted = None
 
-    order = np.lexsort((docids, salts, codes))
+    # pack (term-code, salt) into one int64 key — one fewer stable-sort
+    # pass over the partition (salt < 256 always: hot_salt is single-digit)
+    order = np.lexsort((docids, (codes << np.int64(8)) | salts))
     codes, salts, docids, tfs, dls = (codes[order], salts[order],
                                       docids[order], tfs[order], dls[order])
     if has_pos:
@@ -447,12 +449,13 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
         "bytes": pa.array([len(doc_blob_all) + len(tf_blob_all)
                            + len(dl_blob_all)], pa.int64()),
         "wall_s": pa.array([time.monotonic() - t0], pa.float64()),
+        "read_s": pa.array([0.0], pa.float64()),
     })
 
 
 _SUMMARY_SCHEMA = pa.schema([
     ("tpart", pa.int32()), ("n_terms", pa.int64()), ("n_postings", pa.int64()),
-    ("bytes", pa.int64()), ("wall_s", pa.float64()),
+    ("bytes", pa.int64()), ("wall_s", pa.float64()), ("read_s", pa.float64()),
 ])
 
 
@@ -478,10 +481,15 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
         part = int(tps[lo])
         d = os.path.join(exchange_dir, f"tpart={part:05d}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"{uid}.parquet.tmp")
-        pq.write_table(sorted_block.slice(lo, hi - lo), tmp,
-                       compression="lz4")
-        os.replace(tmp, os.path.join(d, f"{uid}.parquet"))
+        tmp = os.path.join(d, f"{uid}.arrow.tmp")
+        # Arrow IPC, not parquet: spill files are ephemeral exchange
+        # payload — IPC reads back as a zero-copy mmap (no string-column
+        # decode pass), which halves the reduce task's memory traffic
+        sl = sorted_block.slice(lo, hi - lo).combine_chunks()
+        with pa.OSFile(tmp, "wb") as sink:
+            with pa.ipc.new_file(sink, sl.schema) as w:
+                w.write_table(sl)
+        os.replace(tmp, os.path.join(d, f"{uid}.arrow"))
         written += 1
     return pa.table({"files": pa.array([written], pa.int64())})
 
@@ -517,6 +525,15 @@ def _build_group_ray(group: pa.Table, *, segments_dir: str,
                                params=params, hot_df=hot_df)
 
 
+def _read_spill(path: str) -> pa.Table:
+    """Zero-copy-mmap an IPC spill file (parquet fallback for pre-IPC
+    spills)."""
+    if path.endswith(".arrow"):
+        with pa.memory_map(path) as src:
+            return pa.ipc.open_file(src).read_all()
+    return pq.read_table(path)
+
+
 def _build_tpart_from_exchange(batch: pa.Table, *, exchange_dir: str,
                                segments_dir: str, params: BM25Params,
                                hot_df: dict) -> pa.Table:
@@ -528,12 +545,17 @@ def _build_tpart_from_exchange(batch: pa.Table, *, exchange_dir: str,
         if not os.path.isdir(d):
             continue
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
+                 if f.endswith(".parquet") or f.endswith(".arrow")]
         if not files:
             continue
-        group = pa.concat_tables([pq.read_table(f) for f in files])
-        outs.append(build_segment_group(group, segments_dir=segments_dir,
-                                        params=params, hot_df=hot_df))
+        t0 = time.monotonic()
+        group = pa.concat_tables([_read_spill(f) for f in files])
+        read_s = time.monotonic() - t0
+        out = build_segment_group(group, segments_dir=segments_dir,
+                                  params=params, hot_df=hot_df)
+        out = out.set_column(out.schema.get_field_index("read_s"), "read_s",
+                             pa.array([round(read_s, 3)], pa.float64()))
+        outs.append(out)
     if not outs:
         return _SUMMARY_SCHEMA.empty_table()
     return pa.concat_tables(outs)
@@ -991,6 +1013,7 @@ def build_index(input_paths, index_root: str, *,
             "status": "done", "n_terms": int(s["n_terms"]),
             "n_postings": int(s["n_postings"]), "bytes": int(s.get("bytes", 0)),
             "wall_s": round(float(s.get("wall_s", 0.0)), 3),
+            "read_s": round(float(s.get("read_s", 0.0) or 0.0), 3),
         }
     if n_postings:
         # partitions that received zero postings (possible in ray-shuffle
