@@ -105,6 +105,28 @@ def bench_query(index_root: str, ncpu: int) -> dict:
 
     # throughput: actor-pool scoring of the repeated query set
     qtexts = [" ".join(t) for t in queries] * QUERY_ROUNDS
+    if ncpu < 2:
+        # a 1-cpu session cannot host an actor pool AND its upstream tasks
+        # (the pool would hold the only CPU); 1 cpu = sequential anyway, so
+        # measure the honest inline number with the warmed searcher
+        t0 = time.monotonic()
+        for q in qtexts:
+            s.search(q, k=10)
+        wall = time.monotonic() - t0
+        from search_ingest_ray.serve import ServeSession
+        sess = ServeSession(index_root)
+        t0 = time.monotonic()
+        for i, q in enumerate(qtexts):
+            sess.handle({"op": "query", "id": i, "query": q, "k": 10})
+        serve_wall = time.monotonic() - t0
+        return {
+            "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+            "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+            "qps": round(len(qtexts) / wall, 1),
+            "query_wall_sec": round(wall, 3),
+            "serve_qps": round(len(qtexts) / serve_wall, 1),
+            "result_rows": 0,
+        }
     qds = rd.from_arrow(pa.table({
         "query_id": pa.array(range(len(qtexts)), pa.int64()),
         "query": pa.array(qtexts, pa.string()),
