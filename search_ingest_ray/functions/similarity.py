@@ -79,6 +79,14 @@ def _topk_partial(batch: pa.Table, *, q_ref, k: int, id_col: str,
     })
 
 
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack a (n, nbits) sign matrix into int64 bucket ids (bit i = col i)."""
+    out = np.zeros(bits.shape[0], dtype=np.int64)
+    for i in range(bits.shape[1]):
+        out |= bits[:, i].astype(np.int64) << i
+    return out
+
+
 def _final_topk_group(g: pa.Table, *, k: int) -> pa.Table:
     """Arrow-native per-query exact top-k reduce over the ≤ k×blocks
     partial candidates: sort by (-cos, vec_id), head k, append rank."""
@@ -132,12 +140,8 @@ def _neardup_explode(batch: pa.Table, *, planes: np.ndarray, id_col: str,
     ntables = planes.shape[0]
     tables, buckets = [], []
     for t in range(ntables):
-        bits = (m @ planes[t].T) > 0
-        b = np.zeros(n, dtype=np.int64)
-        for i in range(planes.shape[1]):
-            b |= bits[:, i].astype(np.int64) << i
         tables.append(np.full(n, t, dtype=np.int32))
-        buckets.append(b)
+        buckets.append(_pack_bits((m @ planes[t].T) > 0))
     return pa.table({
         "table": pa.array(np.concatenate(tables)),
         "bucket": pa.array(np.concatenate(buckets)),
@@ -220,17 +224,6 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
 def _hyperplanes(dim: int, nbits: int, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim))
-
-
-def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,
-                     vec_col: str = "embedding") -> pa.Table:
-    """Random-hyperplane signature → bucket id column."""
-    m = _as_matrix(batch[vec_col])
-    bits = (m @ planes.T) > 0  # (B, nbits)
-    buckets = np.zeros(len(m), dtype=np.int64)
-    for i in range(planes.shape[0]):
-        buckets |= bits[:, i].astype(np.int64) << i
-    return batch.append_column("bucket", pa.array(buckets))
 
 
 # -- IVF ANN (coarse-quantizer scale path) -----------------------------------
@@ -391,10 +384,7 @@ def _ann_prepare(batch: pa.Table, *, planes: np.ndarray, wanted: np.ndarray,
                          "id": pa.array([], pa.int64()),
                          "vec": _vec_list_array(np.empty(0, np.float64), dim)})
     m = _as_matrix(batch[vec_col])
-    bits = (m @ planes.T) > 0
-    b = np.zeros(len(m), dtype=np.int64)
-    for i in range(planes.shape[0]):
-        b |= bits[:, i].astype(np.int64) << i
+    b = _pack_bits((m @ planes.T) > 0)
     keep = np.isin(b, wanted)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({"bucket": pa.array(b[keep]),
@@ -456,10 +446,7 @@ def ann_lsh(ds, query_vecs, k: int = 10, nbits: int = 8, id_col: str = "vec_id",
     planes = _hyperplanes(q.shape[1], nbits, seed)
     qn = _normalize(q)
     margins = qn @ planes.T                      # (Q, nbits) signed distances
-    qbits = margins > 0
-    qbuckets = np.zeros(len(q), dtype=np.int64)
-    for i in range(nbits):
-        qbuckets |= qbits[:, i].astype(np.int64) << i
+    qbuckets = _pack_bits(margins > 0)
     bucket2q: dict[int, list[int]] = {}
     flip_order = np.argsort(np.abs(margins), axis=1, kind="stable")
     for qi in range(len(q)):

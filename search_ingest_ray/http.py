@@ -58,12 +58,16 @@ class SearchIngestService:
     def session(self, table: str) -> ServeSession:
         with self._lock:
             s = self._sessions.get(table)
-            if s is None:
-                if table not in self.manager.tables:
-                    raise KeyError(f"unknown table {table!r}")
-                s = self._sessions[table] = ServeSession(
-                    self.manager.index_root(table))
+        if s is not None:
             return s
+        if table not in self.manager.tables:
+            raise KeyError(f"unknown table {table!r}")
+        # build (warm) the session OUTSIDE the lock — a cold multi-second
+        # load must not block other tables' cached-session queries; a
+        # concurrent duplicate load just loses the install race harmlessly
+        s = ServeSession(self.manager.index_root(table))
+        with self._lock:
+            return self._sessions.setdefault(table, s)
 
     def invalidate_sessions(self) -> None:
         with self._lock:
@@ -178,13 +182,17 @@ class _Handler(BaseHTTPRequestHandler):
             elif route and (route.startswith("/query/")
                             or route.startswith("/phrase/")):
                 op, _, table = route[1:].partition("/")
-                sess = svc.session(table)
+                try:
+                    sess = svc.session(table)
+                except KeyError as e:
+                    # ONLY the unknown-table lookup is a routing 404 — a
+                    # KeyError from handler internals must surface as 500
+                    self._send(404, {"error": str(e)})
+                    return
                 resp = sess.handle({**body, "op": op})
                 self._send(200 if resp.get("ok") else 400, resp)
             else:
                 self._send(404, {"error": "not found"})
-        except KeyError as e:
-            self._send(404, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — service must not die
             self._send(500, {"error": repr(e)[:500]})
 

@@ -96,18 +96,26 @@ def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer,
     return em(batch)
 
 
-def _link_tree(src: str, dst: str) -> None:
-    """Hard-link every file of ``src`` into ``dst`` (same filesystem —
-    both live under index_root); falls back to copy across filesystems."""
+def _link_tree(src: str, dst: str, suffixes: tuple[str, ...] | None = None
+               ) -> None:
+    """RECURSIVELY hard-link every file of ``src`` into ``dst`` (preserving
+    subdirectories, e.g. fshard=S hive partitions); falls back to copy
+    across filesystems.  ``suffixes`` optionally restricts which files are
+    linked (merge links only data files, never per-store metadata)."""
     import shutil
-    os.makedirs(dst, exist_ok=True)
-    for f in os.listdir(src):
-        s, d = os.path.join(src, f), os.path.join(dst, f)
-        if os.path.isfile(s) and not os.path.exists(d):
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+    for rdir, _, fs in os.walk(src):
+        rel = os.path.relpath(rdir, src)
+        dd = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(dd, exist_ok=True)
+        for f in fs:
+            if suffixes is not None and not f.endswith(suffixes):
+                continue
+            sp, dp = os.path.join(rdir, f), os.path.join(dd, f)
+            if os.path.isfile(sp) and not os.path.exists(dp):
+                try:
+                    os.link(sp, dp)
+                except OSError:
+                    shutil.copy2(sp, dp)
 
 
 def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
@@ -660,6 +668,9 @@ def build_index(input_paths, index_root: str, *,
     if not input_paths and explicit_chunks is None:
         raise ValueError("no input files")
 
+    if not (1 <= hot_salt <= 256):
+        raise ValueError(f"hot_salt must be in [1, 256] (got {hot_salt}): "
+                         "the segment sort packs the salt into 8 bits")
     ed = epoch_dir(index_root, epoch)
     postings_dir = os.path.join(ed, "postings")
     segments_dir = os.path.join(ed, "segments")
@@ -669,12 +680,6 @@ def build_index(input_paths, index_root: str, *,
     manifest_path = os.path.join(ed, "manifest.json")
 
     store_fields = sorted(store_fields) if store_fields else []
-    if store_fields:
-        os.makedirs(fields_dir, exist_ok=True)
-        # self-describing shard layout so FieldStore can map candidate
-        # docids -> shards without out-of-band config
-        atomic_write_json(os.path.join(fields_dir, "meta.json"),
-                          {"field_shards": int(field_shards)})
 
     # --- index meta / consistency check (G4/G5 analog) ---------------------
     meta_path = os.path.join(index_root, "index_meta.json")
@@ -705,6 +710,15 @@ def build_index(input_paths, index_root: str, *,
             os.makedirs(postings_dir, exist_ok=True)
             os.makedirs(segments_dir, exist_ok=True)
     atomic_write_json(meta_path, meta)
+    if store_fields:
+        # self-describing shard layout so FieldStore can map candidate
+        # docids -> shards without out-of-band config.  Written AFTER the
+        # meta consistency check: a spec change rmtree's the epoch dir, and
+        # a sharded sidecar without meta.json would silently degrade the
+        # reader to legacy load-all mode
+        os.makedirs(fields_dir, exist_ok=True)
+        atomic_write_json(os.path.join(fields_dir, "meta.json"),
+                          {"field_shards": int(field_shards)})
 
     manifest = read_json(manifest_path) if (resume and os.path.exists(manifest_path)) else {
         "epoch": epoch, "chunks": {}, "segments": {}, "stats": None,
@@ -775,20 +789,8 @@ def build_index(input_paths, index_root: str, *,
                     fsrc = os.path.join(reuse_dir, "fields", f"chunk={cid}")
                     if os.path.isdir(fsrc):
                         # fshard=S subdirs survive the link (recursive)
-                        import shutil as _rsh
-                        dstc = os.path.join(fields_dir, f"chunk={cid}")
-                        for rdir, _, rfs in os.walk(fsrc):
-                            rel = os.path.relpath(rdir, fsrc)
-                            dd = os.path.join(dstc, rel) if rel != "." else dstc
-                            os.makedirs(dd, exist_ok=True)
-                            for f in rfs:
-                                sp = os.path.join(rdir, f)
-                                dp = os.path.join(dd, f)
-                                if os.path.isfile(sp) and not os.path.exists(dp):
-                                    try:
-                                        os.link(sp, dp)
-                                    except OSError:
-                                        _rsh.copy2(sp, dp)
+                        _link_tree(fsrc,
+                                   os.path.join(fields_dir, f"chunk={cid}"))
                     manifest["chunks"][cid] = {
                         **prev, "files": files,
                         "reused_from_epoch": reuse_from_epoch}

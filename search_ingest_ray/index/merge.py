@@ -51,7 +51,7 @@ from ..codec import (decode_positions, decode_postings, encode_positions,
                      encode_postings)
 from ..query.bm25 import BM25Params, term_scores
 from ..util import atomic_write_json, read_json, term_partition
-from .build import epoch_dir
+from .build import _link_tree, epoch_dir
 
 
 class SegmentMerger:
@@ -389,20 +389,10 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
         mp = os.path.join(src, "meta.json")
         shard_counts.add(read_json(mp).get("field_shards")
                          if os.path.isfile(mp) else None)
-        for rdir, _, fs in os.walk(src):
-            rel = os.path.relpath(rdir, src)
-            for f in fs:
-                if not f.endswith(".parquet"):
-                    continue
-                dd = os.path.join(fields_out, f"input={i}", rel)
-                os.makedirs(dd, exist_ok=True)
-                dst = os.path.join(dd, f)
-                if not os.path.exists(dst):
-                    try:
-                        os.link(os.path.join(rdir, f), dst)
-                    except OSError:
-                        import shutil
-                        shutil.copy2(os.path.join(rdir, f), dst)
+        # data files only — each input's meta.json is reconciled below,
+        # never linked into the merged store
+        _link_tree(src, os.path.join(fields_out, f"input={i}"),
+                   suffixes=(".parquet",))
     # self-describing shard layout survives the merge only when every input
     # used the same field_shards; otherwise omit meta.json and FieldStore
     # degrades to the legacy load-all mode (correct, unpruned)

@@ -36,9 +36,12 @@ def _norm_filters(filters: dict | None) -> dict | None:
         return None
     out = {}
     for col, spec in filters.items():
-        if isinstance(spec, list) and spec and spec[0] in ("range", "in"):
-            out[col] = (spec[0], *spec[1:]) if spec[0] == "range" \
-                else ("in", spec[1])
+        if isinstance(spec, list) and spec and spec[0] in ("range", "in",
+                                                           "cidr"):
+            if spec[0] == "in":
+                out[col] = ("in", spec[1])
+            else:  # range / cidr keep their positional args
+                out[col] = (spec[0], *spec[1:])
         else:
             out[col] = spec
     return out

@@ -316,3 +316,26 @@ def test_prefix_completion(ray_session, tmp_path):
     assert {t for t, _ in got} == {"merge", "merged", "merger"}
     assert s.suggest("sc", k=1) == [("scan", 2)]
     assert s.suggest("zz") == []
+
+
+def test_meta_change_rebuild_keeps_shard_meta(ray_session, tmp_path):
+    """Regression: a mapping change rmtree's the epoch dir — fields/meta.json
+    must be (re)written AFTER that, or the rebuilt sidecar silently loses
+    shard pruning and incremental reuse."""
+    t = pa.table({"url": ["a", "b"], "text": ["x y", "y z"],
+                  "lang": ["en", "de"]})
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="simple",
+                num_term_partitions=1, store_fields=["lang"], field_shards=4)
+    # analyzer change → meta mismatch → epoch dir dropped and rebuilt
+    build_index([str(tmp_path / "d.parquet")], root, analyzer="standard",
+                num_term_partitions=1, store_fields=["lang"], field_shards=4)
+    meta = os.path.join(root, "epochs", "e0000", "fields", "meta.json")
+    assert os.path.isfile(meta)
+    assert read_json(meta)["field_shards"] == 4
+    s = Searcher(root)
+    assert s.fields.nshards == 4   # sharded mode, not legacy load-all
+    d, _ = s.search_terms(["y"], k=5, filters={"lang": "de"})
+    from search_ingest_ray.util import doc_id_hash
+    assert d.tolist() == [doc_id_hash("b")]

@@ -164,3 +164,15 @@ def test_heal_backfills_only_sick_tables(ray_session, tmp_path, corpus_dir):
     healed = mgr.heal()
     assert healed == ["t2"]
     assert mgr.health()["t2"]["healthy"] is True
+
+
+def test_norm_filters_cidr_json_roundtrip():
+    """Regression: JSON transports deliver ("cidr", ...) as a list — it must
+    normalize to the tuple spec or CIDR filters silently match nothing."""
+    from search_ingest_ray.serve import _norm_filters
+    out = _norm_filters({"ip": ["cidr", "10.0.0.0/8"],
+                         "n": ["range", 1, 5],
+                         "s": ["in", ["a", "b"]],
+                         "k": "x"})
+    assert out == {"ip": ("cidr", "10.0.0.0/8"), "n": ("range", 1, 5),
+                   "s": ("in", ["a", "b"]), "k": "x"}
