@@ -27,9 +27,11 @@ Two index-maintenance modes per epoch:
   :class:`~search_ingest_ray.query.multi.MultiEpochSearcher`, which
   suppresses dead docids and scores with the exact CURRENT global stats —
   results are identical to a full rebuild.  Per-epoch cost is O(delta)
-  end-to-end; stored block maxes of older epochs are stale under the new
-  stats, so the multi-searcher decodes query-term lists fully (pruning
-  returns after compaction = a ``mode="full"`` epoch).
+  end-to-end.  Each delta epoch also writes a DEAD-TERM PATCH
+  (``df_patch/``, from the same O(delta) old-version retokenize), which
+  lets the multi-searcher compute exact chain-wide df from metadata and
+  prune posting blocks with stat-drift-corrected block-max bounds
+  (see ``query/multi.py``).
 
 Properties preserved from the reference:
 
@@ -248,11 +250,27 @@ def _delta_ids(delta_ds, id_col: str):
 
 
 def _old_version_stats(prev_files, delta_ids, *, id_col, text_col, html_col,
-                       analyzer, id_is_int):
+                       analyzer, id_is_int, patch_dir=None):
     """Tokenize ONLY the previous versions of changed docs (O(delta)):
-    returns (dead_docids sorted int64, n_old, sum_dl_old)."""
-    from ..stages.analyze import DoclenEmitter, extract_batch
+    returns (dead_docids sorted int64, n_old, sum_dl_old).
+
+    When ``patch_dir`` is given, also writes the DEAD-TERM PATCH — one row
+    per distinct term of the old versions with the count of dead docs
+    containing it.  Summed over the chain this gives the exact number of
+    postings a term loses to dead-docid suppression, so
+    :class:`~search_ingest_ray.query.multi.MultiEpochSearcher` can compute
+    the exact chain-wide df from term-dictionary metadata alone (no posting
+    decode) and restore block-max pruning on delta chains.  The patch is
+    O(delta vocabulary) and aggregated with a native groupby (never
+    materialized on the driver)."""
+    from ..stages.analyze import DoclenEmitter, PostingEmitter, extract_batch
+    if patch_dir is not None:
+        import shutil
+        shutil.rmtree(patch_dir, ignore_errors=True)
+        os.makedirs(patch_dir, exist_ok=True)
     if not prev_files:
+        if patch_dir is not None:
+            _mark_done(patch_dir)
         return np.empty(0, dtype=np.int64), 0, 0
     ids_arr = pa.array(delta_ids)
     ids_ref = ray.put(ids_arr)
@@ -263,11 +281,35 @@ def _old_version_stats(prev_files, delta_ids, *, id_col, text_col, html_col,
     ds = rd.read_parquet(prev_files).map_batches(pick, batch_format="pyarrow")
     if html_col:
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    if patch_dir is not None:
+        ds = ds.materialize()  # consumed twice below; O(delta) rows
     emitter = DoclenEmitter(text_col, id_col, id_is_int, analyzer)
     rows = ds.map_batches(emitter, batch_format="pyarrow").take_all()
     docids = np.array(sorted(int(r["docid"]) for r in rows), dtype=np.int64)
     sum_dl = int(sum(int(r["dl"]) for r in rows))
+    if patch_dir is not None:
+        pe = PostingEmitter(text_col, id_col, id_is_int, analyzer)
+
+        def partial_counts(t: pa.Table) -> pa.Table:
+            # one posting row per distinct (term, doc) → rows-per-term is
+            # the batch-partial dead-doc count
+            posts = pe(t)
+            if posts.num_rows == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            vc = pc.value_counts(posts["term"])
+            return pa.table({"term": vc.field("values"),
+                             "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+        counted = ds.map_batches(partial_counts, batch_format="pyarrow")
+        counted.groupby("term").sum("cnt").write_parquet(patch_dir)
+        _mark_done(patch_dir)
     return docids, len(rows), sum_dl
+
+
+def _mark_done(d: str) -> None:
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("ok")
 
 
 def _prev_cum_stats(index_root: str, epoch: int) -> dict:
@@ -303,7 +345,8 @@ def _apply_delta_segments(index_root: str, delta_paths, epoch: int, *,
                       for f in _bucket_files(prev_sd, b)]
         dead, n_old, sum_dl_old = _old_version_stats(
             prev_files, ids, id_col=id_col, text_col=text_col,
-            html_col=html_col, analyzer=analyzer, id_is_int=id_is_int)
+            html_col=html_col, analyzer=analyzer, id_is_int=id_is_int,
+            patch_dir=os.path.join(ed, "df_patch"))
         np.save(dead_path, dead)
         atomic_write_json(dmeta_path, {
             "mode": "delta", "n_changed_ids": len(ids),

@@ -5,19 +5,36 @@ A chain is (last full epoch, delta epoch, delta epoch, ...) — see
 small segments plus a DEAD-docid set (old versions of docs it
 updated/deleted).  A query:
 
-1. decodes each query term's posting lists in EVERY chain epoch (full
-   decode — stored block maxes of older epochs were baked with stale
-   global stats, so pruning with them would be unsound; lists are
-   O(term df), not corpus-sized);
-2. suppresses, per epoch, docids dead in any LATER epoch (vectorized
-   searchsorted against the sorted union);
-3. computes df exactly as the surviving posting count and scores with the
-   exact CURRENT global stats (cum_stats.json — maintained by tokenizing
-   only the O(delta) old versions at epoch build time).
+1. resolves each query term's posting-list METADATA in every chain epoch
+   (term dictionaries only — no decode);
+2. computes the exact chain-wide df from metadata alone:
+   ``df = Σ_epoch df_e − Σ_epoch dead_patch_e[term]`` where each delta
+   epoch's DEAD-TERM PATCH (``df_patch/``, written during the O(delta)
+   old-version retokenize in ``pipelines/epochs.py``) counts the postings
+   the term loses to dead-docid suppression in earlier epochs;
+3. runs the same two-phase exact MaxScore as ``Searcher.search_terms``,
+   with each term's upper bound made sound under the CURRENT stats by a
+   per-(epoch,list) CORRECTION FACTOR:  stored ``max_score = max
+   idf(df_e,N_e) · tfnorm(tf,dl; avgdl_e)``, and for every (tf, dl)
+
+       tfnorm(tf,dl; avgdl') ≤ max(1, avgdl'/avgdl_e) · tfnorm(tf,dl; avgdl_e)
+
+   (the ratio (tf+D_e)/(tf+D') is maximized as tf→0, dl→∞ where it tends
+   to avgdl'/avgdl_e), so ``idf(df,N')/idf(df_e,N_e) · max(1,
+   avgdl'/avgdl_e) · max_score`` upper-bounds the term's current-stats
+   contribution (suppression only removes postings, so the bound survives
+   it).  Candidate-phase lists decode only the blocks whose docid range
+   holds a candidate — across every epoch of the chain;
+4. suppresses, per epoch, docids dead in any LATER epoch (vectorized
+   searchsorted against the sorted union) and scores survivors with the
+   exact CURRENT global stats (cum_stats.json).
 
 Result: rank- AND score-identical to a from-scratch rebuild of the final
-snapshot — verified by ``tests/test_delta_epochs.py``.  Compaction (a
-``mode="full"`` epoch) collapses the chain and restores block-max pruning.
+snapshot — verified by ``tests/test_delta_epochs.py`` (the MaxScore
+exactness argument from ``searcher.py`` transfers verbatim: every true
+top-k doc survives candidacy in all its terms and is scored exactly).
+Chains whose delta epochs predate the patch format fall back to full
+decode.  Compaction (a ``mode="full"`` epoch) collapses the chain.
 """
 
 from __future__ import annotations
@@ -28,8 +45,17 @@ import numpy as np
 
 from ..pipelines.epochs import epoch_chain, epoch_dir
 from ..util import read_json
-from .bm25 import BM25Params, term_scores
-from .searcher import Searcher
+from .bm25 import BM25Params, idf, term_scores
+from .searcher import Searcher, _merge_acc
+
+
+def _topk_from_parts(part_d, part_s, k):
+    ids, sc = _merge_acc(np.empty(0, dtype=np.int64),
+                         np.empty(0, dtype=np.float64), part_d, part_s)
+    if ids.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    top = np.lexsort((ids, -sc))[:min(k, ids.size)]
+    return ids[top], sc[top]
 
 
 def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
@@ -77,6 +103,32 @@ class MultiEpochSearcher:
             if s is not None:
                 self.analyze = s.analyze
                 break
+        # dead-term patches (module docstring step 2): per-epoch dicts
+        # term → postings lost to suppression in EARLIER epochs.  A patch
+        # is O(that delta's vocabulary) — the same order as the delta
+        # epoch's own term dictionary, which the searcher holds anyway.
+        self.patches: list[dict[str, int]] = []
+        self.pruning_ok = True
+        for e, mode in self.chain:
+            if mode == "full":
+                self.patches.append({})
+                continue
+            pd_ = os.path.join(epoch_dir(index_root, e), "df_patch")
+            if not os.path.exists(os.path.join(pd_, "_DONE")):
+                self.patches.append({})
+                self.pruning_ok = False  # pre-patch chain: full decode
+                continue
+            import pyarrow.parquet as pq
+            patch: dict[str, int] = {}
+            for f in sorted(os.listdir(pd_)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(pd_, f))
+                cnt_col = next(c for c in t.column_names if c != "term")
+                for term, cnt in zip(t["term"].to_pylist(),
+                                     t[cnt_col].to_pylist()):
+                    patch[term] = patch.get(term, 0) + int(cnt)
+            self.patches.append(patch)
 
     def _surviving_lists(self, term: str, filters: dict | None = None):
         """(docids, tfs, dls, df) of the term across the chain after
@@ -114,31 +166,132 @@ class MultiEpochSearcher:
         return (np.concatenate(ds), np.concatenate(tfs),
                 np.concatenate(dls), df)
 
+    def chain_df(self, term: str) -> int:
+        """Exact chain-wide df from term-dictionary metadata + dead-term
+        patches — no posting decode (module docstring step 2).  Equals the
+        surviving-posting count ``_surviving_lists`` would measure."""
+        total = 0
+        for _, s, _ in self.entries:
+            if s is None:
+                continue
+            rows = s._lookup([term]).get(term) or []
+            if rows:  # salted sub-lists all carry the same global df
+                total += int(rows[0]["df"])
+        return total - sum(pat.get(term, 0) for pat in self.patches)
+
     def search_terms(self, terms: list[str], k: int = 10,
                      filters: dict | None = None):
         """Exact top-k over the epoch chain; identical semantics (and
-        results) to ``Searcher.search_terms`` on a full rebuild."""
+        results) to ``Searcher.search_terms`` on a full rebuild.  When
+        every delta epoch carries its dead-term patch, posting blocks are
+        pruned with corrected block-max bounds (module docstring steps
+        2-3); otherwise falls back to full decode."""
         mult: dict[str, int] = {}
         for t in terms:
             mult[t] = mult.get(t, 0) + 1
-        all_d, all_s = [], []
         p = self.params
+        all_d: list[np.ndarray] = []
+        all_s: list[np.ndarray] = []
+        if not self.pruning_ok:
+            for t, m in mult.items():
+                d, tf, dl, df = self._surviving_lists(t, filters=filters)
+                if d.size == 0 or df == 0:
+                    continue
+                all_d.append(d.astype(np.int64))
+                all_s.append(m * term_scores(tf, dl, df, p))
+            return _topk_from_parts(all_d, all_s, k)
+
+        INFL = 1.0 + 1e-6  # float32-stored maxes may round down
+        info = []  # (term, mult, [(entry_idx, rows)], df, ub)
         for t, m in mult.items():
-            d, tf, dl, df = self._surviving_lists(t, filters=filters)
-            if d.size == 0 or df == 0:
+            rows_by_entry = []
+            sum_df = 0
+            for i, (_, s, _) in enumerate(self.entries):
+                if s is None:
+                    continue
+                rows = s._lookup([t]).get(t) or []
+                if rows:
+                    rows_by_entry.append((i, rows))
+                    sum_df += int(rows[0]["df"])
+            df = sum_df - sum(pat.get(t, 0) for pat in self.patches)
+            if not rows_by_entry or df <= 0:
                 continue
-            all_d.append(d)
-            all_s.append(m * term_scores(tf, dl, df, p))
-        if not all_d:
+            idf_cur = float(idf(df, p.n_docs))
+            ub = 0.0
+            for i, rows in rows_by_entry:
+                sp = self.entries[i][1].params
+                idf_baked = float(idf(int(rows[0]["df"]), sp.n_docs))
+                c = (idf_cur / idf_baked) \
+                    * max(1.0, p.avgdl / max(sp.avgdl, 1e-12)) * INFL
+                ub = max(ub, max(c * float(r["max_score"]) * INFL + 1e-12
+                                 for r in rows))
+            info.append((t, m, rows_by_entry, df, m * ub))
+        if not info:
+            return _topk_from_parts([], [], k)
+        info.sort(key=lambda x: -x[4])
+        suffix_ub = np.cumsum([x[4] for x in info][::-1])[::-1]
+
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_sc = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        split = len(info)
+        for j, (t, m, rows_by_entry, df, ub) in enumerate(info):
+            if j > 0 and theta > suffix_ub[j]:
+                split = j
+                break
+            part_d, part_s = [], []
+            for i, rows in rows_by_entry:
+                _, s, dead_after = self.entries[i]
+                for row in rows:
+                    d, tf, dl = s._decode_list(row)
+                    if d.size == 0:
+                        continue
+                    if dead_after.size:
+                        keep = ~_isin_sorted(d.astype(np.int64), dead_after)
+                        if not keep.any():
+                            continue
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+                    if filters:
+                        msk = s.fields.mask(d.astype(np.int64), filters)
+                        if not msk.any():
+                            continue
+                        d, tf, dl = d[msk], tf[msk], dl[msk]
+                    part_d.append(d.astype(np.int64))
+                    part_s.append(m * term_scores(tf, dl, df, p))
+            acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, part_d, part_s)
+            if acc_ids.size >= k:
+                theta = max(theta, float(np.partition(acc_sc, -k)[-k]))
+
+        for j in range(split, len(info)):
+            t, m, rows_by_entry, df, ub = info[j]
+            cand = acc_ids[acc_sc + suffix_ub[j] >= theta]
+            if cand.size == 0:
+                break
+            part_d, part_s = [], []
+            for i, rows in rows_by_entry:
+                _, s, dead_after = self.entries[i]
+                for row in rows:
+                    keep = s._blocks_for_candidates(row, cand)
+                    if not keep.any():
+                        continue
+                    d, tf, dl = s._decode_list(row, keep=keep)
+                    sel = _isin_sorted(d.astype(np.int64), cand)
+                    if dead_after.size:
+                        sel &= ~_isin_sorted(d.astype(np.int64), dead_after)
+                    if not sel.any():
+                        continue
+                    d, tf, dl = d[sel], tf[sel], dl[sel]
+                    part_d.append(d.astype(np.int64))
+                    part_s.append(m * term_scores(tf, dl, df, p))
+            acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, part_d, part_s)
+            if acc_ids.size >= k:
+                theta = max(theta, float(np.partition(acc_sc, -k)[-k]))
+
+        if acc_ids.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docids = np.concatenate(all_d)
-        scores = np.concatenate(all_s)
-        uniq, inv = np.unique(docids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, scores)
-        kk = min(k, uniq.size)
-        top = np.lexsort((uniq, -acc))[:kk]
-        return uniq[top].astype(np.int64), acc[top]
+        kk = min(k, acc_ids.size)
+        top = np.lexsort((acc_ids, -acc_sc))[:kk]
+        return acc_ids[top], acc_sc[top]
 
     def search(self, query: str, k: int = 10, filters: dict | None = None):
         if self.analyze is None:

@@ -41,6 +41,29 @@ from ..util import read_json, term_partition
 from .bm25 import BM25Params, term_scores
 
 
+def _isin_sorted_i64(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """values ∈ sorted_arr, vectorized (both int64, sorted_arr ascending)."""
+    if sorted_arr.size == 0 or values.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx = np.minimum(idx, sorted_arr.size - 1)
+    return sorted_arr[idx] == values
+
+
+def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
+               part_d: list[np.ndarray], part_s: list[np.ndarray]):
+    """Merge per-list (docid, score) contributions into the sorted running
+    accumulator (docid-unique, summed scores)."""
+    if not part_d:
+        return acc_ids, acc_sc
+    ids = np.concatenate([acc_ids] + part_d)
+    sc = np.concatenate([acc_sc] + part_s)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    out = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(out, inv, sc)
+    return uniq, out
+
+
 class Searcher:
     def __init__(self, index_root: str, epoch: int = 0):
         ed = os.path.join(index_root, "epochs", f"e{epoch:04d}")
@@ -138,16 +161,32 @@ class Searcher:
     # -- scoring -------------------------------------------------------------
 
     @staticmethod
-    def _decode_list(row: dict, prune_rest: float = 0.0, theta: float = -np.inf):
+    def _blocks_for_candidates(row: dict, cand: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask over a list's blocks: block b (docid range
+        ``(skip_last[b-1], skip_last[b]]``) is kept iff it contains at
+        least one of the SORTED candidate docids — the non-essential-term
+        decode set of the two-phase MaxScore in :meth:`search_terms`."""
+        last = np.asarray(row["skip_last"], dtype=np.uint64).astype(np.int64)
+        idx = np.searchsorted(cand, last, side="right")
+        keep = np.empty(last.size, dtype=bool)
+        keep[0] = idx[0] > 0
+        keep[1:] = idx[1:] > idx[:-1]
+        return keep
+
+    @staticmethod
+    def _decode_list(row: dict, prune_rest: float = 0.0,
+                     theta: float = -np.inf, keep: np.ndarray | None = None):
         """Decode a posting-list row, skipping blocks whose upper bound
-        (skip_max + prune_rest) < theta.  Returns (docids, tfs, dls)."""
+        (skip_max + prune_rest) < theta — or, when ``keep`` is given, the
+        blocks outside that precomputed mask.  Returns (docids, tfs, dls)."""
         n = row["n"]
         skip_max = np.asarray(row["skip_max"], dtype=np.float32)
         nblocks = len(skip_max)
-        # stored block maxes are float32 and may round DOWN vs the true
-        # float64 max; inflate by 1 ulp-ish so the bound stays an upper bound
-        ub = skip_max.astype(np.float64) * (1.0 + 1e-6) + 1e-12
-        keep = (ub + prune_rest) >= theta
+        if keep is None:
+            # stored block maxes are float32 and may round DOWN vs the true
+            # float64 max; inflate by 1 ulp so the bound stays an upper bound
+            ub = skip_max.astype(np.float64) * (1.0 + 1e-6) + 1e-12
+            keep = (ub + prune_rest) >= theta
         if not keep.any():
             e = np.empty(0, dtype=np.uint64)
             return e, e, e
@@ -191,12 +230,29 @@ class Searcher:
 
         Returns (docids int64[], scores float64[]) sorted by (-score, docid).
 
-        Filtered pruning stays EXACT: θ is seeded from the k-th best
-        partial score among FILTERED docs only, so θ lower-bounds the
-        filtered k-th best total; a block pruned by ``ub + rest < θ``
-        cannot contain any doc with total ≥ θ, hence no filtered top-k
-        doc.  Scores use GLOBAL df/avgdl (ES semantics: filters restrict
-        the candidate set, never the statistics).
+        Two-phase exact MaxScore (term-at-a-time):
+
+        - ESSENTIAL phase — terms in descending upper-bound order are fully
+          decoded into a running exact accumulator; after each term θ = the
+          k-th best running total (a valid lower bound on the k-th best
+          final total, since totals only grow).  As soon as
+          ``θ > Σ_{remaining} term_ub``, no unseen doc can reach the top-k
+          and the remaining terms switch to:
+        - CANDIDATE phase — for each remaining term only docs with
+          ``running_total + Σ_{this term onward} term_ub ≥ θ`` can still
+          make the cut; decode ONLY the blocks whose docid range contains a
+          candidate (:meth:`_blocks_for_candidates`) and accumulate just
+          the candidates' contributions.
+
+        Exactness: every true top-k doc d satisfies the candidate
+        condition at every step (its final total ≥ k-th final ≥ θ), so it
+        is scored EXACTLY; a doc dropped from candidacy keeps a partial
+        score strictly below θ ≤ k-th final and can never surface.  Hence
+        ids and scores equal exhaustive scoring (brute-force oracle tests).
+
+        Filtered queries stay exact the same way: θ and candidates are
+        derived from FILTERED partials only.  Scores use GLOBAL df/avgdl
+        (ES semantics: filters restrict candidates, never statistics).
         """
         # duplicate query terms contribute multiplied scores (Lucene semantics)
         mult: dict[str, int] = {}
@@ -209,6 +265,7 @@ class Searcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
         fstore = self.fields if filters else None
+        p = self.params
 
         # list maxes are stored float32 (may round down); inflate so they
         # remain sound upper bounds for the pruning arithmetic
@@ -216,48 +273,60 @@ class Searcher:
                        * (1.0 + 1e-6) + 1e-12
                     for t, rows in rows_by_term.items()}
         order = sorted(rows_by_term, key=lambda t: -term_max[t])
-        total_rest = sum(term_max.values())
+        # suffix_ub[j] = Σ_{i ≥ j} term_max[order[i]]
+        suffix_ub = np.cumsum([term_max[t] for t in order][::-1])[::-1]
 
-        all_docids: list[np.ndarray] = []
-        all_scores: list[np.ndarray] = []
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_sc = np.empty(0, dtype=np.float64)
         theta = -np.inf
-        p = self.params
-        for i, t in enumerate(order):
-            rest = total_rest - term_max[t]
+        split = len(order)
+        for j, t in enumerate(order):
+            if j > 0 and theta > suffix_ub[j]:
+                split = j
+                break
+            part_d, part_s = [], []
             for row in rows_by_term[t]:
-                if i == 0:
-                    d, tf, dl = self._decode_list(row)  # full decode seeds θ
-                else:
-                    d, tf, dl = self._decode_list(row, prune_rest=rest, theta=theta)
+                d, tf, dl = self._decode_list(row)
                 if d.size == 0:
                     continue
                 if fstore is not None:
-                    # drop non-matching docs per list: accumulation then only
-                    # ever sees filtered candidates (exactness unaffected —
-                    # a dropped doc could never enter the filtered top-k)
                     m = fstore.mask(d.astype(np.int64), filters)
                     if not m.any():
                         continue
                     d, tf, dl = d[m], tf[m], dl[m]
-                sc = mult[t] * term_scores(tf, dl, row["df"], p)
-                all_docids.append(d)
-                all_scores.append(sc)
-            if i == 0 and all_scores:
-                seed = np.concatenate(all_scores)
-                if seed.size >= k:
-                    theta = float(np.partition(seed, -k)[-k])
+                part_d.append(d.astype(np.int64))
+                part_s.append(mult[t] * term_scores(tf, dl, row["df"], p))
+            acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, part_d, part_s)
+            if acc_ids.size >= k:
+                theta = max(theta, float(np.partition(acc_sc, -k)[-k]))
 
-        if not all_docids:
+        for j in range(split, len(order)):
+            t = order[j]
+            cand = acc_ids[acc_sc + suffix_ub[j] >= theta]
+            if cand.size == 0:
+                break  # nobody can gain; no unseen doc can enter either
+            part_d, part_s = [], []
+            for row in rows_by_term[t]:
+                keep = self._blocks_for_candidates(row, cand)
+                if not keep.any():
+                    continue
+                d, tf, dl = self._decode_list(row, keep=keep)
+                sel = _isin_sorted_i64(d.astype(np.int64), cand)
+                if not sel.any():
+                    continue
+                d, tf, dl = d[sel], tf[sel], dl[sel]
+                part_d.append(d.astype(np.int64))
+                part_s.append(mult[t] * term_scores(tf, dl, row["df"], p))
+            acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, part_d, part_s)
+            if acc_ids.size >= k:
+                theta = max(theta, float(np.partition(acc_sc, -k)[-k]))
+
+        if acc_ids.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docids = np.concatenate(all_docids)
-        scores = np.concatenate(all_scores)
-        uniq, inv = np.unique(docids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, scores)
-        kk = min(k, uniq.size)
+        kk = min(k, acc_ids.size)
         # top-k by (-score, docid): lexsort last key is primary
-        top = np.lexsort((uniq, -acc))[:kk]
-        return uniq[top].astype(np.int64), acc[top]
+        top = np.lexsort((acc_ids, -acc_sc))[:kk]
+        return acc_ids[top], acc_sc[top]
 
     def search(self, query: str, k: int = 10, filters: dict | None = None):
         """Analyze a free-text query with the index analyzer, then top-k."""
