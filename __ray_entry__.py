@@ -22,6 +22,8 @@ import pyarrow as pa
 # order-insensitive bit-exact, so engine and SQL agree without tolerance.
 BM25_QUERY_TERMS = ("merge", "scan")
 BM25_K = 10
+# mirror of pipelines.flagship.CHAIN_UPDATE_SUFFIX for the SQL oracle
+_CHAIN_SUFFIX = " freshly updated merge scan notes"
 STOP_SQL = "('the','and','of','a','to','in','is','it','for','on')"
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -98,6 +100,23 @@ def q_bm25_topk(sf_dir: str):
     root = documents_index(sf_dir, analyzer="simple")
     s = Searcher(root)
     d, sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
+def q_bm25_chain(sf_dir: str):
+    """BM25 top-k over a DELTA CHAIN (epoch 0 backfill + a deterministic
+    synthetic update/delete delta applied in mode="delta"), served by
+    MultiEpochSearcher with dead-docid suppression, exact current stats and
+    dead-term-patch pruning — the incremental-epoch path as a driver-facing
+    SQL-oracled artifact, not just a pytest one."""
+    from search_ingest_ray.pipelines.flagship import documents_chain_index
+    from search_ingest_ray.query.multi import MultiEpochSearcher
+    root = documents_chain_index(sf_dir, analyzer="simple")
+    ms = MultiEpochSearcher(root)
+    d, sc = ms.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
     return pa.table({
         "doc_id": pa.array(d, pa.int64()),
         "score": pa.array(np.round(sc, 4), pa.float64()),
@@ -516,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "bm25_topk": q_bm25_topk,
+        "bm25_chain": q_bm25_chain,
         "bm25_filtered": q_bm25_filtered,
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
@@ -607,6 +627,38 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             FROM (SELECT unnest({_TOKS}) AS term FROM documents)
             GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
         "bm25_topk": bm25,
+        "bm25_chain": f"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN text || '{_CHAIN_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM final
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM final) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM final) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({k1} + 1)
+              / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT scored.doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
+""",
         "bm25_filtered": bm25_sql(where="d.lang = 'de'"),
         "bm25_filtered_range": bm25_sql(
             where="d.n_chars BETWEEN 150 AND 350 "

@@ -44,6 +44,69 @@ def documents_index(sf_dir: str, analyzer: str = "simple",
     return root
 
 
+CHAIN_UPDATE_SUFFIX = " freshly updated merge scan notes"
+
+
+def documents_chain_index(sf_dir: str, analyzer: str = "simple",
+                          cache_base: str = _CACHE_BASE) -> str:
+    """Delta-chain index over the sf documents table (built once, cached):
+    epoch 0 = full backfill of the base table; epoch 1 = a DETERMINISTIC
+    synthetic delta applied in ``mode="delta"`` — every ``doc_id % 7 == 3``
+    doc is updated (text + :data:`CHAIN_UPDATE_SUFFIX`), every
+    ``doc_id % 13 == 5`` doc is deleted (delete wins on overlap).  Queries
+    must go through MultiEpochSearcher; the driver's SQL oracle recomputes
+    the same final corpus with a CASE/WHERE mirror of this rule."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .epochs import apply_delta_epoch
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{doc_path}:{analyzer}:chain-v1".encode()).hexdigest()[:16]
+    root = os.path.join(cache_base, f"docchain-{key}")
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    delta_dir = os.path.join(root, "delta_src")
+    os.makedirs(delta_dir, exist_ok=True)
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        upd = t.take(pa.array(np.flatnonzero((did % 7 == 3) & (did % 13 != 5))))
+        dele = t.take(pa.array(np.flatnonzero(did % 13 == 5)))
+        new_text = pc.binary_join_element_wise(
+            upd["text"].combine_chunks(), pa.scalar(CHAIN_UPDATE_SUFFIX),
+            pa.scalar(""))
+        upd = upd.set_column(upd.schema.get_field_index("text"), "text",
+                             new_text)
+        out = pa.concat_tables([upd, dele])
+        return out.append_column(
+            "epoch", pa.array(np.full(out.num_rows, 1), pa.int64())
+        ).append_column(
+            "action", pa.array(["updated"] * upd.num_rows
+                               + ["deleted"] * dele.num_rows))
+
+    rd.read_parquet(doc_path).map_batches(
+        mk_delta, batch_format="pyarrow").write_parquet(delta_dir)
+    delta_files = sorted(os.path.join(delta_dir, f)
+                         for f in os.listdir(delta_dir)
+                         if f.endswith(".parquet"))
+    kw = dict(id_col="doc_id", text_col="text", id_is_int=True,
+              analyzer=analyzer, num_buckets=8, num_term_partitions=8,
+              hot_df_threshold=10**9)
+    apply_delta_epoch(root, None, 0, base_paths=[doc_path], **kw)
+    apply_delta_epoch(root, delta_files, 1, mode="delta", **kw)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
 def run_query_set(index_root: str, queries: list[list[str]], k: int = 10) -> pa.Table:
     """Serve a fixed query set; returns (query_id, rank, doc_id, score)."""
     s = Searcher(index_root)
