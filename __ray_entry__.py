@@ -123,6 +123,20 @@ def q_bm25_chain(sf_dir: str):
     })
 
 
+def q_suggest(sf_dir: str):
+    """Prefix completion over the documents-index term dictionary (the
+    engine-native analog of the ES ``completion`` type): top-10 terms with
+    prefix 's', ranked by (-df, term)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    out = s.suggest("s", k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
 DOC_FIELDS = ("lang", "n_chars", "source", "text")
 
 
@@ -536,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "bm25_topk": q_bm25_topk,
         "bm25_chain": q_bm25_chain,
+        "suggest": q_suggest,
         "bm25_filtered": q_bm25_filtered,
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
@@ -659,6 +674,11 @@ scored AS (
 SELECT scored.doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
 """,
+        "suggest": f"""
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term LIKE 's%'
+            GROUP BY term ORDER BY df DESC, term LIMIT 10""",
         "bm25_filtered": bm25_sql(where="d.lang = 'de'"),
         "bm25_filtered_range": bm25_sql(
             where="d.n_chars BETWEEN 150 AND 350 "
