@@ -279,6 +279,66 @@ def q_events_fold_partial(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_asof_orders(sf_dir: str):
+    """Temporal as-of join: each event picks the latest order by the same
+    customer at or before the event time (ties on o_orderdate resolve to
+    the largest o_orderkey).  Co-partitioned sort-merge as-of — see
+    functions/relational.py."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import asof_join
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    return asof_join(ev, od, on="user_id", right_on="o_custkey",
+                     left_ts="ts", right_ts="o_orderdate",
+                     left_cols=["event_id"],
+                     right_cols=["o_orderkey", "o_totalprice"],
+                     tie_col="o_orderkey")
+
+
+PRICE_BANDS = [(0, 0.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0),
+               (3, 975.0, 1000.0), (4, 1000.0, 10**9)]
+
+
+def q_range_price(sf_dir: str):
+    """Broadcast range (interval) join: each part row is matched to the
+    retail-price band containing it (lo <= p < hi) via one searchsorted
+    pass per batch — zero shuffle."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import range_join_broadcast
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_retailprice"])
+    out = range_join_broadcast(parts, PRICE_BANDS,
+                               value_col="p_retailprice", out_col="band_id")
+    return out.select_columns(["p_partkey", "band_id"])
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling-window aggregate over the event stream: daily
+    (window_start, event_type) event counts and micro-unit value sums;
+    per-batch pyarrow partials shrink the shuffle to O(windows x types)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import tumbling_window
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    return tumbling_window(ev, ts_col="ts", width_us=86_400_000_000,
+                           key_col="event_type", value_col="value")
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap) per user —
+    hash-partitioned by user, one vectorized lexsort+gap-scan pass per
+    partition."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import session_windows
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return session_windows(ev, user_col="user_id", ts_col="ts",
+                           gap_us=1_800_000_000)
+
+
 def q_replicate_orders(sf_dir: str):
     import ray.data as rd
     from search_ingest_ray.schemas import ParentRelation, TableConfig
@@ -559,6 +619,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fold_tombstone": q_events_fold_tombstone,
         "events_fold_partial": q_events_fold_partial,
         "keyword_exact": q_keyword_exact,
+        "asof_orders": q_asof_orders,
+        "range_price": q_range_price,
+        "window_events": q_window_events,
+        "sessions": q_sessions,
         "replicate_orders": q_replicate_orders,
         "has_child_orders": q_has_child_orders,
         "has_parent_orders": q_has_parent_orders,
@@ -715,6 +779,44 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
                    (array_agg(value ORDER BY ts DESC, event_id DESC)
                       FILTER (WHERE value IS NOT NULL))[1] AS last_value
             FROM delta GROUP BY user_id""",
+        "asof_orders": """
+            WITH m AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, o_orderkey, o_totalprice FROM m WHERE rn = 1""",
+        "range_price": """
+            WITH bands(band_id, lo, hi) AS (VALUES
+              (0, 0.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0),
+              (3, 975.0, 1000.0), (4, 1000.0, 1000000000.0))
+            SELECT p.p_partkey, cast(b.band_id AS bigint) AS band_id
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi""",
+        "window_events": """
+            SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_us,
+                   event_type,
+                   count(*) AS n_events,
+                   cast(sum(cast(floor(value * 1e6) AS bigint)) AS bigint)
+                     AS sum_value_micro
+            FROM events GROUP BY 1, 2""",
+        "sessions": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS prev
+              FROM events),
+            g AS (
+              SELECT user_id, tus,
+                     sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d)
+            SELECT user_id, min(tus) AS session_start_us,
+                   max(tus) AS session_end_us, count(*) AS n_events
+            FROM g GROUP BY user_id, sid""",
         "replicate_orders": """
             SELECT o_orderkey, o_custkey,
                    'orders' AS target_index,

@@ -176,7 +176,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "minhash_pairs", "simhash", "fingerprint",
                  "events_fold_partial", "keyword_exact",
                  "phrase_match", "phrase_common", "embedding_near_dup",
-                 "ann_lsh", "bm25_chain", "suggest"]:
+                 "ann_lsh", "bm25_chain", "suggest",
+                 "asof_orders", "range_price", "window_events", "sessions"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

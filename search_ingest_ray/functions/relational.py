@@ -1,0 +1,299 @@
+"""Relational companions to the engine: temporal as-of join, broadcast
+range (interval) join, tumbling-window aggregation and gap-based session
+windows over event tables.
+
+The reference delegates relational work to the search backend (filters and
+aggregations over indexed fields, /root/reference/src/search-ingest
+mappings); a large-scale training-data pipeline needs the same operations
+directly over event/metadata tables.  Ray Data has no as-of/range join or
+window primitives, so each is expressed in the engine's standard scale
+shape:
+
+- :func:`asof_join` — hash-co-partition BOTH sides by the join key (one
+  int32 shuffle key), then ONE vectorized merged-lexsort +
+  segmented-cummax pass per partition: the classic sort-merge as-of,
+  O(n log n) per partition, no per-row Python.  An as-of match never
+  crosses join keys, so co-partitioning is the only exchange needed and
+  skew salting is inherited from the partition count.
+- :func:`range_join_broadcast` — the small interval table rides the object
+  store once (``ray.put``) and every batch resolves membership with one
+  ``np.searchsorted`` pass: a map-side join, zero shuffle.  For a LARGE
+  interval side, range-partition both inputs by the interval keyspace and
+  apply the same kernel per partition (same kernel, different exchange).
+- :func:`tumbling_window` — the window id is a pure function of the
+  timestamp (``ts_us // width * width``), so per-batch partial aggregation
+  (one C++ ``pyarrow`` group_by per batch) shrinks the shuffle to
+  O(windows x keys) partial rows before the small native groupby — the
+  combiner pattern, same as the posting build's partial stats.
+- :func:`session_windows` — sessionization is per-entity, so
+  hash-partition by the entity key and run one vectorized lexsort +
+  gap-scan + boundary-slice pass per partition.
+
+All money/ratio outputs use integer micro-units (``floor(x * 1e6)`` in
+float64) so results are bit-comparable with a SQL oracle computing the
+same IEEE expression.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import stable_partition_column
+
+_PART_COL = "__rel_part"
+_SIDE = "__asof_side"   # 0 = right (build/as-of source), 1 = left (probe)
+_TS = "__asof_ts"
+_TIE = "__asof_tie"
+_KEY = "__asof_k"
+
+
+def _tag_partition(batch: pa.Table, *, key_col: str,
+                   num_partitions: int) -> pa.Table:
+    part = stable_partition_column(batch[key_col], num_partitions)
+    return batch.append_column(_PART_COL, pa.array(part))
+
+
+# -- as-of join --------------------------------------------------------------
+
+def _asof_prep(batch: pa.Table, *, key: str, ts: str, keep: list[str],
+               other_names: list[str], other_types: list[pa.DataType],
+               side: int, tie_col: str | None) -> pa.Table:
+    """Project one side onto the shared union schema
+    ``[_KEY, _TS, _SIDE, _TIE, *left_cols, *right_cols]`` (absent side's
+    payload columns become typed nulls)."""
+    batch = batch.combine_chunks()
+    mask = pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[ts]))
+    if pc.any(pc.invert(mask)).as_py():
+        batch = batch.filter(mask)
+    n = batch.num_rows
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        _KEY: batch[key].cast(pa.int64()),
+        _TS: batch[ts].cast(pa.int64()),
+        _SIDE: pa.array(np.full(n, side, np.int8)),
+        _TIE: (batch[tie_col].cast(pa.int64())
+               if side == 0 and tie_col is not None
+               else pa.array(np.zeros(n, np.int64))),
+    }
+    own = {c: batch[c] for c in keep}
+    if side == 1:  # left payload first, then null right payload
+        cols.update(own)
+        for name, typ in zip(other_names, other_types):
+            cols[name] = pa.nulls(n, typ)
+    else:
+        for name, typ in zip(other_names, other_types):
+            cols[name] = pa.nulls(n, typ)
+        cols.update(own)
+    return pa.table(cols)
+
+
+def _asof_kernel(g: pa.Table, *, left_cols: list[str],
+                 right_cols: list[str]) -> pa.Table:
+    """One co-partitioned group: merged lexsort by (key, ts, side, tie) with
+    right rows ordering before left at equal ts (inclusive as-of), then a
+    segmented cummax forward-fills each left row with the position of the
+    latest right row at or before it within the same key segment.  Ties on
+    (key, ts) resolve to the largest ``tie_col`` (right rows sort tie-asc,
+    the fill takes the positionally-last)."""
+    g = g.combine_chunks()
+    n = g.num_rows
+    out_schema = pa.schema(
+        [(c, g.schema.field(c).type) for c in (*left_cols, *right_cols)])
+    if n == 0:
+        return out_schema.empty_table()
+    k = g[_KEY].to_numpy()
+    t = g[_TS].to_numpy()
+    s = g[_SIDE].to_numpy()
+    tie = g[_TIE].to_numpy()
+    order = np.lexsort((tie, s, t, k))
+    ks, ss = k[order], s[order]
+    rid = np.where(ss == 0, np.arange(n, dtype=np.int64), np.int64(-1))
+    grp_start = np.empty(n, bool)
+    grp_start[0] = True
+    grp_start[1:] = ks[1:] != ks[:-1]
+    seg = np.cumsum(grp_start) - 1
+    # segment-local forward max: offset each right position by seg*n so a
+    # fill can never leak across key segments (prev-segment values < seg*n)
+    tmp = np.where(rid >= 0, rid + seg * n, np.int64(-1))
+    ff = np.maximum.accumulate(tmp)
+    matched_left = (ss == 1) & (ff >= seg * n)
+    left_orig = pa.array(order[matched_left])
+    right_orig = pa.array(order[ff[matched_left] - seg[matched_left] * n])
+    cols = {c: g[c].take(left_orig) for c in left_cols}
+    cols.update({c: g[c].take(right_orig) for c in right_cols})
+    return pa.table(cols).cast(out_schema)
+
+
+def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
+              left_cols: list[str], right_cols: list[str],
+              right_on: str | None = None, tie_col: str | None = None,
+              num_partitions: int = 32):
+    """Backward inclusive as-of join: for every left row, the right row with
+    the same key and the greatest ``(right_ts, tie_col) <= (left_ts, +inf)``.
+    Inner semantics — unmatched left rows are dropped.  Returns a Dataset
+    with ``left_cols + right_cols`` (payload names must be disjoint; right
+    payload values pass through untouched, so floats stay bit-exact)."""
+    right_on = right_on or on
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"asof_join payload columns must be disjoint: {overlap}")
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lprep = left.map_batches(functools.partial(
+        _asof_prep, key=on, ts=left_ts, keep=left_cols,
+        other_names=right_cols, other_types=[rtypes[c] for c in right_cols],
+        side=1, tie_col=None), batch_format="pyarrow")
+    rprep = right.map_batches(functools.partial(
+        _asof_prep, key=right_on, ts=right_ts, keep=right_cols,
+        other_names=left_cols, other_types=[ltypes[c] for c in left_cols],
+        side=0, tie_col=tie_col), batch_format="pyarrow")
+    tagged = lprep.union(rprep).map_batches(
+        functools.partial(_tag_partition, key_col=_KEY,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_asof_kernel, left_cols=left_cols,
+                          right_cols=right_cols),
+        batch_format="pyarrow")
+
+
+# -- broadcast range (interval) join -----------------------------------------
+
+def _range_kernel(batch: pa.Table, *, iv_ref, value_col: str,
+                  out_col: str) -> pa.Table:
+    import ray
+    lows, highs, ids = (iv_ref if isinstance(iv_ref, tuple)
+                        else ray.get(iv_ref))
+    batch = batch.combine_chunks()
+    if pc.any(pc.is_null(batch[value_col])).as_py():
+        batch = batch.filter(pc.is_valid(batch[value_col]))
+    v = batch[value_col].to_numpy()
+    pos = np.searchsorted(lows, v, side="right") - 1
+    clipped = np.clip(pos, 0, len(lows) - 1)
+    ok = (pos >= 0) & (v < highs[clipped])
+    matched = batch.filter(pa.array(ok))
+    return matched.append_column(
+        out_col, pa.array(ids[clipped[ok]].astype(np.int64)))
+
+
+def range_join_broadcast(ds, intervals, *, value_col: str,
+                         out_col: str = "interval_id"):
+    """Join each row to the interval containing ``value_col``
+    (``lo <= v < hi``).  ``intervals`` is a sequence of ``(id, lo, hi)``,
+    non-overlapping; rows outside every interval are dropped.  The interval
+    table is broadcast once via ``ray.put`` and each batch resolves with one
+    ``np.searchsorted`` — no shuffle."""
+    import ray
+    iv = sorted(intervals, key=lambda r: r[1])
+    lows = np.array([r[1] for r in iv], np.float64)
+    highs = np.array([r[2] for r in iv], np.float64)
+    if len(iv) > 1 and np.any(highs[:-1] > lows[1:]):
+        raise ValueError("range_join_broadcast intervals must not overlap")
+    ids = np.array([r[0] for r in iv], np.int64)
+    iv_ref = ray.put((lows, highs, ids))
+    return ds.map_batches(
+        _range_kernel, batch_format="pyarrow",
+        fn_kwargs=dict(iv_ref=iv_ref, value_col=value_col, out_col=out_col))
+
+
+# -- tumbling window ----------------------------------------------------------
+
+def _window_partial(batch: pa.Table, *, ts_col: str, width_us: int,
+                    key_col: str, value_col: str) -> pa.Table:
+    batch = batch.combine_chunks()
+    tus = batch[ts_col].cast(pa.int64()).to_numpy()
+    win = (tus // width_us) * width_us
+    v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    vm = np.floor(v * 1e6)
+    null_v = ~np.isfinite(vm)
+    vm = np.where(null_v, 0, vm).astype(np.int64)
+    part = pa.table({
+        "window_us": pa.array(win),
+        key_col: batch[key_col],
+        "n_events": pa.array(np.ones(len(win), np.int64)),
+        "sum_value_micro": pa.array(vm),
+    })
+    agg = pa.TableGroupBy(part, ["window_us", key_col]).aggregate(
+        [("n_events", "sum"), ("sum_value_micro", "sum")])
+    return pa.table({       # select by name — pyarrow key/agg column order
+        "window_us": agg["window_us"], key_col: agg[key_col],
+        "n_events": agg["n_events_sum"],
+        "sum_value_micro": agg["sum_value_micro_sum"]})
+
+
+def tumbling_window(ds, *, ts_col: str, width_us: int, key_col: str,
+                    value_col: str):
+    """Tumbling-window aggregate: per ``(window_start, key)`` the event count
+    and the micro-unit value sum (``sum(floor(value * 1e6))`` — integer, so
+    bit-exact under any summation order).  Per-batch partials shrink the
+    shuffle to O(windows x keys) rows."""
+    partial = ds.map_batches(
+        functools.partial(_window_partial, ts_col=ts_col, width_us=width_us,
+                          key_col=key_col, value_col=value_col),
+        batch_format="pyarrow")
+    agg = partial.groupby(["window_us", key_col]).sum(
+        ["n_events", "sum_value_micro"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "window_us": t["window_us"], key_col: t[key_col],
+            "n_events": t["sum(n_events)"],
+            "sum_value_micro": t["sum(sum_value_micro)"]}),
+        batch_format="pyarrow")
+
+
+# -- session windows ----------------------------------------------------------
+
+def _session_kernel(g: pa.Table, *, user_col: str, ts_col: str,
+                    gap_us: int) -> pa.Table:
+    g = g.combine_chunks()
+    out_schema = pa.schema([(user_col, pa.int64()),
+                            ("session_start_us", pa.int64()),
+                            ("session_end_us", pa.int64()),
+                            ("n_events", pa.int64())])
+    n = g.num_rows
+    if n == 0:
+        return out_schema.empty_table()
+    u = g[user_col].cast(pa.int64()).to_numpy()
+    t = g[ts_col].cast(pa.int64()).to_numpy()
+    order = np.lexsort((t, u))
+    us, ts_ = u[order], t[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (us[1:] != us[:-1]) | (ts_[1:] - ts_[:-1] > gap_us)
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], n] - 1
+    return pa.table({
+        user_col: pa.array(us[starts]),
+        "session_start_us": pa.array(ts_[starts]),
+        "session_end_us": pa.array(ts_[ends]),
+        "n_events": pa.array(np.diff(np.r_[starts, n]).astype(np.int64)),
+    })
+
+
+def session_windows(ds, *, user_col: str, ts_col: str, gap_us: int,
+                    num_partitions: int = 32):
+    """Gap-based sessionization: one session per maximal run of a user's
+    events with inter-event gaps <= ``gap_us``.  Hash-partitioned by user
+    (sessions never cross users), one vectorized pass per partition.
+    Returns ``(user, session_start_us, session_end_us, n_events)``."""
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        mask = pc.and_(pc.is_valid(batch[user_col]),
+                       pc.is_valid(batch[ts_col]))
+        if pc.any(pc.invert(mask)).as_py():
+            batch = batch.filter(mask)
+        return pa.table({user_col: batch[user_col].cast(pa.int64()),
+                         ts_col: batch[ts_col].cast(pa.int64())})
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        functools.partial(_tag_partition, key_col=user_col,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_session_kernel, user_col=user_col, ts_col=ts_col,
+                          gap_us=gap_us),
+        batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""Edge-case tests for the relational operators (as-of join, range join,
+tumbling window, session windows) — the sf-scale value parity against the
+DuckDB oracles is covered by tools/check_entry.py."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_ingest_ray.functions.relational import (
+    asof_join, range_join_broadcast, session_windows, tumbling_window)
+
+
+def _ds(tbl):
+    import ray.data as rd
+    return rd.from_arrow(tbl)
+
+
+@pytest.fixture()
+def asof_out(ray_session):
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3, 4], pa.int64()),
+        "lts": pa.array([10, 5, 2, 7, 100, 1], pa.int64()),
+        "lid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "rts": pa.array([3, 5, 5, 8, 6, 50], pa.int64()),
+        "rid": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+    })
+    out = asof_join(_ds(left), _ds(right), on="k", right_on="rk",
+                    left_ts="lts", right_ts="rts",
+                    left_cols=["lid"], right_cols=["rid"],
+                    tie_col="rid", num_partitions=4).take_all()
+    return {r["lid"]: r["rid"] for r in out}
+
+
+def test_asof_exact_semantics(asof_out):
+    # k=1, lts=10 -> rts=5 twice (rid 11,12): inclusive max-tie pick = 12
+    assert asof_out[0] == 12
+    # k=1, lts=5 -> equal-ts match is INCLUSIVE, tie-break max rid = 12
+    assert asof_out[1] == 12
+    # k=1, lts=2 -> no right row at or before 2 (earliest rts=3): dropped
+    assert 2 not in asof_out
+    # k=2, lts=7 -> rts in {6,8}: only 6 qualifies -> rid=14
+    assert asof_out[3] == 14
+    # k=3, lts=100 -> rts=50 -> rid=15
+    assert asof_out[4] == 15
+    # k=4 has no right rows at all: dropped
+    assert 5 not in asof_out
+
+
+def test_asof_passthrough_floats_bit_exact(ray_session):
+    left = pa.table({"k": pa.array([7], pa.int64()),
+                     "lts": pa.array([9], pa.int64()),
+                     "lid": pa.array([1], pa.int64())})
+    price = 123.4567890123
+    right = pa.table({"rk": pa.array([7], pa.int64()),
+                      "rts": pa.array([4], pa.int64()),
+                      "price": pa.array([price], pa.float64())})
+    out = asof_join(_ds(left), _ds(right), on="k", right_on="rk",
+                    left_ts="lts", right_ts="rts",
+                    left_cols=["lid"], right_cols=["price"],
+                    num_partitions=2).take_all()
+    assert out[0]["price"] == price
+
+
+def test_range_join_boundaries(ray_session):
+    tbl = pa.table({"id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "v": pa.array([-1.0, 0.0, 9.999, 10.0, 25.0])})
+    bands = [(100, 0.0, 10.0), (200, 10.0, 20.0)]
+    out = range_join_broadcast(_ds(tbl), bands, value_col="v",
+                               out_col="band").take_all()
+    got = {r["id"]: r["band"] for r in out}
+    # lo inclusive, hi exclusive; out-of-range rows dropped
+    assert got == {1: 100, 2: 100, 3: 200}
+
+
+def test_range_join_rejects_overlap(ray_session):
+    with pytest.raises(ValueError):
+        range_join_broadcast(_ds(pa.table({"v": pa.array([1.0])})),
+                             [(0, 0.0, 10.0), (1, 5.0, 15.0)], value_col="v")
+
+
+def test_tumbling_window_counts_and_micro_sums(ray_session):
+    ts = pa.array([0, 5, 10, 15, 20], pa.timestamp("us"))
+    tbl = pa.table({"ts": ts,
+                    "key": pa.array(["a", "a", "b", "a", "a"]),
+                    "value": pa.array([1.5, 2.25, 10.0, -0.5, 3.0])})
+    out = tumbling_window(_ds(tbl), ts_col="ts", width_us=10,
+                          key_col="key", value_col="value").take_all()
+    got = {(r["window_us"], r["key"]): (r["n_events"], r["sum_value_micro"])
+           for r in out}
+    assert got == {
+        (0, "a"): (2, 3_750_000),
+        (10, "b"): (1, 10_000_000),
+        (10, "a"): (1, -500_000),
+        (20, "a"): (1, 3_000_000),
+    }
+
+
+def test_session_gap_boundary(ray_session):
+    # gap == gap_us stays in-session; gap > gap_us breaks
+    t = [0, 100, 200, 301]  # deltas 100, 100, 101 with gap_us=100
+    tbl = pa.table({"u": pa.array([1, 1, 1, 1], pa.int64()),
+                    "ts": pa.array(t, pa.timestamp("us"))})
+    out = session_windows(_ds(tbl), user_col="u", ts_col="ts",
+                          gap_us=100, num_partitions=2).take_all()
+    sessions = sorted((r["session_start_us"], r["session_end_us"],
+                       r["n_events"]) for r in out)
+    assert sessions == [(0, 200, 3), (301, 301, 1)]
+
+
+def test_sessions_never_cross_users(ray_session):
+    tbl = pa.table({"u": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array([0, 1], pa.timestamp("us"))})
+    out = session_windows(_ds(tbl), user_col="u", ts_col="ts",
+                          gap_us=10**9, num_partitions=2).take_all()
+    assert sorted(r["u"] for r in out) == [1, 2]
+    assert all(r["n_events"] == 1 for r in out)
