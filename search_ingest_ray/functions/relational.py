@@ -74,7 +74,11 @@ def _asof_prep(batch: pa.Table, *, key: str, ts: str, keep: list[str],
         _KEY: batch[key].cast(pa.int64()),
         _TS: batch[ts].cast(pa.int64()),
         _SIDE: pa.array(np.full(n, side, np.int8)),
-        _TIE: (batch[tie_col].cast(pa.int64())
+        # null tie must sort SMALLEST (a null-tie row never beats a real
+        # tie at equal ts); unguarded nulls would degrade to float64 NaN
+        # in to_numpy and sort largest
+        _TIE: (pc.fill_null(batch[tie_col].cast(pa.int64()),
+                            pa.scalar(-(2 ** 63), pa.int64()))
                if side == 0 and tie_col is not None
                else pa.array(np.zeros(n, np.int64))),
     }

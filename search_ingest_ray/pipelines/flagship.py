@@ -90,7 +90,8 @@ def documents_chain_index(sf_dir: str, analyzer: str = "simple",
             "epoch", pa.array(np.full(out.num_rows, 1), pa.int64())
         ).append_column(
             "action", pa.array(["updated"] * upd.num_rows
-                               + ["deleted"] * dele.num_rows))
+                               + ["deleted"] * dele.num_rows,
+                               pa.string()))  # explicit: [] must not infer null type
 
     rd.read_parquet(doc_path).map_batches(
         mk_delta, batch_format="pyarrow").write_parquet(delta_dir)

@@ -46,7 +46,7 @@ import numpy as np
 from ..pipelines.epochs import epoch_chain, epoch_dir
 from ..util import read_json
 from .bm25 import BM25Params, idf, term_scores
-from .searcher import Searcher, _merge_acc
+from .searcher import Searcher, _isin_sorted_i64 as _isin_sorted, _merge_acc
 
 
 def _topk_from_parts(part_d, part_s, k):
@@ -56,14 +56,6 @@ def _topk_from_parts(part_d, part_s, k):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     top = np.lexsort((ids, -sc))[:min(k, ids.size)]
     return ids[top], sc[top]
-
-
-def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
-    if sorted_arr.size == 0 or values.size == 0:
-        return np.zeros(values.size, dtype=bool)
-    idx = np.searchsorted(sorted_arr, values)
-    idx = np.minimum(idx, sorted_arr.size - 1)
-    return sorted_arr[idx] == values
 
 
 class MultiEpochSearcher:
@@ -118,16 +110,19 @@ class MultiEpochSearcher:
                 self.patches.append({})
                 self.pruning_ok = False  # pre-patch chain: full decode
                 continue
+            import pyarrow as pa
             import pyarrow.parquet as pq
+            tables = [pq.read_table(os.path.join(pd_, f))
+                      for f in sorted(os.listdir(pd_))
+                      if f.endswith(".parquet")]
             patch: dict[str, int] = {}
-            for f in sorted(os.listdir(pd_)):
-                if not f.endswith(".parquet"):
-                    continue
-                t = pq.read_table(os.path.join(pd_, f))
+            if tables:
+                t = pa.concat_tables(tables)
                 cnt_col = next(c for c in t.column_names if c != "term")
-                for term, cnt in zip(t["term"].to_pylist(),
-                                     t[cnt_col].to_pylist()):
-                    patch[term] = patch.get(term, 0) + int(cnt)
+                agg = pa.TableGroupBy(t, "term").aggregate([(cnt_col, "sum")])
+                patch = dict(zip(
+                    agg["term"].to_pylist(),
+                    (int(c) for c in agg[f"{cnt_col}_sum"].to_pylist())))
             self.patches.append(patch)
 
     def _surviving_lists(self, term: str, filters: dict | None = None):
@@ -231,6 +226,9 @@ class MultiEpochSearcher:
         info.sort(key=lambda x: -x[4])
         suffix_ub = np.cumsum([x[4] for x in info][::-1])[::-1]
 
+        # NOTE: mirrors Searcher.search_terms' two-phase driver
+        # (query/searcher.py) plus per-epoch correction factors and dead-doc
+        # suppression — keep the exactness-critical invariants in sync.
         acc_ids = np.empty(0, dtype=np.int64)
         acc_sc = np.empty(0, dtype=np.float64)
         theta = -np.inf

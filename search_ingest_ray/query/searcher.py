@@ -174,19 +174,15 @@ class Searcher:
         return keep
 
     @staticmethod
-    def _decode_list(row: dict, prune_rest: float = 0.0,
-                     theta: float = -np.inf, keep: np.ndarray | None = None):
-        """Decode a posting-list row, skipping blocks whose upper bound
-        (skip_max + prune_rest) < theta — or, when ``keep`` is given, the
-        blocks outside that precomputed mask.  Returns (docids, tfs, dls)."""
+    def _decode_list(row: dict, keep: np.ndarray | None = None):
+        """Decode a posting-list row — all blocks, or only the blocks inside
+        a precomputed ``keep`` mask (the two-phase candidate split computes
+        the mask from ``skip_last`` ranges).  Returns (docids, tfs, dls)."""
         n = row["n"]
         skip_max = np.asarray(row["skip_max"], dtype=np.float32)
         nblocks = len(skip_max)
         if keep is None:
-            # stored block maxes are float32 and may round DOWN vs the true
-            # float64 max; inflate by 1 ulp so the bound stays an upper bound
-            ub = skip_max.astype(np.float64) * (1.0 + 1e-6) + 1e-12
-            keep = (ub + prune_rest) >= theta
+            keep = np.ones(nblocks, dtype=bool)
         if not keep.any():
             e = np.empty(0, dtype=np.uint64)
             return e, e, e
@@ -276,6 +272,10 @@ class Searcher:
         # suffix_ub[j] = Σ_{i ≥ j} term_max[order[i]]
         suffix_ub = np.cumsum([term_max[t] for t in order][::-1])[::-1]
 
+        # NOTE: this two-phase driver (essential loop / theta / suffix_ub /
+        # candidate loop) is mirrored in MultiEpochSearcher.search_terms
+        # (query/multi.py) with per-epoch correction factors — keep the
+        # exactness-critical invariants in sync when changing either.
         acc_ids = np.empty(0, dtype=np.int64)
         acc_sc = np.empty(0, dtype=np.float64)
         theta = -np.inf

@@ -50,8 +50,8 @@ class _DecodeCounter:
         self.decoded = 0
         orig = Searcher._decode_list
 
-        def wrapper(row, prune_rest=0.0, theta=-np.inf, keep=None):
-            d, tf, dl = orig(row, prune_rest, theta, keep)
+        def wrapper(row, keep=None):
+            d, tf, dl = orig(row, keep)
             self.held += int(row["n"])
             self.decoded += int(d.size)
             return d, tf, dl

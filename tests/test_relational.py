@@ -49,6 +49,21 @@ def test_asof_exact_semantics(asof_out):
     assert 5 not in asof_out
 
 
+def test_asof_null_tie_sorts_smallest(ray_session):
+    # a null-tie right row must lose to any real tie at equal (key, ts)
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "lts": pa.array([10], pa.int64()),
+                     "lid": pa.array([0], pa.int64())})
+    right = pa.table({"rk": pa.array([1, 1], pa.int64()),
+                      "rts": pa.array([5, 5], pa.int64()),
+                      "rid": pa.array([None, 3], pa.int64())})
+    out = asof_join(_ds(left), _ds(right), on="k", right_on="rk",
+                    left_ts="lts", right_ts="rts",
+                    left_cols=["lid"], right_cols=["rid"],
+                    tie_col="rid", num_partitions=2).take_all()
+    assert out[0]["rid"] == 3
+
+
 def test_asof_passthrough_floats_bit_exact(ray_session):
     left = pa.table({"k": pa.array([7], pa.int64()),
                      "lts": pa.array([9], pa.int64()),
