@@ -206,6 +206,60 @@ def q_keyword_exact(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+def q_bool_query(sf_dir: str):
+    """ES bool query: must=[merge, scan] (conjunction, both scored),
+    should=[window] (scores when present), must_not=[spark] (excludes).
+    Integer micro-unit scores (Σ floor(idf·tfnorm·1e6)) make the 3-term
+    sum order-insensitive, so the DuckDB oracle is bit-exact."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    d, m = s.search_bool(list(BM25_QUERY_TERMS), should=["window"],
+                         must_not=["spark"], k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
+FUZZY_PROBE = "merg"
+WILDCARD_PATTERN = "m*e"
+
+
+def q_fuzzy(sf_dir: str):
+    """Fuzzy term expansion (ES fuzzy-query rewrite): dictionary terms
+    within Levenshtein distance 1 of the probe, ranked (-df, term)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    out = s.fuzzy_terms(FUZZY_PROBE, max_dist=1, k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
+def q_wildcard(sf_dir: str):
+    """Wildcard term expansion (ES wildcard query) over the dictionary."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    out = s.wildcard_terms(WILDCARD_PATTERN, k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
+def q_facet_lang(sf_dir: str):
+    """Terms-aggregation (ES aggs) in filter context: language facet
+    counts over documents matching ANY of the query terms, resolved from
+    the docvalues sidecar — scoring skipped entirely."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.facet_counts(list(BM25_QUERY_TERMS), "lang")
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -619,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fold_tombstone": q_events_fold_tombstone,
         "events_fold_partial": q_events_fold_partial,
         "keyword_exact": q_keyword_exact,
+        "bool_query": q_bool_query,
+        "fuzzy": q_fuzzy,
+        "wildcard": q_wildcard,
+        "facet_lang": q_facet_lang,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -632,17 +690,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": q_phrase_match,
         "phrase_common": q_phrase_common,
         "phrase_slop": q_phrase_slop,
-        # rows-only (non-SQL-expressible)
-        "embedding_near_dup": q_embedding_near_dup,
+        # SQL-oracled via md5-low64 token hashes (util.tok_hash_sql) +
+        # hugeint mod-2^64 arithmetic in DuckDB
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        # rows-only (non-SQL-expressible)
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_features": q_image_features,
         "webpage_build": q_webpage_build,
     }
+
+
+def _mulmod64(x: str, y: str) -> str:
+    """SQL for ``(x * y) mod 2^64`` on HUGEINTs via 32-bit split — a direct
+    64×64 product can overflow signed-128 HUGEINT; each split partial stays
+    < 2^97.  Mirrors numpy uint64 wrap-around multiplication."""
+    return (f"((({x}) % 4294967296::HUGEINT) * ({y})"
+            f" + ((({x}) // 4294967296::HUGEINT) * ({y}))"
+            f" % 4294967296::HUGEINT * 4294967296::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT")
+
+
+_M61 = (1 << 61) - 1
+_M64 = 1 << 64
+_M63 = 1 << 63
 
 
 def oracle_sql() -> dict[str, str]:
@@ -686,6 +761,29 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
 """
 
     bm25 = bm25_sql()
+
+    # -- constants for the hash-pipeline oracles (all data-independent:
+    # interpolated as SQL literals, computed from the same seeds the engine
+    # stages use) ------------------------------------------------------------
+    from search_ingest_ray.functions.dedup import MinHashEmitter, _perm_params
+    from search_ingest_ray.functions.textstats import _LANG_PROFILES
+
+    mh_a, mh_b = _perm_params(32, 7)   # q_minhash_pairs: num_perm=32, seed=7
+    mh_mix = MinHashEmitter._SHINGLE_MIX[:3]          # shingle_k=3
+    mh_bmix = [((r + 1) * 0x9E3779B97F4A7C15) % _M64 for r in range(4)]
+    perm_vals = ",".join(f"({i},{int(mh_a[i])}::HUGEINT,{int(mh_b[i])}::HUGEINT)"
+                         for i in range(32))
+    bmix_vals = ",".join(f"({r},{c}::HUGEINT)" for r, c in enumerate(mh_bmix))
+    prof_vals = ",".join(f"('{lang}','{w}')"
+                         for lang, prof in sorted(_LANG_PROFILES.items())
+                         for w in sorted(prof))
+    fp_seed63 = 14695981039346656037 % _M63
+
+    bool_micro = (f"cast(floor(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+                  f" * ((tf.tf * ({k1} + 1))"
+                  f" / (tf.tf + {k1} * ((1 - {b}) + ({b} * dl.dl) / stats.avgdl)))"
+                  f" * 1e6) AS bigint)")
+
     return {
         "doc_count_by_lang":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
@@ -753,6 +851,51 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             WHERE text IN (
               (SELECT text FROM documents ORDER BY doc_id ASC LIMIT 1),
               (SELECT text FROM documents ORDER BY doc_id DESC LIMIT 1))""",
+        "bool_query": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}', 'window') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term IN ('{t1}', '{t2}')
+                        THEN term END) = 2
+)
+SELECT s.doc_id, s.score_micro FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM toks t
+                  WHERE t.doc_id = s.doc_id AND t.term = 'spark')
+ORDER BY s.score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "fuzzy": f"""
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE levenshtein(term, '{FUZZY_PROBE}') <= 1
+            GROUP BY term ORDER BY df DESC, term LIMIT 10""",
+        "wildcard": f"""
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term LIKE '{WILDCARD_PATTERN.replace("*", "%").replace("?", "_")}'
+            GROUP BY term ORDER BY df DESC, term LIMIT 10""",
+        "facet_lang": f"""
+            SELECT lang, count(*) AS n FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY lang""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
@@ -890,4 +1033,110 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
                         / greatest(len(toks), 1) * 1e6) AS bigint)
                      AS mean_token_len_micro
             FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+        "langid": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            prof(lang, w) AS (VALUES {prof_vals}),
+            sc AS (
+              SELECT dt.doc_id, p.lang, count(*) AS s
+              FROM dt JOIN prof p ON dt.term = p.w
+              GROUP BY dt.doc_id, p.lang
+            ),
+            best AS (
+              SELECT doc_id, lang AS lang_pred,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, lang) AS rn
+              FROM sc WHERE s >= 1
+            )
+            SELECT d.doc_id, d.lang,
+                   coalesce(b.lang_pred, 'und') AS lang_pred
+            FROM documents d LEFT JOIN best b
+              ON d.doc_id = b.doc_id AND b.rn = 1""",
+        # fingerprint/simhash/minhash oracles reproduce the engine's numpy
+        # uint64 arithmetic exactly: md5-low64 token hashes
+        # (util.tok_hash_sql == md5_number_lower), recursive-CTE power
+        # table, and 32-bit-split modular multiplication (_mulmod64) for
+        # every 64x64-bit product (numpy wrap-around semantics)
+        "fingerprint": f"""
+WITH RECURSIVE base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+maxn AS (SELECT greatest(coalesce(max(len(toks)), 1), 1) AS m FROM base),
+pows(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT i + 1, {_mulmod64('p', '1099511628211::HUGEINT')}
+  FROM pows WHERE i + 1 < (SELECT m FROM maxn)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(len(toks))) AS pos FROM base),
+contrib AS (
+  SELECT tok.doc_id,
+         {_mulmod64('md5_number_lower(tok.term)::HUGEINT', 'p.p')} AS c
+  FROM tok JOIN pows p ON p.i = tok.pos),
+fp AS (SELECT doc_id,
+              cast((14695981039346656037::HUGEINT + sum(c))
+                   % {_M63}::HUGEINT AS bigint) AS fingerprint
+       FROM contrib GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.fingerprint, {fp_seed63}) AS fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+        "simhash": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term),
+bits AS (
+  SELECT tf.doc_id, b.b,
+         sum(tf.tf * (CASE WHEN (md5_number_lower(tf.term) >> b.b) & 1 = 1
+                      THEN 1 ELSE -1 END)) AS acc
+  FROM tf CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY tf.doc_id, b.b),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b)
+             ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(sh.v, 0) - CASE WHEN coalesce(sh.v, 0) >= {_M63}::HUGEINT
+            THEN {_M64}::HUGEINT ELSE 0::HUGEINT END AS bigint) AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+""",
+        "minhash_pairs": f"""
+WITH base AS (
+  SELECT doc_id,
+         list_concat({_TOKS},
+           list_transform(range(greatest(3 - len({_TOKS}), 0)),
+                          x -> '')) AS toks
+  FROM documents),
+tok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
+               unnest(range(len(toks))) AS pos, len(toks) AS nt FROM base),
+w AS (
+  SELECT doc_id, pos, nt, h,
+         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+  FROM tok),
+sh AS (
+  SELECT doc_id,
+         ({_mulmod64('h', f'{int(mh_mix[0])}::HUGEINT')}
+          + {_mulmod64('h1', f'{int(mh_mix[1])}::HUGEINT')}
+          + {_mulmod64('h2', f'{int(mh_mix[2])}::HUGEINT')})
+           % {_M64}::HUGEINT % {_M61}::HUGEINT AS shm
+  FROM w WHERE pos <= nt - 3),
+perms(pidx, a, b) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT sh.doc_id, p.pidx,
+         min((({_mulmod64('p.a', 'sh.shm')} + p.b) % {_M64}::HUGEINT)
+             % {_M61}::HUGEINT) AS sig
+  FROM sh CROSS JOIN perms p GROUP BY sh.doc_id, p.pidx),
+bm(r, c) AS (VALUES {bmix_vals}),
+bands AS (
+  SELECT doc_id, pidx // 4 AS band,
+         cast(sum({_mulmod64('sig', 'bm.c')}) % {_M63}::HUGEINT AS bigint)
+           AS band_hash
+  FROM sig JOIN bm ON bm.r = pidx % 4
+  GROUP BY doc_id, pidx // 4)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+""",
     }

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 from ..analyzer import tokenize_simple
 from ..stages.fold import partitioned_fold, _tag_partition, _PART_COL
+from ..util import tok_hash_sql
 
 # -- exact dedup -------------------------------------------------------------
 
@@ -155,9 +156,11 @@ class MinHashEmitter:
     """map_batches stage: doc → ``bands`` rows (band, band_hash, id).
 
     Permutation parameters and a token-hash cache are built once per actor
-    (stateful setup).  Shingle hashing is vectorized: per-token blake2b
-    hashes are computed once per DISTINCT token (cached across batches),
-    then k-gram shingle hashes are a strided polynomial mix in numpy."""
+    (stateful setup).  Shingle hashing is vectorized: per-token md5-low64
+    hashes (SQL parity: ``md5_number_lower``) are computed once per
+    DISTINCT token (cached across batches), then k-gram shingle hashes are
+    a strided polynomial mix in numpy — the whole emit→band→pair pipeline
+    is reproducible by the pure-SQL DuckDB oracle in ``__ray_entry__``."""
 
     _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                              0x165667B19E3779F9, 0x27D4EB2F165667C5,
@@ -180,8 +183,7 @@ class MinHashEmitter:
     def _tok_hash(self, tok: str) -> int:
         h = self._tok_cache.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = tok_hash_sql(tok)  # SQL-parity: md5_number_lower(tok)
             if len(self._tok_cache) < 2_000_000:
                 self._tok_cache[tok] = h
         return h
@@ -277,9 +279,10 @@ class SimHasher:
     """Actor-pool simhash stage: 64-bit SimHash over simple-analyzed tokens
     weighted by tf, batch-vectorized.
 
-    Per-token blake2b hashes are cached across batches (token vocabulary is
-    heavy-tailed); the accumulate step is one np.add.at over a (docs × 64)
-    matrix per batch instead of a per-token 64-wide Python loop."""
+    Per-token md5-low64 hashes (SQL parity: ``md5_number_lower``) are
+    cached across batches (token vocabulary is heavy-tailed); the
+    accumulate step is one np.add.at over a (docs × 64) matrix per batch
+    instead of a per-token 64-wide Python loop."""
 
     def __init__(self, text_col: str = "text", out_col: str = "simhash"):
         self.text_col, self.out_col = text_col, out_col
@@ -289,8 +292,7 @@ class SimHasher:
     def _tok_hash(self, tok: str) -> int:
         h = self._cache.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = tok_hash_sql(tok)  # SQL-parity: md5_number_lower(tok)
             if len(self._cache) < 2_000_000:
                 self._cache[tok] = h
         return h

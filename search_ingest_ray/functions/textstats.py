@@ -105,9 +105,11 @@ class Fingerprinter:
     whitespace/punct-insensitive exact-duplicate key.
 
     fp(doc) = seed + Σ_i h(tok_i) · B^i  (mod 2^64), masked to 63 bits.
-    Per-token blake2b hashes are cached across batches; the polynomial
-    accumulation is one flattened numpy reduceat per batch (no per-byte or
-    per-token Python arithmetic in the hot path)."""
+    Per-token md5-low64 hashes (SQL parity: ``md5_number_lower``) are
+    cached across batches; the polynomial accumulation is one flattened
+    numpy reduceat per batch (no per-byte or per-token Python arithmetic
+    in the hot path) — reproducible by a pure-SQL DuckDB oracle via a
+    recursive-CTE power table."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
         self.text_col, self.out_col = text_col, out_col
@@ -126,9 +128,8 @@ class Fingerprinter:
     def _tok_hash(self, tok: str) -> int:
         h = self._cache.get(tok)
         if h is None:
-            import hashlib
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            from ..util import tok_hash_sql
+            h = tok_hash_sql(tok)  # SQL-parity: md5_number_lower(tok)
             if len(self._cache) < 2_000_000:
                 self._cache[tok] = h
         return h

@@ -50,6 +50,34 @@ def _isin_sorted_i64(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein ``dist(a, b) <= k`` (early-exit row DP; the band
+    keeps each row O(k) useful cells so the vocab scan in
+    :meth:`Searcher.fuzzy_terms` stays cheap for small k)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1  # outside the band
+        ca = a[i - 1]
+        best = i if i <= k else k + 1  # column 0 is in the band iff i <= k
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        for j in range(hi + 1, lb + 1):
+            cur[j] = k + 1
+        prev = cur
+    return prev[lb] <= k
+
+
 def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
                part_d: list[np.ndarray], part_s: list[np.ndarray]):
     """Merge per-list (docid, score) contributions into the sorted running
@@ -374,6 +402,169 @@ class Searcher:
                 if got is None or df > got:
                     agg[t] = int(df)
         return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def _vocab_agg(self, pred, k: int = 10) -> list[tuple[str, int]]:
+        """Shared term-dictionary scan for multi-term (expansion) queries:
+        aggregate (term, global df) over every partition's dictionary for
+        terms satisfying ``pred(term)``, collapsing salted/partition
+        duplicates by max df (df on every salted sub-list is the exact
+        GLOBAL df, so max is exact).  Ranked (-df, term), top-k.
+
+        Scale note: a linear dictionary scan per partition — dictionaries
+        are per-partition term-sorted arrays, so each scan is local to its
+        query actor and partitions scan in parallel across the pool.  A
+        Levenshtein-automaton walk (Lucene's approach) would prune further;
+        at the dictionary sizes a partition holds (vocab / P) the linear
+        scan is not the serving bottleneck."""
+        agg: dict[str, int] = {}
+        for tp in range(self.P):
+            ent = self._part(tp)
+            if ent is None:
+                continue
+            tbl = ent[0]
+            terms = tbl["term"].to_numpy(zero_copy_only=False)
+            dfs = tbl["df"].to_numpy()
+            for t, df in zip(terms, dfs):
+                if pred(t):
+                    got = agg.get(t)
+                    if got is None or df > got:
+                        agg[t] = int(df)
+        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def fuzzy_terms(self, probe: str, max_dist: int = 1,
+                    k: int = 10) -> list[tuple[str, int]]:
+        """Fuzzy term expansion (the ES ``fuzzy`` query's rewrite step):
+        dictionary terms within Levenshtein distance ``max_dist`` of
+        ``probe``, ranked (-df, term).  A length prefilter skips the DP for
+        terms whose length difference already exceeds the bound."""
+        lp = len(probe)
+
+        def pred(t: str) -> bool:
+            if abs(len(t) - lp) > max_dist:
+                return False
+            return _levenshtein_leq(probe, t, max_dist)
+
+        return self._vocab_agg(pred, k=k)
+
+    def wildcard_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
+        """Wildcard term expansion (ES ``wildcard`` query): ``*`` matches
+        any run, ``?`` one char; ranked (-df, term)."""
+        import fnmatch
+        import re
+        rx = re.compile(fnmatch.translate(pattern))
+        return self._vocab_agg(lambda t: rx.match(t) is not None, k=k)
+
+    def _term_postings_micro(self, rows: list[dict]):
+        """Fully decode one term's (possibly salted) lists into sorted
+        docids + per-posting INTEGER micro scores (floor(score·1e6)).
+        Integer micros make multi-term sums order-insensitive and therefore
+        bit-reproducible by the SQL oracle (float sums of 3+ terms are
+        association-order-sensitive)."""
+        p = self.params
+        ds, ms = [], []
+        for row in rows:
+            d, tf, dl = self._decode_list(row)
+            if d.size == 0:
+                continue
+            ds.append(d.astype(np.int64))
+            ms.append(np.floor(
+                term_scores(tf, dl, row["df"], p) * 1e6).astype(np.int64))
+        if not ds:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        d = np.concatenate(ds)
+        m = np.concatenate(ms)
+        o = np.argsort(d, kind="stable")  # salted sub-lists are disjoint
+        return d[o], m[o]
+
+    def search_bool(self, must: list[str], should: list[str] | None = None,
+                    must_not: list[str] | None = None, k: int = 10):
+        """ES ``bool`` query: ``must`` terms are a conjunction (all
+        required, each contributes score), ``should`` terms add score when
+        present, ``must_not`` terms exclude.  Scores are integer
+        micro-units (Σ floor(idf·tfnorm·1e6) over matched must+should
+        terms) so the DuckDB oracle reproduces them exactly.
+
+        Returns (docids int64[], score_micro int64[]) by (-score, docid).
+
+        Document-at-a-time conjunction: the must intersection shrinks the
+        candidate set before should/must_not lists are consulted; at scale
+        each term decode is block-skippable by the candidate mask exactly
+        like the two-phase path (conjunctions are cheaper than the scored
+        OR — candidates only ever shrink)."""
+        should = list(should or ())
+        must_not = list(must_not or ())
+        if not must and not should:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        rows = self._lookup(list(dict.fromkeys([*must, *should, *must_not])))
+
+        if must:
+            d0, m0 = self._term_postings_micro(rows.get(must[0], []))
+            for t in must[1:]:
+                if d0.size == 0:
+                    break
+                d1, m1 = self._term_postings_micro(rows.get(t, []))
+                keep0 = _isin_sorted_i64(d0, d1)
+                d0, m0 = d0[keep0], m0[keep0]
+                keep1 = _isin_sorted_i64(d1, d0)
+                m0 = m0 + m1[keep1]
+        else:
+            # should-only: disjunction (accumulate union)
+            parts = [self._term_postings_micro(rows.get(t, [])) for t in should]
+            d_all = np.concatenate([d for d, _ in parts]) if parts else \
+                np.empty(0, dtype=np.int64)
+            m_all = np.concatenate([m for _, m in parts]) if parts else \
+                np.empty(0, dtype=np.int64)
+            d0, inv = np.unique(d_all, return_inverse=True)
+            m0 = np.zeros(d0.size, dtype=np.int64)
+            np.add.at(m0, inv, m_all)
+            should = []
+
+        for t in should:
+            if d0.size == 0:
+                break
+            d1, m1 = self._term_postings_micro(rows.get(t, []))
+            pos = np.searchsorted(d0, d1)
+            ok = (pos < d0.size)
+            ok[ok] = d0[pos[ok]] == d1[ok]
+            np.add.at(m0, pos[ok], m1[ok])
+
+        for t in must_not:
+            if d0.size == 0:
+                break
+            d1, _ = self._term_postings_micro(rows.get(t, []))
+            keep = ~_isin_sorted_i64(d0, d1)
+            d0, m0 = d0[keep], m0[keep]
+
+        if d0.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        top = np.lexsort((d0, -m0))[:k]
+        return d0[top], m0[top]
+
+    def facet_counts(self, terms: list[str], field: str) -> pa.Table:
+        """Terms-aggregation (ES ``aggs: {terms: {field}}``) over the match
+        set of an OR query: docs containing ANY query term, counted per
+        stored-field value via the docvalues sidecar.  Returns
+        (value, n) sorted by value; scoring is skipped entirely (aggs run
+        in filter context)."""
+        import pyarrow.compute as pc
+        rows = self._lookup(list(dict.fromkeys(terms)))
+        ds = []
+        for rws in rows.values():
+            for row in rws:
+                d, _, _ = self._decode_list(row)
+                ds.append(d.astype(np.int64))
+        if not ds:
+            return pa.table({field: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        docids = np.unique(np.concatenate(ds))
+        vals = self.fields.get(docids, [field])[field]
+        vc = pc.value_counts(vals)
+        out = pa.table({field: vc.field("values"),
+                        "n": vc.field("counts")})
+        return out.sort_by([(field, "ascending")])
 
     def filter_docs(self, filters: dict, k: int | None = None) -> np.ndarray:
         """Filter-context-ONLY query: docids (sorted ascending) whose

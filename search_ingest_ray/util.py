@@ -72,3 +72,12 @@ def atomic_write_json(path: str, obj) -> None:
 def read_json(path: str):
     with open(path) as f:
         return json.load(f)
+
+
+def tok_hash_sql(tok: str) -> int:
+    """64-bit token hash with EXACT SQL parity: equals DuckDB's
+    ``md5_number_lower(tok)`` (the little-endian read of md5 digest bytes
+    8..16).  The minhash/simhash/fingerprint stages use this so their
+    outputs are reproducible by a pure-SQL DuckDB oracle — the per-token
+    cost is equivalent to the blake2b it replaced."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")

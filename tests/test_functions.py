@@ -61,7 +61,7 @@ def test_minhash_signature_deterministic():
 
 def test_simhash_near_dup(rd):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 8
-    near = base.replace("theta", "thota")
+    near = base.replace("theta", "thota", 1)  # one token differs
     far = "totally unrelated words here about something else " * 8
     assert hamming64(simhash64(base), simhash64(near)) <= 12
     assert hamming64(simhash64(base), simhash64(far)) > 20

@@ -1,0 +1,159 @@
+"""Bool / fuzzy / wildcard / facet query operators vs brute-force oracles.
+
+The engine side of the round-3 ES-parity queries: ``search_bool`` (must /
+should / must_not with order-insensitive integer micro scores),
+``fuzzy_terms`` / ``wildcard_terms`` (dictionary expansion), and
+``facet_counts`` (terms aggregation in filter context).  Each is compared
+against an independent in-memory reference over the sf0.001 documents
+table; the DuckDB oracles in ``__ray_entry__`` re-prove the same results
+SQL-side at the driver gate.
+"""
+
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_ingest_ray.analyzer import tokenize_simple
+from search_ingest_ray.query.bm25 import term_scores
+from search_ingest_ray.query.searcher import Searcher, _levenshtein_leq
+from search_ingest_ray.util import tok_hash_sql
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+def test_levenshtein_leq_matches_reference():
+    rng = np.random.default_rng(11)
+    al = "abcde"
+    words = ["".join(rng.choice(list(al), size=int(rng.integers(0, 7))))
+             for _ in range(120)]
+    for k in (0, 1, 2):
+        for a in words[:30]:
+            for b in words[30:60]:
+                assert _levenshtein_leq(a, b, k) == (_lev_ref(a, b) <= k), \
+                    (a, b, k)
+
+
+def test_tok_hash_sql_matches_duckdb():
+    import duckdb
+    con = duckdb.connect()
+    toks = ["", "merge", "x9", "straße", "ユニコード", "a" * 100]
+    for t in toks:
+        got = con.execute("select md5_number_lower(?)", [t]).fetchone()[0]
+        assert tok_hash_sql(t) == got, t
+
+
+@pytest.fixture(scope="module")
+def docs_and_searcher(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import documents_index
+    root = documents_index(sf_dir, analyzer="simple",
+                           store_fields=("lang",))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    return t, Searcher(root)
+
+
+def _vocab_df(t):
+    df: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        df.update(set(tokenize_simple(txt or "")))
+    return df
+
+
+def test_fuzzy_terms_vs_vocab(docs_and_searcher):
+    t, s = docs_and_searcher
+    df = _vocab_df(t)
+    for probe, k in (("merg", 1), ("scan", 1), ("windo", 2)):
+        exp = sorted(((term, n) for term, n in df.items()
+                      if _lev_ref(probe, term) <= k),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert s.fuzzy_terms(probe, max_dist=k, k=10) == exp, probe
+
+
+def test_wildcard_terms_vs_vocab(docs_and_searcher):
+    t, s = docs_and_searcher
+    df = _vocab_df(t)
+    import fnmatch
+    for pat in ("m*e", "s?an*", "*dow"):
+        exp = sorted(((term, n) for term, n in df.items()
+                      if fnmatch.fnmatch(term, pat)),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert s.wildcard_terms(pat, k=10) == exp, pat
+
+
+def _bool_reference(t, p, must, should, must_not, k=10):
+    ids = t["doc_id"].to_numpy()
+    toks = [tokenize_simple(x or "") for x in t["text"].to_pylist()]
+    df = _vocab_df(t)
+    out = []
+    for i, tl in enumerate(toks):
+        c = Counter(tl)
+        if any(m not in c for m in must):
+            continue
+        if any(m in c for m in must_not):
+            continue
+        if not must and not any(x in c for x in should):
+            continue
+        micro = 0
+        for term in (*must, *should):
+            if term in c:
+                sc = term_scores(np.array([c[term]]), np.array([len(tl)]),
+                                 df[term], p)[0]
+                micro += int(np.floor(sc * 1e6))
+        out.append((int(ids[i]), micro))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_search_bool_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    cases = [
+        (["merge", "scan"], ["window"], ["spark"]),
+        (["merge"], [], []),
+        (["merge", "scan", "window"], [], []),
+        ([], ["merge", "scan"], ["window"]),  # should-only disjunction
+        (["nosuchterm"], [], []),
+    ]
+    for must, should, must_not in cases:
+        d, m = s.search_bool(must, should=should, must_not=must_not, k=10)
+        exp = _bool_reference(t, s.params, must, should, must_not, k=10)
+        assert list(zip(d.tolist(), m.tolist())) == exp, (must, should,
+                                                          must_not)
+
+
+def test_search_bool_disjunction_equals_or_scoring(docs_and_searcher):
+    """should-only bool == the OR scorer's ranking (micro-floored)."""
+    t, s = docs_and_searcher
+    d_or, sc_or = s.search_terms(["merge", "scan"], k=200)
+    micro = {int(i): 0 for i in d_or}
+    # recompute per-term micros (floor before sum differs from floored sum)
+    exp = _bool_reference(t, s.params, [], ["merge", "scan"], [], k=200)
+    d_b, m_b = s.search_bool([], should=["merge", "scan"], k=200)
+    assert list(zip(d_b.tolist(), m_b.tolist())) == exp
+    assert set(d_b.tolist()) == set(int(i) for i in d_or)
+
+
+def test_facet_counts_vs_pandas(docs_and_searcher):
+    t, s = docs_and_searcher
+    want: Counter = Counter()
+    for txt, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        tl = set(tokenize_simple(txt or ""))
+        if "merge" in tl or "scan" in tl:
+            want[lang] += 1
+    out = s.facet_counts(["merge", "scan"], "lang")
+    got = dict(zip(out["lang"].to_pylist(), out["n"].to_pylist()))
+    assert got == dict(want)
+    # sorted by value ascending
+    assert out["lang"].to_pylist() == sorted(got)

@@ -2,7 +2,7 @@
 entry and compare against oracle_sql() via DuckDB (row count + sorted
 column names + order-insensitive value comparison).
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [only_query1,only_query2,...]
 """
 
 import os
@@ -49,6 +49,9 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = e.queries()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = []
     for name, fn in qs.items():
