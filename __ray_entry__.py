@@ -260,6 +260,51 @@ def q_facet_lang(sf_dir: str):
     return s.facet_counts(list(BM25_QUERY_TERMS), "lang")
 
 
+def q_search_after(sf_dir: str):
+    """ES search_after cursor pagination: page 2 (ranks 11-20) of the
+    micro-scored disjunction, reached by passing page 1's last
+    (score_micro, doc_id) as the cursor — one vectorized strict-after
+    mask, no offset re-scan."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    d1, m1 = s.search_after(list(BM25_QUERY_TERMS), k=BM25_K)
+    cursor = (int(m1[-1]), int(d1[-1]))
+    d2, m2 = s.search_after(list(BM25_QUERY_TERMS), k=BM25_K, after=cursor)
+    return pa.table({
+        "doc_id": pa.array(d2, pa.int64()),
+        "score_micro": pa.array(m2, pa.int64()),
+    })
+
+
+MLT_SEED_DOC = 0
+MLT_TERMS = 3
+
+
+def q_mlt(sf_dir: str):
+    """ES more_like_this: the seed doc's top-3 terms by tf·idf micro units
+    (docstore text + term-dictionary global df), then the micro-scored
+    disjunction over them with the seed excluded."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    _, d, m = s.more_like_this(MLT_SEED_DOC, max_terms=MLT_TERMS, k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
+def q_highlight(sf_dir: str):
+    """ES highlight anchors: first position (source-token ordinal) of each
+    query term in the top-10 docs of the micro-scored disjunction, read
+    from the positional index — no document re-analysis."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    return s.highlight_first(list(BM25_QUERY_TERMS), k=BM25_K)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -677,6 +722,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy": q_fuzzy,
         "wildcard": q_wildcard,
         "facet_lang": q_facet_lang,
+        "search_after": q_search_after,
+        "mlt": q_mlt,
+        "highlight": q_highlight,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -880,6 +928,106 @@ SELECT s.doc_id, s.score_micro FROM scored s
 WHERE NOT EXISTS (SELECT 1 FROM toks t
                   WHERE t.doc_id = s.doc_id AND t.term = 'spark')
 ORDER BY s.score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "search_after": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, score_micro FROM scored
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K} OFFSET {BM25_K}
+""",
+        "mlt": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+seed_tf AS (
+  SELECT term, count(*) AS tf FROM toks
+  WHERE doc_id = {MLT_SEED_DOC} GROUP BY term
+),
+sel AS (
+  SELECT st.term FROM seed_tf st JOIN gdf g USING (term) CROSS JOIN stats
+  ORDER BY cast(floor(st.tf * ln(1 + (stats.n - g.df + 0.5) / (g.df + 0.5))
+                      * 1e6) AS bigint) DESC, st.term
+  LIMIT {MLT_TERMS}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN gdf df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, score_micro FROM scored
+WHERE doc_id != {MLT_SEED_DOC}
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+""",
+        "highlight": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+),
+topd AS (
+  SELECT doc_id FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+),
+pos AS (
+  SELECT doc_id, unnest({_TOKS}) AS term,
+         unnest(range(len({_TOKS}))) AS pos
+  FROM documents
+)
+SELECT p.doc_id, p.term, cast(min(p.pos) AS bigint) AS first_pos
+FROM pos p JOIN topd USING (doc_id)
+WHERE p.term IN ('{t1}', '{t2}')
+GROUP BY p.doc_id, p.term
+ORDER BY p.doc_id, p.term
 """,
         "fuzzy": f"""
             SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df

@@ -477,6 +477,114 @@ class Searcher:
         o = np.argsort(d, kind="stable")  # salted sub-lists are disjoint
         return d[o], m[o]
 
+    def _union_micro(self, rows: dict, terms: list[str]):
+        """Disjunction with integer micro scores: union of the terms'
+        postings, per-doc Σ of per-term micros.  Returns (docids int64[]
+        sorted ascending, score_micro int64[])."""
+        parts = [self._term_postings_micro(rows.get(t, [])) for t in terms]
+        d_all = np.concatenate([d for d, _ in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        m_all = np.concatenate([m for _, m in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        d0, inv = np.unique(d_all, return_inverse=True)
+        m0 = np.zeros(d0.size, dtype=np.int64)
+        np.add.at(m0, inv, m_all)
+        return d0, m0
+
+    def search_after(self, terms: list[str], k: int = 10,
+                     after: tuple[int, int] | None = None):
+        """ES ``search_after`` cursor pagination over the micro-scored
+        disjunction: the top-k results STRICTLY AFTER the
+        ``(score_micro, doc_id)`` cursor in (-score, doc_id) order.
+
+        Stateless deep pagination — unlike from/size the work does not grow
+        with page depth beyond the postings decode: the cursor mask drops
+        everything at-or-before the cursor in one vectorized compare, no
+        offset re-scan, which is exactly why ES recommends search_after
+        over from/size past the first few pages."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if after is not None:
+            a_m, a_d = after
+            keep = (m0 < a_m) | ((m0 == a_m) & (d0 > a_d))
+            d0, m0 = d0[keep], m0[keep]
+        top = np.lexsort((d0, -m0))[:k]
+        return d0[top], m0[top]
+
+    def more_like_this(self, seed_doc_id: int, max_terms: int = 5,
+                       k: int = 10):
+        """ES ``more_like_this``: select the seed document's top
+        ``max_terms`` terms by tf·idf (integer micro units, tie → term
+        asc), run the micro-scored disjunction over them, and return the
+        top-k with the seed itself excluded.
+
+        The seed's text comes from the docstore sidecar and is analyzed
+        with the index analyzer; per-term global df comes from the term
+        dictionary (every salted sub-list stores the exact global df).
+        Returns (selected_terms, docids int64[], score_micro int64[])."""
+        import math
+        from collections import Counter
+        txt_col = self.fields.get(
+            np.asarray([seed_doc_id], dtype=np.int64), ["text"])["text"]
+        txt = txt_col[0].as_py()
+        tf = Counter(self.analyze(txt or ""))
+        rows = self._lookup(list(tf))
+        p = self.params
+        ranked = []
+        for t, f in tf.items():
+            rws = rows.get(t) or []
+            if not rws:
+                continue
+            df = max(r["df"] for r in rws)
+            idf = math.log(1 + (p.n_docs - df + 0.5) / (df + 0.5))
+            ranked.append((-int(math.floor(f * idf * 1e6)), t))
+        ranked.sort()
+        sel = [t for _, t in ranked[:max_terms]]
+        d0, m0 = self._union_micro(rows, sel)
+        keep = d0 != seed_doc_id
+        d0, m0 = d0[keep], m0[keep]
+        top = np.lexsort((d0, -m0))[:k]
+        return sel, d0[top], m0[top]
+
+    def highlight_first(self, terms: list[str], k: int = 10) -> pa.Table:
+        """ES ``highlight`` anchor positions: top-k docs of the
+        micro-scored disjunction, then for every (doc, present query term)
+        the term's FIRST position (source-token ordinal) straight from the
+        positions stream — no document re-analysis, which is the point of
+        index-time positions/offsets in ES (``term_vector`` highlighting).
+        Requires a positional index.  Returns (doc_id, term, first_pos)
+        sorted by (doc_id, term)."""
+        uniq = list(dict.fromkeys(terms))
+        rows = self._lookup(uniq)
+        d0, m0 = self._union_micro(rows, uniq)
+        top = np.lexsort((d0, -m0))[:k]
+        dtop = np.sort(d0[top])
+        out_doc: list[int] = []
+        out_term: list[str] = []
+        out_pos: list[int] = []
+        for t in uniq:
+            for row in rows.get(t, []):
+                if "pos_blob" not in row:
+                    raise ValueError(
+                        "index was built without positions; rebuild with "
+                        "with_positions=True for highlighting")
+                d, tfs, _ = self._decode_list(row)
+                d = d.astype(np.int64)
+                hit = _isin_sorted_i64(d, dtop)
+                if not hit.any():
+                    continue
+                plists = self._decode_positions(row, tfs)
+                for i in np.flatnonzero(hit):
+                    out_doc.append(int(d[i]))
+                    out_term.append(t)
+                    out_pos.append(int(plists[i][0]))
+        tbl = pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "first_pos": pa.array(out_pos, pa.int64()),
+        })
+        return tbl.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
     def search_bool(self, must: list[str], should: list[str] | None = None,
                     must_not: list[str] | None = None, k: int = 10):
         """ES ``bool`` query: ``must`` terms are a conjunction (all
@@ -511,14 +619,7 @@ class Searcher:
                 m0 = m0 + m1[keep1]
         else:
             # should-only: disjunction (accumulate union)
-            parts = [self._term_postings_micro(rows.get(t, [])) for t in should]
-            d_all = np.concatenate([d for d, _ in parts]) if parts else \
-                np.empty(0, dtype=np.int64)
-            m_all = np.concatenate([m for _, m in parts]) if parts else \
-                np.empty(0, dtype=np.int64)
-            d0, inv = np.unique(d_all, return_inverse=True)
-            m0 = np.zeros(d0.size, dtype=np.int64)
-            np.add.at(m0, inv, m_all)
+            d0, m0 = self._union_micro(rows, should)
             should = []
 
         for t in should:

@@ -59,7 +59,8 @@ def test_tok_hash_sql_matches_duckdb():
 def docs_and_searcher(ray_session, sf_dir):
     from search_ingest_ray.pipelines.flagship import documents_index
     root = documents_index(sf_dir, analyzer="simple",
-                           store_fields=("lang",))
+                           store_fields=("lang", "text"),
+                           with_positions=True)
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text", "lang"])
     return t, Searcher(root)
@@ -143,6 +144,62 @@ def test_search_bool_disjunction_equals_or_scoring(docs_and_searcher):
     d_b, m_b = s.search_bool([], should=["merge", "scan"], k=200)
     assert list(zip(d_b.tolist(), m_b.tolist())) == exp
     assert set(d_b.tolist()) == set(int(i) for i in d_or)
+
+
+def test_search_after_pages_cover_full_ranking(docs_and_searcher):
+    """Cursor pagination: page 1 == ref[:10], page 2 == ref[10:20], and
+    paging to exhaustion reproduces the entire ranking exactly once."""
+    t, s = docs_and_searcher
+    ref = _bool_reference(t, s.params, [], ["merge", "scan"], [], k=10**9)
+    d, m = s.search_after(["merge", "scan"], k=10)
+    assert list(zip(d.tolist(), m.tolist())) == ref[:10]
+    collected = list(zip(d.tolist(), m.tolist()))
+    while d.size:
+        cursor = (int(m[-1]), int(d[-1]))
+        d, m = s.search_after(["merge", "scan"], k=10, after=cursor)
+        collected.extend(zip(d.tolist(), m.tolist()))
+    assert collected == ref
+
+
+def test_more_like_this_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    df = _vocab_df(t)
+    p = s.params
+    for seed_pos in (0, 3):
+        seed_id = int(ids[seed_pos])
+        tf = Counter(tokenize_simple(texts[seed_pos] or ""))
+        ranked = sorted(
+            (-int(np.floor(f * np.log(1 + (p.n_docs - df[term] + 0.5)
+                                      / (df[term] + 0.5)) * 1e6)), term)
+            for term, f in tf.items())
+        sel_exp = [term for _, term in ranked[:3]]
+        exp = [(i, mi) for i, mi in
+               _bool_reference(t, p, [], sel_exp, [], k=10**9)
+               if i != seed_id][:10]
+        sel, d, m = s.more_like_this(seed_id, max_terms=3, k=10)
+        assert sel == sel_exp, seed_id
+        assert list(zip(d.tolist(), m.tolist())) == exp, seed_id
+
+
+def test_highlight_first_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    terms = ["merge", "scan"]
+    top = [i for i, _ in
+           _bool_reference(t, s.params, [], terms, [], k=10)]
+    exp = []
+    for doc in sorted(top):
+        toks = tokenize_simple(texts[int(np.flatnonzero(ids == doc)[0])] or "")
+        for term in sorted(terms):
+            if term in toks:
+                exp.append((doc, term, toks.index(term)))
+    out = s.highlight_first(terms, k=10)
+    got = list(zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                   out["first_pos"].to_pylist()))
+    assert got == exp
 
 
 def test_facet_counts_vs_pandas(docs_and_searcher):
