@@ -305,6 +305,37 @@ def q_highlight(sf_dir: str):
     return s.highlight_first(list(BM25_QUERY_TERMS), k=BM25_K)
 
 
+HIST_INTERVAL = 50
+HOUR_US = 3_600_000_000
+
+
+def q_agg_stats(sf_dir: str):
+    """ES stats aggregation in filter context: n/min/max/sum/avg over the
+    n_chars docvalue of docs matching ANY query term.  avg is exact
+    integer micro units ((sum*1e6) // n) so the oracle is bit-identical."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_stats(list(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_agg_histogram(sf_dir: str):
+    """ES histogram aggregation: n_chars bucketed at width 50 over the
+    match set, empty buckets omitted (min_doc_count=1)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_histogram(list(BM25_QUERY_TERMS), "n_chars", HIST_INTERVAL)
+
+
+def q_date_histogram(sf_dir: str):
+    """ES date_histogram over an event stream: hourly counts of
+    event_type='purchase', served from the events index (term filter →
+    timestamp docvalues → floor-to-hour buckets)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_date_histogram(["purchase"], "ts", HOUR_US)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -725,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": q_search_after,
         "mlt": q_mlt,
         "highlight": q_highlight,
+        "agg_stats": q_agg_stats,
+        "agg_histogram": q_agg_histogram,
+        "date_histogram": q_date_histogram,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1044,6 +1078,28 @@ ORDER BY p.doc_id, p.term
             WHERE len(list_filter({_TOKS},
                   x -> x IN ('{t1}', '{t2}'))) > 0
             GROUP BY lang""",
+        "agg_stats": f"""
+            SELECT cast(count(*) AS bigint) AS n,
+                   cast(min(n_chars) AS bigint) AS min,
+                   cast(max(n_chars) AS bigint) AS max,
+                   cast(sum(n_chars) AS bigint) AS sum,
+                   cast((sum(n_chars) * 1000000) // count(*) AS bigint)
+                     AS avg_micro
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "agg_histogram": f"""
+            SELECT cast((n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL}
+                        AS bigint) AS bucket,
+                   count(*) AS n
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY bucket ORDER BY bucket""",
+        "date_histogram": """
+            SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY bucket ORDER BY bucket""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",

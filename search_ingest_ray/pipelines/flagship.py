@@ -44,6 +44,27 @@ def documents_index(sf_dir: str, analyzer: str = "simple",
     return root
 
 
+def events_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
+    """Index over the sf events table: ``event_type`` is the (single-token)
+    text field, ``ts``/``value``/``user_id`` are stored docvalues — the
+    shape behind ES-style date_histogram / stats aggregations over an
+    event stream (query = term filter on the type, aggs over docvalues)."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.sha1(
+        f"{ev_path}:simple:v2-termdict-bin:events".encode()).hexdigest()[:16]
+    root = os.path.join(cache_base, f"events-{key}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        build_index([ev_path], root, text_col="event_type",
+                    id_col="event_id", id_is_int=True, analyzer="simple",
+                    num_term_partitions=4, chunk_files=2,
+                    store_fields=["ts", "value", "user_id"],
+                    hot_df_threshold=10**9)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
 CHAIN_UPDATE_SUFFIX = " freshly updated merge scan notes"
 
 

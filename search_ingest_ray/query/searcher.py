@@ -644,13 +644,10 @@ class Searcher:
         top = np.lexsort((d0, -m0))[:k]
         return d0[top], m0[top]
 
-    def facet_counts(self, terms: list[str], field: str) -> pa.Table:
-        """Terms-aggregation (ES ``aggs: {terms: {field}}``) over the match
-        set of an OR query: docs containing ANY query term, counted per
-        stored-field value via the docvalues sidecar.  Returns
-        (value, n) sorted by value; scoring is skipped entirely (aggs run
-        in filter context)."""
-        import pyarrow.compute as pc
+    def _match_docids(self, terms: list[str]) -> np.ndarray:
+        """Filter-context match set of the OR query: sorted unique int64
+        docids containing ANY of the terms — postings decode only, no
+        scoring (the shared first half of every aggregation)."""
         rows = self._lookup(list(dict.fromkeys(terms)))
         ds = []
         for rws in rows.values():
@@ -658,14 +655,91 @@ class Searcher:
                 d, _, _ = self._decode_list(row)
                 ds.append(d.astype(np.int64))
         if not ds:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(ds))
+
+    def facet_counts(self, terms: list[str], field: str) -> pa.Table:
+        """Terms-aggregation (ES ``aggs: {terms: {field}}``) over the match
+        set of an OR query: docs containing ANY query term, counted per
+        stored-field value via the docvalues sidecar.  Returns
+        (value, n) sorted by value; scoring is skipped entirely (aggs run
+        in filter context)."""
+        import pyarrow.compute as pc
+        docids = self._match_docids(terms)
+        if docids.size == 0:
             return pa.table({field: pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        docids = np.unique(np.concatenate(ds))
         vals = self.fields.get(docids, [field])[field]
         vc = pc.value_counts(vals)
         out = pa.table({field: vc.field("values"),
                         "n": vc.field("counts")})
         return out.sort_by([(field, "ascending")])
+
+    def agg_stats(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``stats`` aggregation in filter context over an integer
+        docvalue: one row (n, min, max, sum, avg_micro) for the docs
+        matching ANY query term.  ``avg_micro`` = (sum·1e6) // n in exact
+        integer arithmetic, so the DuckDB oracle is bit-identical (a float
+        average would be summation-order-sensitive).  Nulls are dropped
+        (ES skips docs without the field)."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = vals.to_numpy(zero_copy_only=False)
+        if vals.null_count:
+            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+        n = int(arr.size)
+        s = int(arr.sum()) if n else 0
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "min": pa.array([int(arr.min()) if n else None], pa.int64()),
+            "max": pa.array([int(arr.max()) if n else None], pa.int64()),
+            "sum": pa.array([s], pa.int64()),
+            "avg_micro": pa.array([(s * 1_000_000) // n if n else None],
+                                  pa.int64()),
+        })
+
+    def agg_histogram(self, terms: list[str], field: str,
+                      interval: int) -> pa.Table:
+        """ES ``histogram`` aggregation in filter context: bucket =
+        floor(value / interval) · interval over the match set's docvalues;
+        returns (bucket, n) sorted by bucket, empty buckets omitted
+        (ES ``min_doc_count: 1``)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals = self.fields.get(docids, [field])[field]
+        arr = vals.to_numpy(zero_copy_only=False)
+        if vals.null_count:
+            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+        buckets = (arr.astype(np.int64) // interval) * interval
+        uniq, counts = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def agg_date_histogram(self, terms: list[str], field: str,
+                           interval_us: int) -> pa.Table:
+        """ES ``date_histogram`` in filter context: timestamp docvalues
+        floored to ``interval_us`` buckets (e.g. 3_600_000_000 = hourly ≡
+        SQL ``date_trunc('hour', ts)`` for positive epochs); returns
+        (bucket timestamp[us], n) sorted, empty buckets omitted."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64())})
+        vals = self.fields.get(docids, [field])[field]
+        if vals.type != pa.timestamp("us"):
+            vals = vals.cast(pa.timestamp("us"))
+        micros = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if vals.null_count:
+            micros = micros[~vals.is_null().to_numpy(zero_copy_only=False)]
+        buckets = (micros // interval_us) * interval_us
+        uniq, counts = np.unique(buckets, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(counts, pa.int64()),
+        })
 
     def filter_docs(self, filters: dict, k: int | None = None) -> np.ndarray:
         """Filter-context-ONLY query: docids (sorted ascending) whose

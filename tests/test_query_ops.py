@@ -214,3 +214,62 @@ def test_facet_counts_vs_pandas(docs_and_searcher):
     assert got == dict(want)
     # sorted by value ascending
     assert out["lang"].to_pylist() == sorted(got)
+
+
+@pytest.fixture(scope="module")
+def stats_searcher(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import documents_index
+    root = documents_index(sf_dir, analyzer="simple",
+                           store_fields=("lang", "n_chars"))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "n_chars"])
+    return t, Searcher(root)
+
+
+def _match_vals(t, terms):
+    out = []
+    for txt, v in zip(t["text"].to_pylist(), t["n_chars"].to_pylist()):
+        tl = set(tokenize_simple(txt or ""))
+        if any(x in tl for x in terms):
+            out.append(v)
+    return out
+
+
+def test_agg_stats_vs_bruteforce(stats_searcher):
+    t, s = stats_searcher
+    vals = _match_vals(t, ["merge", "scan"])
+    out = s.agg_stats(["merge", "scan"], "n_chars").to_pylist()[0]
+    assert out == {"n": len(vals), "min": min(vals), "max": max(vals),
+                   "sum": sum(vals),
+                   "avg_micro": (sum(vals) * 1_000_000) // len(vals)}
+    empty = s.agg_stats(["zzzznosuchterm"], "n_chars").to_pylist()[0]
+    assert empty == {"n": 0, "min": None, "max": None, "sum": 0,
+                     "avg_micro": None}
+
+
+def test_agg_histogram_vs_bruteforce(stats_searcher):
+    t, s = stats_searcher
+    vals = _match_vals(t, ["merge", "scan"])
+    want: Counter = Counter((v // 50) * 50 for v in vals)
+    out = s.agg_histogram(["merge", "scan"], "n_chars", 50)
+    got = dict(zip(out["bucket"].to_pylist(), out["n"].to_pylist()))
+    assert got == dict(want)
+    assert out["bucket"].to_pylist() == sorted(want)
+
+
+def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import events_index
+    s = Searcher(events_index(sf_dir))
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "ts", "event_type"])
+    hour = 3_600_000_000
+    want: Counter = Counter()
+    for ts, et in zip(ev["ts"].cast("int64").to_pylist(),
+                      ev["event_type"].to_pylist()):
+        if et == "purchase":
+            want[(ts // hour) * hour] += 1
+    out = s.agg_date_histogram(["purchase"], "ts", hour)
+    got = dict(zip(out["bucket"].cast("int64").to_pylist(),
+                   out["n"].to_pylist()))
+    assert got == dict(want)
+    assert out["bucket"].cast("int64").to_pylist() == sorted(want)
