@@ -326,6 +326,33 @@ def q_agg_histogram(sf_dir: str):
     return s.agg_histogram(list(BM25_QUERY_TERMS), "n_chars", HIST_INTERVAL)
 
 
+RANGE_EDGES = (150, 250, 350)
+
+
+def q_facet_stats(sf_dir: str):
+    """Nested aggregation: per-lang bucket over the match set with nested
+    n_chars stats (the ES sub-agg shape: terms bucket + stats leaf)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.facet_stats(list(BM25_QUERY_TERMS), "lang", "n_chars")
+
+
+def q_cardinality(sf_dir: str):
+    """ES cardinality agg (exact distinct here; ES itself approximates
+    with HLL++): distinct source values over the match set."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_cardinality(list(BM25_QUERY_TERMS), "source")
+
+
+def q_agg_range(sf_dir: str):
+    """ES range agg: [lo, hi) buckets incl. the open ends over n_chars;
+    empty buckets returned (ES emits every configured range)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_range(list(BM25_QUERY_TERMS), "n_chars", list(RANGE_EDGES))
+
+
 def q_date_histogram(sf_dir: str):
     """ES date_histogram over an event stream: hourly counts of
     event_type='purchase', served from the events index (term filter →
@@ -759,6 +786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats": q_agg_stats,
         "agg_histogram": q_agg_histogram,
         "date_histogram": q_date_histogram,
+        "facet_stats": q_facet_stats,
+        "cardinality": q_cardinality,
+        "agg_range": q_agg_range,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1100,6 +1130,40 @@ ORDER BY p.doc_id, p.term
             SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY bucket ORDER BY bucket""",
+        "facet_stats": f"""
+            SELECT lang,
+                   cast(count(*) AS bigint) AS n,
+                   cast(min(n_chars) AS bigint) AS min,
+                   cast(max(n_chars) AS bigint) AS max,
+                   cast(sum(n_chars) AS bigint) AS sum,
+                   cast((sum(n_chars) * 1000000) // count(*) AS bigint)
+                     AS avg_micro
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY lang ORDER BY lang""",
+        "cardinality": f"""
+            SELECT cast(count(DISTINCT source) AS bigint) AS cardinality
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "agg_range": f"""
+            WITH m AS (
+              SELECT n_chars FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+            ),
+            b(lo, hi) AS (VALUES
+              (NULL, {RANGE_EDGES[0]}),
+              {", ".join(f"({RANGE_EDGES[i]}, {RANGE_EDGES[i + 1]})"
+                         for i in range(len(RANGE_EDGES) - 1))},
+              ({RANGE_EDGES[-1]}, NULL))
+            SELECT cast(b.lo AS bigint) AS lo, cast(b.hi AS bigint) AS hi,
+                   (SELECT count(*) FROM m
+                    WHERE (b.lo IS NULL OR m.n_chars >= b.lo)
+                      AND (b.hi IS NULL OR m.n_chars < b.hi)) AS n
+            FROM b
+            ORDER BY coalesce(b.lo, -9223372036854775808)""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",

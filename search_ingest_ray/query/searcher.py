@@ -718,6 +718,78 @@ class Searcher:
         return pa.table({"bucket": pa.array(uniq, pa.int64()),
                          "n": pa.array(counts, pa.int64())})
 
+    def facet_stats(self, terms: list[str], group_field: str,
+                    stat_field: str) -> pa.Table:
+        """Nested aggregation (ES ``aggs: {terms: {group}, aggs: {stats:
+        {stat}}}``): per group-field bucket over the match set, the stat
+        field's n/min/max/sum/avg_micro — one docvalues fetch, one
+        vectorized group pass.  Returns rows sorted by bucket value."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({group_field: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "min": pa.array([], pa.int64()),
+                             "max": pa.array([], pa.int64()),
+                             "sum": pa.array([], pa.int64()),
+                             "avg_micro": pa.array([], pa.int64())})
+        cols = self.fields.get(docids, [group_field, stat_field])
+        t = pa.table({group_field: cols[group_field],
+                      "_v": cols[stat_field]})
+        g = (t.group_by(group_field)
+             .aggregate([("_v", "count"), ("_v", "min"), ("_v", "max"),
+                         ("_v", "sum")]))
+        n = g["_v_count"].to_numpy().astype(np.int64)
+        s = g["_v_sum"].to_numpy().astype(np.int64)
+        out = pa.table({
+            group_field: g[group_field],
+            "n": pa.array(n, pa.int64()),
+            "min": g["_v_min"].cast(pa.int64()),
+            "max": g["_v_max"].cast(pa.int64()),
+            "sum": pa.array(s, pa.int64()),
+            "avg_micro": pa.array((s * 1_000_000) // n, pa.int64()),
+        })
+        return out.sort_by([(group_field, "ascending")])
+
+    def agg_cardinality(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``cardinality`` aggregation over the match set — EXACT
+        distinct count of a docvalue (ES approximates with HyperLogLog++;
+        at the single-field scales a query actor sees, exact unique over
+        the candidate docvalues is cheaper than sketch maintenance, and
+        a distributed pipeline wanting approximate global cardinality
+        should pre-aggregate per partition and merge)."""
+        docids = self._match_docids(terms)
+        nd = 0
+        if docids.size:
+            vals = self.fields.get(docids, [field])[field]
+            nd = len(vals.unique().drop_null())
+        return pa.table({"cardinality": pa.array([nd], pa.int64())})
+
+    def agg_range(self, terms: list[str], field: str,
+                  edges: list[int]) -> pa.Table:
+        """ES ``range`` aggregation: counts per half-open [lo, hi) bucket
+        over the match set's docvalues; buckets are the consecutive pairs
+        of ``edges`` plus the open (-inf, first) and [last, +inf) ends —
+        exactly ES's to-exclusive semantics.  Empty buckets ARE returned
+        (ES range aggs always emit every configured bucket)."""
+        docids = self._match_docids(terms)
+        edges_a = np.asarray(edges, dtype=np.int64)
+        counts = np.zeros(edges_a.size + 1, dtype=np.int64)
+        if docids.size:
+            vals = self.fields.get(docids, [field])[field]
+            arr = vals.to_numpy(zero_copy_only=False)
+            if vals.null_count:
+                arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+            idx = np.searchsorted(edges_a, arr.astype(np.int64),
+                                  side="right")
+            np.add.at(counts, idx, 1)
+        lo = [None, *edges_a.tolist()]
+        hi = [*edges_a.tolist(), None]
+        return pa.table({
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
     def agg_date_histogram(self, terms: list[str], field: str,
                            interval_us: int) -> pa.Table:
         """ES ``date_histogram`` in filter context: timestamp docvalues

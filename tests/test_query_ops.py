@@ -257,6 +257,44 @@ def test_agg_histogram_vs_bruteforce(stats_searcher):
     assert out["bucket"].to_pylist() == sorted(want)
 
 
+def test_facet_stats_vs_bruteforce(sf_dir, stats_searcher):
+    _, s = stats_searcher
+    full = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"])
+    per: dict = {}
+    for txt, lang, v in zip(full["text"].to_pylist(),
+                            full["lang"].to_pylist(),
+                            full["n_chars"].to_pylist()):
+        toks = set(tokenize_simple(txt or ""))
+        if "merge" in toks or "scan" in toks:
+            per.setdefault(lang, []).append(v)
+    out = s.facet_stats(["merge", "scan"], "lang", "n_chars")
+    got = {r["lang"]: r for r in out.to_pylist()}
+    assert sorted(got) == sorted(per)
+    for lang, vals in per.items():
+        r = got[lang]
+        assert (r["n"], r["min"], r["max"], r["sum"]) == \
+            (len(vals), min(vals), max(vals), sum(vals))
+        assert r["avg_micro"] == (sum(vals) * 1_000_000) // len(vals)
+
+
+def test_agg_cardinality_and_range(stats_searcher):
+    t, s = stats_searcher
+    vals = _match_vals(t, ["merge", "scan"])
+    edges = [150, 250, 350]
+    out = s.agg_range(["merge", "scan"], "n_chars", edges).to_pylist()
+    assert [(r["lo"], r["hi"]) for r in out] == \
+        [(None, 150), (150, 250), (250, 350), (350, None)]
+    assert out[0]["n"] == sum(v < 150 for v in vals)
+    assert out[1]["n"] == sum(150 <= v < 250 for v in vals)
+    assert out[2]["n"] == sum(250 <= v < 350 for v in vals)
+    assert out[3]["n"] == sum(v >= 350 for v in vals)
+    assert sum(r["n"] for r in out) == len(vals)
+    card = s.agg_cardinality(["merge", "scan"], "n_chars").to_pylist()[0]
+    assert card["cardinality"] == len(set(vals))
+
+
 def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
     from search_ingest_ray.pipelines.flagship import events_index
     s = Searcher(events_index(sf_dir))
