@@ -326,6 +326,27 @@ def q_agg_histogram(sf_dir: str):
     return s.agg_histogram(list(BM25_QUERY_TERMS), "n_chars", HIST_INTERVAL)
 
 
+MM_TERMS = ("merge", "src3")
+
+
+def q_multi_match(sf_dir: str):
+    """ES multi_match best_fields over two per-field indexes (text,
+    source): each field has its own inverted index and corpus stats
+    (Lucene's model); the combined score is the per-doc MAX of the field
+    micro scores."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher, multi_match
+    s_text = Searcher(documents_index(sf_dir, analyzer="simple"))
+    s_src = Searcher(documents_index(sf_dir, analyzer="simple",
+                                     text_col="source"))
+    d, m = multi_match([s_text, s_src], list(MM_TERMS), k=BM25_K,
+                       mode="best_fields")
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
 RANGE_EDGES = (150, 250, 350)
 
 
@@ -789,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_stats": q_facet_stats,
         "cardinality": q_cardinality,
         "agg_range": q_agg_range,
+        "multi_match": q_multi_match,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1092,6 +1114,58 @@ FROM pos p JOIN topd USING (doc_id)
 WHERE p.term IN ('{t1}', '{t2}')
 GROUP BY p.doc_id, p.term
 ORDER BY p.doc_id, p.term
+""",
+        "multi_match": f"""
+WITH ttoks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM ttoks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ttf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ttoks
+  WHERE term IN ('{MM_TERMS[0]}', '{MM_TERMS[1]}') GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tper AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM ttf tf JOIN tdf df USING (term) JOIN tdl dl USING (doc_id)
+  CROSS JOIN tstats stats
+),
+tscored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM tper GROUP BY doc_id
+),
+stoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9]+'))
+           AS term
+  FROM documents
+),
+sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+sstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM stoks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+stf AS (
+  SELECT doc_id, term, count(*) AS tf FROM stoks
+  WHERE term IN ('{MM_TERMS[0]}', '{MM_TERMS[1]}') GROUP BY doc_id, term
+),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+sper AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM stf tf JOIN sdf df USING (term) JOIN sdl dl USING (doc_id)
+  CROSS JOIN sstats stats
+),
+sscored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM sper GROUP BY doc_id
+)
+SELECT doc_id,
+       greatest(coalesce(t.m, 0), coalesce(s.m, 0)) AS score_micro
+FROM tscored t FULL JOIN sscored s USING (doc_id)
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
         "fuzzy": f"""
             SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df

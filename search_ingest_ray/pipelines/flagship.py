@@ -19,21 +19,29 @@ _CACHE_BASE = "/tmp/search_ingest_ray_cache"
 def documents_index(sf_dir: str, analyzer: str = "simple",
                     cache_base: str = _CACHE_BASE,
                     with_positions: bool = False,
-                    store_fields: tuple[str, ...] = ()) -> str:
+                    store_fields: tuple[str, ...] = (),
+                    text_col: str = "text") -> str:
     """Build (once, cached+resumable) the index for an sf documents table.
 
+    ``text_col`` selects WHICH column is the indexed text field — ES
+    multi-field search is per-field inverted lists with per-field stats,
+    so a multi_match over (text, source) is two of these indexes combined
+    at query time (:func:`search_ingest_ray.query.searcher.multi_match`).
+
     The cache key includes path + analyzer + format + positions + stored
-    fields; the _BUILT marker bypasses build_index (and its meta
-    consistency check), so any spec change must land in a fresh directory."""
+    fields (+ text_col when non-default); the _BUILT marker bypasses
+    build_index (and its meta consistency check), so any spec change must
+    land in a fresh directory."""
     doc_path = os.path.join(sf_dir, "documents.parquet")
     sf_key = ",".join(sorted(store_fields))
+    tc_key = "" if text_col == "text" else f":tc={text_col}"
     key = hashlib.sha1(
         f"{doc_path}:{analyzer}:v2-termdict-bin:pos={with_positions}:f={sf_key}"
-        .encode()).hexdigest()[:16]
+        f"{tc_key}".encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-{key}")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
-        build_index([doc_path], root, text_col="text", id_col="doc_id",
+        build_index([doc_path], root, text_col=text_col, id_col="doc_id",
                     id_is_int=True, analyzer=analyzer,
                     num_term_partitions=8, chunk_files=4,
                     with_positions=with_positions,

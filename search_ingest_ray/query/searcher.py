@@ -978,6 +978,35 @@ class Searcher:
         return md, cand_scores[matched_dr]
 
 
+def multi_match(searchers: list["Searcher"], terms: list[str], k: int = 10,
+                mode: str = "best_fields"):
+    """ES ``multi_match`` across per-field indexes: each field is its own
+    inverted index with its OWN corpus stats (dl, avgdl, df) — exactly
+    ES/Lucene's model, where a multi-field document is N independent field
+    postings.  ``best_fields`` takes the per-doc MAX of the field scores,
+    ``most_fields`` the SUM (both over integer micro units, so a DuckDB
+    oracle reproduces them bit-exactly).
+
+    Returns (docids int64[], score_micro int64[]) by (-score, docid)."""
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match mode {mode!r}")
+    uniq = list(dict.fromkeys(terms))
+    accs = [s._union_micro(s._lookup(uniq), uniq) for s in searchers]
+    if not accs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    d0 = np.unique(np.concatenate([d for d, _ in accs]))
+    comb = np.zeros(d0.size, dtype=np.int64)
+    for d, m in accs:
+        pos = np.searchsorted(d0, d)
+        if mode == "best_fields":
+            np.maximum.at(comb, pos, m)
+        else:
+            np.add.at(comb, pos, m)
+    top = np.lexsort((d0, -comb))[:k]
+    return d0[top], comb[top]
+
+
 class QueryScorer:
     """Actor-pool stage: score a batch of queries against the index.
 

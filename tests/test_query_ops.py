@@ -295,6 +295,50 @@ def test_agg_cardinality_and_range(stats_searcher):
     assert card["cardinality"] == len(set(vals))
 
 
+def test_multi_match_vs_bruteforce(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import multi_match
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "source"])
+    s_text = Searcher(documents_index(sf_dir, analyzer="simple"))
+    s_src = Searcher(documents_index(sf_dir, analyzer="simple",
+                                     text_col="source"))
+    terms = ["merge", "src3"]
+
+    def field_micro(col, params):
+        """per-doc micro sums for one field (own stats)."""
+        texts = t[col].to_pylist()
+        toks = [tokenize_simple(x or "") for x in texts]
+        df: Counter = Counter()
+        for tl in toks:
+            df.update(set(tl))
+        out = {}
+        ids = t["doc_id"].to_numpy()
+        for i, tl in enumerate(toks):
+            c = Counter(tl)
+            micro = 0
+            hit = False
+            for term in terms:
+                if term in c:
+                    hit = True
+                    sc = term_scores(np.array([c[term]]),
+                                     np.array([len(tl)]), df[term], params)[0]
+                    micro += int(np.floor(sc * 1e6))
+            if hit:
+                out[int(ids[i])] = micro
+        return out
+
+    m_text = field_micro("text", s_text.params)
+    m_src = field_micro("source", s_src.params)
+    all_ids = sorted(set(m_text) | set(m_src))
+    for mode, comb in (("best_fields", max), ("most_fields",
+                                              lambda *a: sum(a))):
+        exp = sorted(((i, comb(m_text.get(i, 0), m_src.get(i, 0)))
+                      for i in all_ids), key=lambda x: (-x[1], x[0]))[:10]
+        d, m = multi_match([s_text, s_src], terms, k=10, mode=mode)
+        assert list(zip(d.tolist(), m.tolist())) == exp, mode
+
+
 def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
     from search_ingest_ray.pipelines.flagship import events_index
     s = Searcher(events_index(sf_dir))
