@@ -106,6 +106,23 @@ def q_bm25_topk(sf_dir: str):
     })
 
 
+def q_bm25_sharded(sf_dir: str):
+    """Scatter-gather sharded serving: the SAME top-k as bm25_topk, served
+    by per-term-partition shard actors (each holding 1/P of the
+    dictionary) behind a ShardedSearcher coordinator — the multi-node
+    serving shape, proven rank- and score-identical by the shared
+    oracle."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.sharded import ShardedSearcher
+    root = documents_index(sf_dir, analyzer="simple")
+    s = ShardedSearcher(root)
+    d, sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
 def q_bm25_chain(sf_dir: str):
     """BM25 top-k over a DELTA CHAIN (epoch 0 backfill + a deterministic
     synthetic update/delete delta applied in mode="delta"), served by
@@ -787,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "bm25_topk": q_bm25_topk,
+        "bm25_sharded": q_bm25_sharded,
         "bm25_chain": q_bm25_chain,
         "suggest": q_suggest,
         "bm25_filtered": q_bm25_filtered,
@@ -938,6 +956,7 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             FROM (SELECT unnest({_TOKS}) AS term FROM documents)
             GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
         "bm25_topk": bm25,
+        "bm25_sharded": bm25,
         "bm25_chain": f"""
 WITH final AS (
   SELECT doc_id,
