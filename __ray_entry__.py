@@ -364,6 +364,24 @@ def q_multi_match(sf_dir: str):
     })
 
 
+def q_termvectors(sf_dir: str):
+    """ES _termvectors for doc 0: (term, tf, global df) from the docstore
+    text + dictionary stats."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.term_vectors(0)
+
+
+def q_explain(sf_dir: str):
+    """ES _explain: per-term (tf, df, dl, score_micro) breakdown for the
+    micro-disjunction's top-1 doc — the rows sum to the score the bool /
+    search_after queries report for that doc."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    d, _ = s.search_after(list(BM25_QUERY_TERMS), k=1)
+    return s.explain(list(BM25_QUERY_TERMS), int(d[0]))
+
+
 RANGE_EDGES = (150, 250, 350)
 
 
@@ -829,6 +847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality": q_cardinality,
         "agg_range": q_agg_range,
         "multi_match": q_multi_match,
+        "termvectors": q_termvectors,
+        "explain_top1": q_explain,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1240,6 +1260,47 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             FROM documents
             WHERE len(list_filter({_TOKS},
                   x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "termvectors": f"""
+            WITH tv AS (
+              SELECT unnest({_TOKS}) AS term FROM documents WHERE doc_id = 0
+            ),
+            tf AS (SELECT term, count(*) AS tf FROM tv GROUP BY term),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE term IN (SELECT term FROM tf) GROUP BY term
+            )
+            SELECT term, cast(tf.tf AS bigint) AS tf,
+                   cast(df.df AS bigint) AS df
+            FROM tf JOIN df USING (term) ORDER BY term""",
+        "explain_top1": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, cast(tf.tf AS bigint) AS tf,
+         cast(df.df AS bigint) AS df, cast(dl.dl AS bigint) AS dl,
+         {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+top1 AS (
+  SELECT doc_id FROM per GROUP BY doc_id
+  ORDER BY cast(sum(micro) AS bigint) DESC, doc_id LIMIT 1
+)
+SELECT term, tf, df, dl, cast(micro AS bigint) AS score_micro
+FROM per JOIN top1 USING (doc_id) ORDER BY term
+""",
         "agg_range": f"""
             WITH m AS (
               SELECT n_chars FROM documents

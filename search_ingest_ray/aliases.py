@@ -1,0 +1,71 @@
+"""Index aliases: atomic name → index-root indirection (ES aliases).
+
+The reference's reindex flow (rebuild, then cut clients over) maps to
+ES's zero-downtime pattern: clients address an ALIAS, a rebuild lands in
+a fresh index root, and one atomic alias flip moves all traffic — no
+client ever sees a half-built index (/root/reference/src/search-ingest/
+elastic.cr reindex + the ES alias-swap idiom it leans on).
+
+Storage is one JSON file per registry (``aliases.json`` under a registry
+dir), written atomically (``util.atomic_write_json``: temp file +
+rename), so a reader either sees the old mapping or the new one.  Every
+entry point that takes an ``index_root`` also accepts ``alias:NAME``
+(optionally ``alias:NAME@/registry/dir``) and resolves it here at open
+time — a long-lived server re-resolves on reopen, which is exactly the
+swap boundary ES gives.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .util import atomic_write_json, read_json
+
+_DEFAULT_REGISTRY = "/tmp/search_ingest_ray_cache"
+_PREFIX = "alias:"
+
+
+def _path(registry_dir: str | None) -> str:
+    return os.path.join(registry_dir or _DEFAULT_REGISTRY, "aliases.json")
+
+
+def list_aliases(registry_dir: str | None = None) -> dict[str, str]:
+    p = _path(registry_dir)
+    return read_json(p) if os.path.exists(p) else {}
+
+
+def set_alias(alias: str, index_root: str,
+              registry_dir: str | None = None) -> None:
+    """Point ``alias`` at ``index_root`` (atomic swap: readers see either
+    the previous target or this one, never a partial state)."""
+    if alias.startswith(_PREFIX):
+        raise ValueError("alias name must not carry the 'alias:' prefix")
+    cur = list_aliases(registry_dir)
+    cur[alias] = os.path.abspath(index_root)
+    os.makedirs(registry_dir or _DEFAULT_REGISTRY, exist_ok=True)
+    atomic_write_json(_path(registry_dir), cur)
+
+
+def drop_alias(alias: str, registry_dir: str | None = None) -> None:
+    cur = list_aliases(registry_dir)
+    if alias in cur:
+        del cur[alias]
+        atomic_write_json(_path(registry_dir), cur)
+
+
+def resolve(index_root_or_alias: str) -> str:
+    """Resolve ``alias:NAME`` (or ``alias:NAME@/registry/dir``) to its
+    index root; plain paths pass through unchanged.  Raises KeyError for
+    an unknown alias — callers treat that like a missing index."""
+    s = index_root_or_alias
+    if not s.startswith(_PREFIX):
+        return s
+    name = s[len(_PREFIX):]
+    registry = None
+    if "@" in name:
+        name, registry = name.split("@", 1)
+    table = list_aliases(registry)
+    if name not in table:
+        raise KeyError(
+            f"unknown index alias {name!r} in {_path(registry)}")
+    return table[name]

@@ -167,6 +167,24 @@ def cmd_reindex(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Alias management (ES alias semantics: atomic flip = zero-downtime
+    reindex cutover).  Every other subcommand accepts ``alias:NAME`` as
+    its index_root."""
+    from . import aliases
+    if args.action == "set":
+        aliases.set_alias(args.name, args.index_root,
+                          registry_dir=args.registry)
+        print(json.dumps({"alias": args.name,
+                          "index_root": os.path.abspath(args.index_root)}))
+    elif args.action == "drop":
+        aliases.drop_alias(args.name, registry_dir=args.registry)
+        print(json.dumps({"dropped": args.name}))
+    else:  # list
+        print(json.dumps(aliases.list_aliases(args.registry)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="search_ingest_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,6 +255,14 @@ def main(argv=None) -> int:
     r.add_argument("index_root")
     r.add_argument("--epoch", type=int, default=0)
     r.set_defaults(fn=cmd_reindex)
+
+    al = sub.add_parser("alias", help="index aliases (zero-downtime swap)")
+    al.add_argument("action", choices=["set", "drop", "list"])
+    al.add_argument("name", nargs="?", default=None)
+    al.add_argument("index_root", nargs="?", default=None)
+    al.add_argument("--registry", default=None,
+                    help="registry dir (default: the shared cache dir)")
+    al.set_defaults(fn=cmd_alias)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -94,6 +94,9 @@ def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
 
 class Searcher:
     def __init__(self, index_root: str, epoch: int = 0):
+        from ..aliases import resolve as _resolve_alias
+        index_root = _resolve_alias(index_root)  # accepts "alias:NAME"
+        self.index_root = index_root
         ed = os.path.join(index_root, "epochs", f"e{epoch:04d}")
         self._epoch_dir = ed
         self.stats = read_json(os.path.join(ed, "stats.json"))
@@ -657,6 +660,57 @@ class Searcher:
         if not ds:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(ds))
+
+    def term_vectors(self, doc_id: int) -> pa.Table:
+        """ES ``_termvectors``: one document's term vector — (term, tf,
+        global df) per distinct term, term-sorted.  The text comes from
+        the docstore and is re-analyzed with the index analyzer (ES
+        re-derives vectors the same way unless term_vector storage was
+        mapped); df is the dictionary's exact global df."""
+        from collections import Counter
+        txt = self.fields.get(np.asarray([doc_id], dtype=np.int64),
+                              ["text"])["text"][0].as_py()
+        tf = Counter(self.analyze(txt or ""))
+        rows = self._lookup(list(tf))
+        terms = sorted(tf)
+        dfs = [max((r["df"] for r in rows.get(t) or []), default=0)
+               for t in terms]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[t] for t in terms], pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+        })
+
+    def explain(self, terms: list[str], doc_id: int) -> pa.Table:
+        """ES ``_explain``: per-term score breakdown for one (query, doc)
+        pair — (term, tf, df, dl, score_micro) for each query term the doc
+        contains, plus the total as the sum of micro units (the same
+        integer arithmetic the bool/disjunction scorers use, so the rows
+        add up to the scores those queries report)."""
+        uniq = list(dict.fromkeys(terms))
+        rows = self._lookup(uniq)
+        out_t, out_tf, out_df, out_dl, out_m = [], [], [], [], []
+        p = self.params
+        for t in uniq:
+            for row in rows.get(t) or []:
+                d, tf, dl = self._decode_list(row)
+                idx = np.searchsorted(d, np.uint64(doc_id))
+                if idx < d.size and d[idx] == np.uint64(doc_id):
+                    sc = term_scores(tf[idx:idx + 1], dl[idx:idx + 1],
+                                     row["df"], p)[0]
+                    out_t.append(t)
+                    out_tf.append(int(tf[idx]))
+                    out_df.append(int(row["df"]))
+                    out_dl.append(int(dl[idx]))
+                    out_m.append(int(np.floor(sc * 1e6)))
+                    break
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+            "score_micro": pa.array(out_m, pa.int64()),
+        }).sort_by([("term", "ascending")])
 
     def facet_counts(self, terms: list[str], field: str) -> pa.Table:
         """Terms-aggregation (ES ``aggs: {terms: {field}}``) over the match

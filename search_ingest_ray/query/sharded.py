@@ -125,6 +125,7 @@ class ShardedSearcher(Searcher):
 
     def __init__(self, index_root: str, epoch: int = 0):
         super().__init__(index_root, epoch=epoch)
+        index_root = self.index_root  # alias resolved ONCE; shards pinned
         cls = _shard_cls()
         # one actor per term partition; SPREAD so a multi-node cluster
         # spreads dictionary memory instead of stacking one node
