@@ -153,11 +153,12 @@ class ShardedSearcher(Searcher):
                      if t in self.hot else [term_partition(t, self.P)])
             for tp in dict.fromkeys(parts):
                 by_tpart.setdefault(tp, []).append(t)
-        refs = {tp: self._shards[tp].get_rows.remote(ts)
-                for tp, ts in by_tpart.items()}
+        tps = list(by_tpart)
+        replies = ray.get([self._shards[tp].get_rows.remote(by_tpart[tp])
+                           for tp in tps])  # one parallel gather
         out: dict[str, list[dict]] = {t: [] for t in terms}
-        for tp, ref in refs.items():
-            for t, rows in ray.get(ref).items():
+        for reply in replies:
+            for t, rows in reply.items():
                 out[t].extend(rows)
         if len(self._term_cache) < self._term_cache_cap:
             self._term_cache.update(out)
