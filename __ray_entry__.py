@@ -364,6 +364,48 @@ def q_multi_match(sf_dir: str):
     })
 
 
+MSM_TERMS = ("merge", "scan", "window")
+MM_BOOSTS = (1, 3)
+
+
+def q_min_should_match(sf_dir: str):
+    """ES minimum_should_match: micro-scored disjunction over 3 terms
+    restricted to docs matching >= 2 distinct terms."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    d, m = s.search_minimum_should(list(MSM_TERMS), min_match=2, k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
+def q_sort_by_field(sf_dir: str):
+    """ES sort-by-docvalue: the OR match set ordered by (n_chars desc,
+    doc_id) — scoring skipped, sort key from the docvalues sidecar."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.search_sort_by(list(BM25_QUERY_TERMS), "n_chars", k=BM25_K,
+                            descending=True)
+
+
+def q_multi_match_boost(sf_dir: str):
+    """ES multi_match most_fields with per-field integer boosts
+    (text^1, source^3): boosted micro sums stay oracle-exact."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher, multi_match
+    s_text = Searcher(documents_index(sf_dir, analyzer="simple"))
+    s_src = Searcher(documents_index(sf_dir, analyzer="simple",
+                                     text_col="source"))
+    d, m = multi_match([s_text, s_src], list(MM_TERMS), k=BM25_K,
+                       mode="most_fields", boosts=list(MM_BOOSTS))
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
 def q_termvectors(sf_dir: str):
     """ES _termvectors for doc 0: (term, tf, global df) from the docstore
     text + dictionary stats."""
@@ -849,6 +891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match": q_multi_match,
         "termvectors": q_termvectors,
         "explain_top1": q_explain,
+        "min_should_match": q_min_should_match,
+        "sort_by_field": q_sort_by_field,
+        "multi_match_boost": q_multi_match_boost,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1260,6 +1305,92 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             FROM documents
             WHERE len(list_filter({_TOKS},
                   x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "min_should_match": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{MSM_TERMS[0]}', '{MSM_TERMS[1]}', '{MSM_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+  HAVING count(DISTINCT term) >= 2
+)
+SELECT doc_id, score_micro FROM scored
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+""",
+        "sort_by_field": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            ORDER BY n_chars DESC, doc_id LIMIT {BM25_K}""",
+        "multi_match_boost": f"""
+WITH ttoks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM ttoks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ttf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ttoks
+  WHERE term IN ('{MM_TERMS[0]}', '{MM_TERMS[1]}') GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tper AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM ttf tf JOIN tdf df USING (term) JOIN tdl dl USING (doc_id)
+  CROSS JOIN tstats stats
+),
+tscored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM tper GROUP BY doc_id
+),
+stoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9]+'))
+           AS term
+  FROM documents
+),
+sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+sstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM stoks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+stf AS (
+  SELECT doc_id, term, count(*) AS tf FROM stoks
+  WHERE term IN ('{MM_TERMS[0]}', '{MM_TERMS[1]}') GROUP BY doc_id, term
+),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+sper AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM stf tf JOIN sdf df USING (term) JOIN sdl dl USING (doc_id)
+  CROSS JOIN sstats stats
+),
+sscored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM sper GROUP BY doc_id
+)
+SELECT doc_id,
+       coalesce(t.m, 0) * {MM_BOOSTS[0]}
+         + coalesce(s.m, 0) * {MM_BOOSTS[1]} AS score_micro
+FROM tscored t FULL JOIN sscored s USING (doc_id)
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+""",
         "termvectors": f"""
             WITH tv AS (
               SELECT unnest({_TOKS}) AS term FROM documents WHERE doc_id = 0

@@ -480,10 +480,10 @@ class Searcher:
         o = np.argsort(d, kind="stable")  # salted sub-lists are disjoint
         return d[o], m[o]
 
-    def _union_micro(self, rows: dict, terms: list[str]):
-        """Disjunction with integer micro scores: union of the terms'
-        postings, per-doc Σ of per-term micros.  Returns (docids int64[]
-        sorted ascending, score_micro int64[])."""
+    def _union_micro_counts(self, rows: dict, terms: list[str]):
+        """Disjunction with integer micro scores AND per-doc matched-term
+        counts.  Returns (docids int64[] sorted ascending, score_micro
+        int64[], n_matched_terms int64[])."""
         parts = [self._term_postings_micro(rows.get(t, [])) for t in terms]
         d_all = np.concatenate([d for d, _ in parts]) if parts else \
             np.empty(0, dtype=np.int64)
@@ -492,7 +492,47 @@ class Searcher:
         d0, inv = np.unique(d_all, return_inverse=True)
         m0 = np.zeros(d0.size, dtype=np.int64)
         np.add.at(m0, inv, m_all)
+        c0 = np.zeros(d0.size, dtype=np.int64)
+        np.add.at(c0, inv, 1)  # a doc appears once per matched term
+        return d0, m0, c0
+
+    def _union_micro(self, rows: dict, terms: list[str]):
+        """Disjunction with integer micro scores: union of the terms'
+        postings, per-doc Σ of per-term micros.  Returns (docids int64[]
+        sorted ascending, score_micro int64[])."""
+        d0, m0, _ = self._union_micro_counts(rows, terms)
         return d0, m0
+
+    def search_minimum_should(self, terms: list[str], min_match: int,
+                              k: int = 10):
+        """ES ``minimum_should_match``: the micro-scored disjunction
+        restricted to docs matching at least ``min_match`` DISTINCT query
+        terms — the middle ground between OR (1) and AND (len(terms)).
+        Returns (docids, score_micro) by (-score, docid)."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0, c0 = self._union_micro_counts(self._lookup(uniq), uniq)
+        keep = c0 >= min_match
+        d0, m0 = d0[keep], m0[keep]
+        top = np.lexsort((d0, -m0))[:k]
+        return d0[top], m0[top]
+
+    def search_sort_by(self, terms: list[str], field: str, k: int = 10,
+                       descending: bool = True) -> pa.Table:
+        """ES ``sort`` by a docvalue field instead of score: the match set
+        of the OR query ordered by (field, doc_id) — scoring skipped
+        entirely, the docvalues sidecar supplies the sort key (exactly
+        ES's doc_values-backed sort).  Returns (doc_id, <field>) top-k."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             field: pa.array([], pa.int64())})
+        vals = self.fields.get(docids, [field])[field]
+        tbl = pa.table({"doc_id": pa.array(docids, pa.int64()),
+                        field: vals})
+        order = "descending" if descending else "ascending"
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(field, order), ("doc_id", "ascending")])[:k]
+        return tbl.take(idx)
 
     def search_after(self, terms: list[str], k: int = 10,
                      after: tuple[int, int] | None = None):
@@ -1033,17 +1073,24 @@ class Searcher:
 
 
 def multi_match(searchers: list["Searcher"], terms: list[str], k: int = 10,
-                mode: str = "best_fields"):
+                mode: str = "best_fields",
+                boosts: list[int] | None = None):
     """ES ``multi_match`` across per-field indexes: each field is its own
     inverted index with its OWN corpus stats (dl, avgdl, df) — exactly
     ES/Lucene's model, where a multi-field document is N independent field
     postings.  ``best_fields`` takes the per-doc MAX of the field scores,
     ``most_fields`` the SUM (both over integer micro units, so a DuckDB
-    oracle reproduces them bit-exactly).
+    oracle reproduces them bit-exactly).  ``boosts`` are per-field INTEGER
+    multipliers (the ``field^2`` syntax) applied to the field's micro
+    scores before combination — integers keep the oracle exact.
 
     Returns (docids int64[], score_micro int64[]) by (-score, docid)."""
     if mode not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown multi_match mode {mode!r}")
+    if boosts is None:
+        boosts = [1] * len(searchers)
+    if len(boosts) != len(searchers):
+        raise ValueError("one boost per field searcher required")
     uniq = list(dict.fromkeys(terms))
     accs = [s._union_micro(s._lookup(uniq), uniq) for s in searchers]
     if not accs:
@@ -1051,12 +1098,12 @@ def multi_match(searchers: list["Searcher"], terms: list[str], k: int = 10,
         return e, e
     d0 = np.unique(np.concatenate([d for d, _ in accs]))
     comb = np.zeros(d0.size, dtype=np.int64)
-    for d, m in accs:
+    for (d, m), boost in zip(accs, boosts):
         pos = np.searchsorted(d0, d)
         if mode == "best_fields":
-            np.maximum.at(comb, pos, m)
+            np.maximum.at(comb, pos, m * int(boost))
         else:
-            np.add.at(comb, pos, m)
+            np.add.at(comb, pos, m * int(boost))
     top = np.lexsort((d0, -comb))[:k]
     return d0[top], comb[top]
 

@@ -295,6 +295,40 @@ def test_agg_cardinality_and_range(stats_searcher):
     assert card["cardinality"] == len(set(vals))
 
 
+def test_minimum_should_match_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    terms = ["merge", "scan", "window"]
+    ids = t["doc_id"].to_numpy()
+    toks = [tokenize_simple(x or "") for x in t["text"].to_pylist()]
+    df = _vocab_df(t)
+    full = _bool_reference(t, s.params, [], terms, [], k=10**9)
+    nmatch = {int(ids[i]): sum(x in c for x in terms)
+              for i, c in ((j, set(tl)) for j, tl in enumerate(toks))}
+    for m in (1, 2, 3):
+        exp = [(i, mi) for i, mi in full if nmatch[i] >= m][:10]
+        d, mm = s.search_minimum_should(terms, min_match=m, k=10)
+        assert list(zip(d.tolist(), mm.tolist())) == exp, m
+    # min_match == len(terms) is the conjunction
+    d_and, m_and = s.search_bool(terms, k=10)
+    d3, m3 = s.search_minimum_should(terms, min_match=3, k=10)
+    assert d3.tolist() == d_and.tolist() and m3.tolist() == m_and.tolist()
+
+
+def test_search_sort_by_field(stats_searcher):
+    t, s = stats_searcher
+    ids = t["doc_id"].to_numpy()
+    rows = [(int(ids[i]), v) for i, v in enumerate(t["n_chars"].to_pylist())
+            if {"merge", "scan"} & set(
+                tokenize_simple(t["text"].to_pylist()[i] or ""))]
+    for desc in (True, False):
+        exp = sorted(rows, key=lambda r: (-r[1] if desc else r[1], r[0]))[:10]
+        out = s.search_sort_by(["merge", "scan"], "n_chars", k=10,
+                               descending=desc)
+        got = list(zip(out["doc_id"].to_pylist(),
+                       out["n_chars"].to_pylist()))
+        assert got == exp, desc
+
+
 def test_multi_match_vs_bruteforce(ray_session, sf_dir):
     from search_ingest_ray.pipelines.flagship import documents_index
     from search_ingest_ray.query.searcher import multi_match
@@ -337,6 +371,12 @@ def test_multi_match_vs_bruteforce(ray_session, sf_dir):
                       for i in all_ids), key=lambda x: (-x[1], x[0]))[:10]
         d, m = multi_match([s_text, s_src], terms, k=10, mode=mode)
         assert list(zip(d.tolist(), m.tolist())) == exp, mode
+    # per-field integer boosts (text^1, source^3), most_fields
+    exp_b = sorted(((i, m_text.get(i, 0) + 3 * m_src.get(i, 0))
+                    for i in all_ids), key=lambda x: (-x[1], x[0]))[:10]
+    d, m = multi_match([s_text, s_src], terms, k=10, mode="most_fields",
+                       boosts=[1, 3])
+    assert list(zip(d.tolist(), m.tolist())) == exp_b
 
 
 def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
