@@ -451,6 +451,33 @@ def q_agg_range(sf_dir: str):
     return s.agg_range(list(BM25_QUERY_TERMS), "n_chars", list(RANGE_EDGES))
 
 
+PCTS = (50, 90, 99)
+
+
+def q_percentiles(sf_dir: str):
+    """ES percentiles agg (exact nearest-rank flavor) over n_chars of the
+    match set."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
+
+
+def q_top_hits(sf_dir: str):
+    """ES top_hits sub-agg: per-lang top-2 docs by the micro disjunction
+    score."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_top_hits(list(BM25_QUERY_TERMS), "lang", per_group=2)
+
+
+def q_sig_terms(sf_dir: str):
+    """ES significant_terms: integer-exact lift of match-set terms vs the
+    corpus background (fg>=2), top-10 by (-lift, term)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.significant_terms(list(BM25_QUERY_TERMS), k=10, min_fg=2)
+
+
 def q_date_histogram(sf_dir: str):
     """ES date_histogram over an event stream: hourly counts of
     event_type='purchase', served from the events index (term filter →
@@ -894,6 +921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_should_match": q_min_should_match,
         "sort_by_field": q_sort_by_field,
         "multi_match_boost": q_multi_match_boost,
+        "percentiles": q_percentiles,
+        "top_hits": q_top_hits,
+        "sig_terms": q_sig_terms,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1333,6 +1363,81 @@ scored AS (
 SELECT doc_id, score_micro FROM scored
 ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
+        "percentiles": f"""
+            WITH m AS (
+              SELECT n_chars AS v FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+            ),
+            o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM m),
+            cnt AS (SELECT count(*) AS n FROM m),
+            p(pct) AS (VALUES ({PCTS[0]}), ({PCTS[1]}), ({PCTS[2]}))
+            SELECT cast(p.pct AS bigint) AS pct,
+                   (SELECT o.v FROM o CROSS JOIN cnt
+                    WHERE o.rn = greatest(
+                      cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
+                     AS value
+            FROM p ORDER BY pct""",
+        "top_hits": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+),
+j AS (
+  SELECT d.lang, s.doc_id, s.score_micro,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_micro DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, cast(rank AS bigint) AS rank, doc_id, score_micro
+FROM j WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "sig_terms": f"""
+            WITH m AS (
+              SELECT doc_id FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+            ),
+            fcnt AS (SELECT count(*) AS f FROM m),
+            ncnt AS (SELECT count(*) AS n FROM documents),
+            dt AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+              FROM documents
+            ),
+            fg AS (
+              SELECT term, count(*) AS fg FROM dt
+              WHERE doc_id IN (SELECT doc_id FROM m)
+              GROUP BY term HAVING count(*) >= 2
+            ),
+            df AS (
+              SELECT term, count(*) AS df FROM dt
+              WHERE term IN (SELECT term FROM fg) GROUP BY term
+            )
+            SELECT fg.term, cast(fg.fg AS bigint) AS fg,
+                   cast(df.df AS bigint) AS df,
+                   cast((1000000 * fg.fg * ncnt.n)
+                        // (df.df * fcnt.f) AS bigint) AS lift_micro
+            FROM fg JOIN df USING (term)
+            CROSS JOIN ncnt CROSS JOIN fcnt
+            ORDER BY lift_micro DESC, fg.term LIMIT 10""",
         "sort_by_field": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE len(list_filter({_TOKS},

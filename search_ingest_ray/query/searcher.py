@@ -884,6 +884,108 @@ class Searcher:
             "n": pa.array(counts, pa.int64()),
         })
 
+    def agg_percentiles(self, terms: list[str], field: str,
+                        pcts: list[int]) -> pa.Table:
+        """ES ``percentiles`` aggregation, EXACT nearest-rank flavor: the
+        value at 1-based rank ``ceil(p/100 · n)`` of the sorted match-set
+        docvalues (ES approximates with t-digest; nearest-rank is the
+        deterministic exact analog a SQL oracle can reproduce).  Returns
+        (pct, value) rows."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = vals.to_numpy(zero_copy_only=False)
+        if vals.null_count:
+            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+        arr = np.sort(arr.astype(np.int64))
+        n = arr.size
+        out = []
+        for p in pcts:
+            if n == 0:
+                out.append(None)
+            else:
+                rank = int(np.ceil(p / 100 * n))  # 1-based nearest rank
+                out.append(int(arr[max(rank, 1) - 1]))
+        return pa.table({
+            "pct": pa.array(list(pcts), pa.int64()),
+            "value": pa.array(out, pa.int64()),
+        })
+
+    def agg_top_hits(self, terms: list[str], group_field: str,
+                     per_group: int = 2) -> pa.Table:
+        """ES ``top_hits`` sub-aggregation: within each group-field
+        bucket of the match set, the top ``per_group`` docs by the micro
+        disjunction score — (group, rank, doc_id, score_micro) rows,
+        sorted by (group, rank)."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if d0.size == 0:
+            return pa.table({group_field: pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        groups = self.fields.get(d0, [group_field])[group_field]
+        garr = groups.to_numpy(zero_copy_only=False)
+        # one lexsort: (group asc, -score, doc_id); then per-group rank by
+        # run-length positions
+        order = np.lexsort((d0, -m0, garr))
+        gs = garr[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        ranks = np.arange(gs.size) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [gs.size]))))
+        keep = ranks < per_group
+        sel = order[keep]
+        return pa.table({
+            group_field: groups.take(pa.array(sel, pa.int64())),
+            "rank": pa.array(ranks[keep] + 1, pa.int64()),
+            "doc_id": pa.array(d0[sel], pa.int64()),
+            "score_micro": pa.array(m0[sel], pa.int64()),
+        })
+
+    def significant_terms(self, terms: list[str], k: int = 10,
+                          min_fg: int = 2) -> pa.Table:
+        """ES ``significant_terms``: terms over-represented in the match
+        set (foreground) vs the whole corpus (background), scored by
+        integer-exact lift micro units —
+        ``(1e6 · fg_count · N) // (df · F)`` with N = corpus docs, F =
+        match-set size, df = the term's exact global df from the
+        dictionary (ES's JLH is a float heuristic; lift is its core ratio
+        kept in integer arithmetic so the oracle is bit-identical).
+        Foreground counts come from re-analyzing the match set's docstore
+        text (the fielddata path ES itself uses).  Returns
+        (term, fg, df, lift_micro) top-k by (-lift, term),
+        fg ≥ ``min_fg``."""
+        from collections import Counter
+        docids = self._match_docids(terms)
+        F = int(docids.size)
+        if F == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "fg": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "lift_micro": pa.array([], pa.int64())})
+        texts = self.fields.get(docids, ["text"])["text"].to_pylist()
+        fg: Counter = Counter()
+        for txt in texts:
+            fg.update(set(self.analyze(txt or "")))
+        cand = [t for t, c in fg.items() if c >= min_fg]
+        rows = self._lookup(cand)
+        N = self.params.n_docs
+        scored = []
+        for t in cand:
+            df = max((r["df"] for r in rows.get(t) or []), default=0)
+            if df == 0:
+                continue
+            lift = (1_000_000 * fg[t] * N) // (df * F)
+            scored.append((-lift, t, fg[t], df))
+        scored.sort()
+        top = scored[:k]
+        return pa.table({
+            "term": pa.array([t for _, t, _, _ in top], pa.string()),
+            "fg": pa.array([f for _, _, f, _ in top], pa.int64()),
+            "df": pa.array([d for _, _, _, d in top], pa.int64()),
+            "lift_micro": pa.array([-s for s, _, _, _ in top], pa.int64()),
+        })
+
     def agg_date_histogram(self, terms: list[str], field: str,
                            interval_us: int) -> pa.Table:
         """ES ``date_histogram`` in filter context: timestamp docvalues

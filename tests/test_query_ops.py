@@ -329,6 +329,60 @@ def test_search_sort_by_field(stats_searcher):
         assert got == exp, desc
 
 
+def test_agg_percentiles_nearest_rank(stats_searcher):
+    t, s = stats_searcher
+    vals = sorted(_match_vals(t, ["merge", "scan"]))
+    n = len(vals)
+    out = s.agg_percentiles(["merge", "scan"], "n_chars", [50, 90, 99, 100])
+    got = dict(zip(out["pct"].to_pylist(), out["value"].to_pylist()))
+    for p in (50, 90, 99, 100):
+        exp = vals[max(int(np.ceil(p / 100 * n)), 1) - 1]
+        assert got[p] == exp, p
+
+
+def test_agg_top_hits_vs_bruteforce(sf_dir, stats_searcher):
+    _, s = stats_searcher
+    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    ref = _bool_reference(full, s.params, [], ["merge", "scan"], [], k=10**9)
+    lang_of = dict(zip(full["doc_id"].to_pylist(),
+                       full["lang"].to_pylist()))
+    per: dict = {}
+    for i, m in ref:  # ref already sorted by (-micro, doc)
+        per.setdefault(lang_of[i], []).append((i, m))
+    exp = []
+    for lang in sorted(per):
+        for rank, (i, m) in enumerate(per[lang][:2], 1):
+            exp.append((lang, rank, i, m))
+    out = s.agg_top_hits(["merge", "scan"], "lang", per_group=2)
+    got = list(zip(out["lang"].to_pylist(), out["rank"].to_pylist(),
+                   out["doc_id"].to_pylist(),
+                   out["score_micro"].to_pylist()))
+    assert got == exp
+
+
+def test_significant_terms_vs_bruteforce(sf_dir, docs_and_searcher):
+    _, s = docs_and_searcher
+    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    toks = [set(tokenize_simple(x or "")) for x in full["text"].to_pylist()]
+    match = [i for i, tl in enumerate(toks) if {"merge", "scan"} & tl]
+    F, N = len(match), len(toks)
+    fg: Counter = Counter()
+    for i in match:
+        fg.update(toks[i])
+    df = _vocab_df(pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]))
+    scored = sorted(
+        (-((1_000_000 * c * N) // (df[term] * F)), term, c, df[term])
+        for term, c in fg.items() if c >= 2)
+    exp = [(term, c, d, -lift) for lift, term, c, d in scored[:10]]
+    out = s.significant_terms(["merge", "scan"], k=10, min_fg=2)
+    got = list(zip(out["term"].to_pylist(), out["fg"].to_pylist(),
+                   out["df"].to_pylist(), out["lift_micro"].to_pylist()))
+    assert got == exp
+
+
 def test_multi_match_vs_bruteforce(ray_session, sf_dir):
     from search_ingest_ray.pipelines.flagship import documents_index
     from search_ingest_ray.query.searcher import multi_match
