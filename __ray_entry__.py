@@ -451,6 +451,26 @@ def q_agg_range(sf_dir: str):
     return s.agg_range(list(BM25_QUERY_TERMS), "n_chars", list(RANGE_EDGES))
 
 
+RESCORE_WINDOW = 50
+RESCORE_BONUS = 5_000_000
+
+
+def q_rescore(sf_dir: str):
+    """ES rescore: the top-50 window of the (scan, merge) micro
+    disjunction reranked with an exact-phrase bonus — phrase hits gain
+    +5e6 micro units; docs outside the window never rescored."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d, m = s.rescore_phrase(list(PHRASE_TERMS), window=RESCORE_WINDOW,
+                            bonus_micro=RESCORE_BONUS, k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
 PCTS = (50, 90, 99)
 
 
@@ -924,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": q_percentiles,
         "top_hits": q_top_hits,
         "sig_terms": q_sig_terms,
+        "rescore": q_rescore,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
@@ -1361,6 +1382,45 @@ scored AS (
   HAVING count(DISTINCT term) >= 2
 )
 SELECT doc_id, score_micro FROM scored
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+""",
+        "rescore": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS base
+  FROM per GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, base,
+         row_number() OVER (ORDER BY base DESC, doc_id) AS rn
+  FROM scored
+),
+resc AS (
+  SELECT w.doc_id,
+         w.base + CASE WHEN ' ' || lower(d.text) || ' '
+                LIKE '% {" ".join(PHRASE_TERMS)} %'
+              THEN {RESCORE_BONUS} ELSE 0 END AS score_micro
+  FROM w JOIN documents d USING (doc_id)
+  WHERE w.rn <= {RESCORE_WINDOW}
+)
+SELECT doc_id, score_micro FROM resc
 ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
         "percentiles": f"""

@@ -752,6 +752,32 @@ class Searcher:
             "score_micro": pa.array(out_m, pa.int64()),
         }).sort_by([("term", "ascending")])
 
+    def rescore_phrase(self, terms: list[str], window: int = 50,
+                       bonus_micro: int = 1_000_000, k: int = 10):
+        """ES ``rescore``: rerank the top-``window`` results of the cheap
+        micro-scored disjunction with an expensive predicate — here the
+        exact consecutive phrase over the same terms; a window doc that
+        phrase-matches gains ``bonus_micro``.  Docs outside the window are
+        never rescored (the rescore-window contract), so the expensive
+        phrase machinery prices O(window), not O(corpus).
+
+        (The positional intersection below computes the phrase set from
+        the terms' postings — already restricted to the intersection; a
+        corpus where that intersection dwarfs the window would pass the
+        window in as a candidate filter.)
+
+        Returns (docids int64[], rescored_micro int64[]) by
+        (-rescored, docid)."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        top = np.lexsort((d0, -m0))[:window]
+        dw, mw = d0[top], m0[top]
+        ph = np.sort(self.phrase_match_docs(list(terms)))
+        bonus = _isin_sorted_i64(dw, ph).astype(np.int64) * int(bonus_micro)
+        rescored = mw + bonus
+        order = np.lexsort((dw, -rescored))[:k]
+        return dw[order], rescored[order]
+
     def facet_counts(self, terms: list[str], field: str) -> pa.Table:
         """Terms-aggregation (ES ``aggs: {terms: {field}}``) over the match
         set of an OR query: docs containing ANY query term, counted per

@@ -329,6 +329,28 @@ def test_search_sort_by_field(stats_searcher):
         assert got == exp, desc
 
 
+def test_rescore_phrase_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    terms = ["scan", "merge"]
+    ids = t["doc_id"].to_numpy()
+    toks = [tokenize_simple(x or "") for x in t["text"].to_pylist()]
+
+    def has_phrase(tl):
+        return any(tl[i:i + 2] == terms for i in range(len(tl) - 1))
+
+    phrase_ids = {int(ids[i]) for i, tl in enumerate(toks) if has_phrase(tl)}
+    base = _bool_reference(t, s.params, [], terms, [], k=10**9)
+    window = base[:20]
+    bonus = 7_000_000
+    resc = sorted(((i, m + (bonus if i in phrase_ids else 0))
+                   for i, m in window), key=lambda x: (-x[1], x[0]))[:5]
+    d, m = s.rescore_phrase(terms, window=20, bonus_micro=bonus, k=5)
+    assert list(zip(d.tolist(), m.tolist())) == resc
+    # a doc outside the window must never enter, even with the bonus
+    outside = {i for i, _ in base[20:]}
+    assert not outside & set(d.tolist())
+
+
 def test_agg_percentiles_nearest_rank(stats_searcher):
     t, s = stats_searcher
     vals = sorted(_match_vals(t, ["merge", "scan"]))
