@@ -177,7 +177,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "events_fold_partial", "keyword_exact",
                  "phrase_match", "phrase_common", "embedding_near_dup",
                  "ann_lsh", "bm25_chain", "suggest",
-                 "asof_orders", "range_price", "window_events", "sessions"]:
+                 "asof_orders", "range_price", "window_events", "sessions",
+                 # round-3 query-DSL / aggs / distributed serving
+                 "bool_query", "search_after", "multi_match", "facet_lang",
+                 "top_hits", "sig_terms", "rescore", "date_histogram",
+                 "bm25_sharded"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
