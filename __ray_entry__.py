@@ -140,6 +140,22 @@ def q_bm25_chain(sf_dir: str):
     })
 
 
+def q_bool_chain(sf_dir: str):
+    """Bool query (must/should/must_not, integer micro scores) over the
+    DELTA CHAIN — the shared bool_combine fed by chain-wide suppressed
+    postings with current stats; identical to a full rebuild."""
+    from search_ingest_ray.pipelines.flagship import documents_chain_index
+    from search_ingest_ray.query.multi import MultiEpochSearcher
+    root = documents_chain_index(sf_dir, analyzer="simple")
+    ms = MultiEpochSearcher(root)
+    d, m = ms.search_bool(list(BM25_QUERY_TERMS), should=["window"],
+                          must_not=["spark"], k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
+
+
 def q_suggest(sf_dir: str):
     """Prefix completion over the documents-index term dictionary (the
     engine-native analog of the ES ``completion`` type): top-10 terms with
@@ -913,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_sharded": q_bm25_sharded,
         "bm25_chain": q_bm25_chain,
+        "bool_chain": q_bool_chain,
         "suggest": q_suggest,
         "bm25_filtered": q_bm25_filtered,
         "bm25_filtered_range": q_bm25_filtered_range,
@@ -1120,6 +1137,42 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             WHERE text IN (
               (SELECT text FROM documents ORDER BY doc_id ASC LIMIT 1),
               (SELECT text FROM documents ORDER BY doc_id DESC LIMIT 1))""",
+        "bool_chain": f"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN text || '{_CHAIN_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM final
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM final) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM final) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}', 'window') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term IN ('{t1}', '{t2}')
+                        THEN term END) = 2
+)
+SELECT s.doc_id, s.score_micro FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM toks t
+                  WHERE t.doc_id = s.doc_id AND t.term = 'spark')
+ORDER BY s.score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
         "bool_query": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents

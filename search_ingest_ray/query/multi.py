@@ -296,6 +296,32 @@ class MultiEpochSearcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         return self.search_terms(self.analyze(query), k=k, filters=filters)
 
+    def _term_micro(self, t: str):
+        """One term's chain-wide surviving postings as sorted (docids,
+        integer micro scores) under the exact CURRENT stats — the chain
+        analog of ``Searcher._term_postings_micro`` (each docid appears at
+        most once after dead-doc suppression)."""
+        d, tf, dl, df = self._surviving_lists(t)
+        if d.size == 0 or df <= 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        m = np.floor(term_scores(tf, dl, df, self.params)
+                     * 1e6).astype(np.int64)
+        d = d.astype(np.int64)
+        o = np.argsort(d, kind="stable")
+        return d[o], m[o]
+
+    def search_bool(self, must: list[str], should: list[str] | None = None,
+                    must_not: list[str] | None = None, k: int = 10):
+        """ES bool query over the DELTA CHAIN: same combiner as the
+        single-epoch path (:func:`searcher.bool_combine` — the semantics
+        cannot drift), fed by chain-wide suppressed postings and current
+        global stats, so results are identical to a full rebuild's
+        ``search_bool``."""
+        from .searcher import bool_combine
+        return bool_combine(self._term_micro, list(must),
+                            list(should or ()), list(must_not or ()), k)
+
     def match_phrase(self, phrase: str | list[str], k: int = 10,
                      filters: dict | None = None, slop: int = 0):
         """Phrase top-k over the chain: per-epoch positional matching

@@ -645,47 +645,10 @@ class Searcher:
         OR — candidates only ever shrink)."""
         should = list(should or ())
         must_not = list(must_not or ())
-        if not must and not should:
-            e = np.empty(0, dtype=np.int64)
-            return e, e
         rows = self._lookup(list(dict.fromkeys([*must, *should, *must_not])))
-
-        if must:
-            d0, m0 = self._term_postings_micro(rows.get(must[0], []))
-            for t in must[1:]:
-                if d0.size == 0:
-                    break
-                d1, m1 = self._term_postings_micro(rows.get(t, []))
-                keep0 = _isin_sorted_i64(d0, d1)
-                d0, m0 = d0[keep0], m0[keep0]
-                keep1 = _isin_sorted_i64(d1, d0)
-                m0 = m0 + m1[keep1]
-        else:
-            # should-only: disjunction (accumulate union)
-            d0, m0 = self._union_micro(rows, should)
-            should = []
-
-        for t in should:
-            if d0.size == 0:
-                break
-            d1, m1 = self._term_postings_micro(rows.get(t, []))
-            pos = np.searchsorted(d0, d1)
-            ok = (pos < d0.size)
-            ok[ok] = d0[pos[ok]] == d1[ok]
-            np.add.at(m0, pos[ok], m1[ok])
-
-        for t in must_not:
-            if d0.size == 0:
-                break
-            d1, _ = self._term_postings_micro(rows.get(t, []))
-            keep = ~_isin_sorted_i64(d0, d1)
-            d0, m0 = d0[keep], m0[keep]
-
-        if d0.size == 0:
-            e = np.empty(0, dtype=np.int64)
-            return e, e
-        top = np.lexsort((d0, -m0))[:k]
-        return d0[top], m0[top]
+        return bool_combine(
+            lambda t: self._term_postings_micro(rows.get(t, [])),
+            must, should, must_not, k)
 
     def _match_docids(self, terms: list[str]) -> np.ndarray:
         """Filter-context match set of the OR query: sorted unique int64
@@ -1198,6 +1161,65 @@ class Searcher:
             pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
             cand_scores += ent["scores"][pi]
         return md, cand_scores[matched_dr]
+
+
+def bool_combine(get_micro, must: list[str], should: list[str],
+                 must_not: list[str], k: int):
+    """Shared must/should/must_not combiner over per-term sorted
+    ``get_micro(term) -> (docids int64[] ascending, micro int64[])``
+    providers — used by :meth:`Searcher.search_bool` (single epoch) and
+    :meth:`MultiEpochSearcher.search_bool` (delta chains), so the bool
+    semantics cannot drift between the two paths.
+
+    Document-at-a-time conjunction: the must intersection shrinks the
+    candidate set before should/must_not lists are consulted."""
+    if not must and not should:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+
+    if must:
+        d0, m0 = get_micro(must[0])
+        for t in must[1:]:
+            if d0.size == 0:
+                break
+            d1, m1 = get_micro(t)
+            keep0 = _isin_sorted_i64(d0, d1)
+            d0, m0 = d0[keep0], m0[keep0]
+            keep1 = _isin_sorted_i64(d1, d0)
+            m0 = m0 + m1[keep1]
+    else:
+        # should-only: disjunction (accumulate union)
+        parts = [get_micro(t) for t in should]
+        d_all = np.concatenate([d for d, _ in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        m_all = np.concatenate([m for _, m in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        d0, inv = np.unique(d_all, return_inverse=True)
+        m0 = np.zeros(d0.size, dtype=np.int64)
+        np.add.at(m0, inv, m_all)
+        should = []
+
+    for t in should:
+        if d0.size == 0:
+            break
+        d1, m1 = get_micro(t)
+        pos = np.searchsorted(d0, d1)
+        ok = (pos < d0.size)
+        ok[ok] = d0[pos[ok]] == d1[ok]
+        np.add.at(m0, pos[ok], m1[ok])
+
+    for t in must_not:
+        if d0.size == 0:
+            break
+        d1, _ = get_micro(t)
+        keep = ~_isin_sorted_i64(d0, d1)
+        d0, m0 = d0[keep], m0[keep]
+
+    if d0.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    top = np.lexsort((d0, -m0))[:k]
+    return d0[top], m0[top]
 
 
 def multi_match(searchers: list["Searcher"], terms: list[str], k: int = 10,

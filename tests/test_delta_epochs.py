@@ -228,3 +228,33 @@ def test_compaction_restores_single_epoch(ray_session, base_dir, tmp_path):
     assert set(d.tolist()) == {doc_id_hash("u7")}
     d, _ = ms.search_terms(["eta"], k=5)
     assert set(d.tolist()) == {doc_id_hash("u9")}
+
+
+def test_delta_chain_bool_matches_full_rebuild(ray_session, base_dir,
+                                               tmp_path):
+    """search_bool over a chain == search_bool on the full rebuild — the
+    shared bool_combine fed by chain-suppressed postings."""
+    root = str(tmp_path / "idx5")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    apply_delta_epoch(root, _delta(tmp_path, "d1", [
+        ("u3", "w1 w2 w3 boolfresh", 1, "updated"),
+        ("u5", "", 1, "deleted"),
+        ("u102", "w1 w1 w2 boolfresh", 1, "created"),
+    ]), 1, mode="delta", **KW)
+    ms = MultiEpochSearcher(root)
+    ref = _reference_searcher(root, tmp_path, "bool")
+    cases = [
+        (["w1", "w2"], ["w3"], ["w4"]),
+        (["boolfresh"], [], []),
+        ([], ["w1", "w5"], ["w2"]),
+        (["w1", "w2", "w3"], [], []),
+    ]
+    for must, should, must_not in cases:
+        d1, m1 = ms.search_bool(must, should=should, must_not=must_not,
+                                k=40)
+        d2, m2 = ref.search_bool(must, should=should, must_not=must_not,
+                                 k=40)
+        assert d1.tolist() == d2.tolist(), (must, should, must_not)
+        assert m1.tolist() == m2.tolist(), (must, should, must_not)
