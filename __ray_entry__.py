@@ -831,6 +831,21 @@ def q_minhash_pairs(sf_dir: str):
                                    concurrency=_pool())
 
 
+DEDUP_CLUSTER_THR = 500_000
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate clustering: LSH candidates → exact token-set Jaccard
+    verify (integer-exact threshold) → connected components → every doc
+    labeled with its cluster's min doc_id (singletons label themselves).
+    Oracled by a recursive-CTE transitive closure over the same verified
+    edges."""
+    from search_ingest_ray.functions.dedup import dedup_clusters
+    return dedup_clusters(_docs(sf_dir), num_perm=32, bands=8,
+                          jaccard_threshold_micro=DEDUP_CLUSTER_THR,
+                          concurrency=_pool())
+
+
 def q_simhash(sf_dir: str):
     from search_ingest_ray.functions.dedup import SimHasher
     ds = _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
@@ -978,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled via md5-low64 token hashes (util.tok_hash_sql) +
         # hugeint mod-2^64 arithmetic in DuckDB
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1063,6 +1079,40 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
                          for lang, prof in sorted(_LANG_PROFILES.items())
                          for w in sorted(prof))
     fp_seed63 = 14695981039346656037 % _M63
+
+    _MH_BANDS_CTE = f"""base AS (
+  SELECT doc_id,
+         list_concat({_TOKS},
+           list_transform(range(greatest(3 - len({_TOKS}), 0)),
+                          x -> '')) AS toks
+  FROM documents),
+tok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
+               unnest(range(len(toks))) AS pos, len(toks) AS nt FROM base),
+w AS (
+  SELECT doc_id, pos, nt, h,
+         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+  FROM tok),
+sh AS (
+  SELECT doc_id,
+         ({_mulmod64('h', f'{int(mh_mix[0])}::HUGEINT')}
+          + {_mulmod64('h1', f'{int(mh_mix[1])}::HUGEINT')}
+          + {_mulmod64('h2', f'{int(mh_mix[2])}::HUGEINT')})
+           % {_M64}::HUGEINT % {_M61}::HUGEINT AS shm
+  FROM w WHERE pos <= nt - 3),
+perms(pidx, a, b) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT sh.doc_id, p.pidx,
+         min((({_mulmod64('p.a', 'sh.shm')} + p.b) % {_M64}::HUGEINT)
+             % {_M61}::HUGEINT) AS sig
+  FROM sh CROSS JOIN perms p GROUP BY sh.doc_id, p.pidx),
+bm(r, c) AS (VALUES {bmix_vals}),
+bands AS (
+  SELECT doc_id, pidx // 4 AS band,
+         cast(sum({_mulmod64('sig', 'bm.c')}) % {_M63}::HUGEINT AS bigint)
+           AS band_hash
+  FROM sig JOIN bm ON bm.r = pidx % 4
+  GROUP BY doc_id, pidx // 4)"""
 
     bool_micro = (f"cast(floor(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
                   f" * ((tf.tf * ({k1} + 1))"
@@ -1873,41 +1923,34 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 """,
         "minhash_pairs": f"""
-WITH base AS (
-  SELECT doc_id,
-         list_concat({_TOKS},
-           list_transform(range(greatest(3 - len({_TOKS}), 0)),
-                          x -> '')) AS toks
-  FROM documents),
-tok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
-               unnest(range(len(toks))) AS pos, len(toks) AS nt FROM base),
-w AS (
-  SELECT doc_id, pos, nt, h,
-         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
-         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
-  FROM tok),
-sh AS (
-  SELECT doc_id,
-         ({_mulmod64('h', f'{int(mh_mix[0])}::HUGEINT')}
-          + {_mulmod64('h1', f'{int(mh_mix[1])}::HUGEINT')}
-          + {_mulmod64('h2', f'{int(mh_mix[2])}::HUGEINT')})
-           % {_M64}::HUGEINT % {_M61}::HUGEINT AS shm
-  FROM w WHERE pos <= nt - 3),
-perms(pidx, a, b) AS (VALUES {perm_vals}),
-sig AS (
-  SELECT sh.doc_id, p.pidx,
-         min((({_mulmod64('p.a', 'sh.shm')} + p.b) % {_M64}::HUGEINT)
-             % {_M61}::HUGEINT) AS sig
-  FROM sh CROSS JOIN perms p GROUP BY sh.doc_id, p.pidx),
-bm(r, c) AS (VALUES {bmix_vals}),
-bands AS (
-  SELECT doc_id, pidx // 4 AS band,
-         cast(sum({_mulmod64('sig', 'bm.c')}) % {_M63}::HUGEINT AS bigint)
-           AS band_hash
-  FROM sig JOIN bm ON bm.r = pidx % 4
-  GROUP BY doc_id, pidx // 4)
+WITH {_MH_BANDS_CTE}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_MH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+tsets AS (SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents),
+ver AS (
+  SELECT a, b FROM cand
+  JOIN tsets ta ON ta.doc_id = cand.a
+  JOIN tsets tb ON tb.doc_id = cand.b
+  WHERE len(list_distinct(list_concat(ta.ts, tb.ts))) = 0
+     OR 1000000 * len(list_intersect(ta.ts, tb.ts))
+        >= {DEDUP_CLUSTER_THR} * len(list_distinct(list_concat(ta.ts,
+                                                               tb.ts)))),
+edges AS (SELECT a AS s, b AS d FROM ver
+          UNION SELECT b AS s, a AS d FROM ver),
+reach AS (
+  SELECT doc_id AS s, doc_id AS d FROM documents
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT s AS doc_id, cast(min(d) AS bigint) AS cluster
+FROM reach GROUP BY s
 """,
     }

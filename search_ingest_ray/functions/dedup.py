@@ -260,6 +260,110 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def dedup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
+                   num_perm: int = 32, bands: int = 8, shingle_k: int = 3,
+                   seed: int = 7, jaccard_threshold_micro: int = 500_000,
+                   concurrency: int | None = None):
+    """Duplicate CLUSTERING — the canonicalization step a training-data
+    dedup pipeline runs after candidate generation:
+
+    1. LSH candidate pairs (:func:`minhash_candidate_pairs`, distributed
+       banded emission);
+    2. exact token-SET Jaccard verification per candidate pair
+       (integer-exact: keep iff ``1e6·|A∩B| ≥ thr·|A∪B|``);
+    3. connected components over the verified edges;
+    4. every document labeled with its cluster = the MIN doc id of its
+       component (singletons label themselves).
+
+    Scale shape: steps 1 is the heavy distributed pipeline; the candidate
+    pair list and the token sets of candidate-touched docs are BOUNDED BY
+    LSH DESIGN (collisions, not corpus size) and are the only things
+    gathered to the driver — same contract as the hot-candidate cap in
+    the index build.  The final labeling is a broadcast map over the full
+    dataset (``ray.put`` once, O(1) lookup per row).  A corpus whose
+    verified-duplicate EDGE SET itself exceeds driver memory needs
+    iterative label propagation (alternate groupby-min over edges and
+    labels) — noted, not needed while LSH parameters bound candidates.
+
+    Returns a Dataset of (``id_col``, ``cluster``)."""
+    import pyarrow.compute as pc
+
+    from ..analyzer import tokenize_simple
+
+    pairs = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+        concurrency=concurrency).take_all()
+    edges = [(int(r["a"]), int(r["b"])) for r in pairs]
+    cand_ids = sorted({i for e in edges for i in e})
+
+    # token sets for candidate-touched docs only (pruned distributed scan)
+    tok_sets: dict[int, frozenset] = {}
+    if cand_ids:
+        cand_arr = pa.array(cand_ids, pa.int64())
+
+        def _tokens(batch: pa.Table) -> pa.Table:
+            keep = pc.is_in(batch[id_col], value_set=cand_arr)
+            t = batch.filter(keep)
+            ids = t[id_col].to_pylist()
+            toks = [sorted(set(tokenize_simple(x or "")))
+                    for x in t[text_col].to_pylist()]
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "toks": pa.array(toks, pa.list_(pa.string())),
+            })
+
+        for r in ds.map_batches(_tokens,
+                                batch_format="pyarrow").take_all():
+            tok_sets[int(r[id_col])] = frozenset(r["toks"])
+
+    # exact verification (integer-exact; mirrors the SQL oracle)
+    thr = int(jaccard_threshold_micro)
+    verified = []
+    for a, b in edges:
+        sa, sb = tok_sets[a], tok_sets[b]
+        union = len(sa | sb)
+        if union == 0 or 1_000_000 * len(sa & sb) >= thr * union:
+            verified.append((a, b))
+
+    # union-find over verified edges; component label = min doc id
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {x: find(x) for x in {i for e in verified for i in e}}
+
+    import ray
+    keys = np.array(sorted(label), dtype=np.int64)
+    vals = np.array([label[k] for k in keys], dtype=np.int64)
+    map_ref = ray.put((keys, vals))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(map_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        out = ids.copy()
+        if ks.size:
+            pos = np.searchsorted(ks, ids)
+            pos_c = np.minimum(pos, ks.size - 1)
+            hit = ks[pos_c] == ids
+            out[hit] = vs[pos_c[hit]]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(out, pa.int64())})
+
+    return ds.select_columns([id_col]).map_batches(
+        _assign, batch_format="pyarrow")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 # 16-bit popcount table for vectorized hamming distance (numpy<2 lacks

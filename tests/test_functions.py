@@ -52,6 +52,30 @@ def test_minhash_similar_docs_are_candidates(rd):
     assert jaccard(base, far) < 0.1
 
 
+def test_dedup_clusters_transitive(rd):
+    from search_ingest_ray.functions.dedup import dedup_clusters
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near1 = base.replace("lazy", "sleepy")          # ~ base
+    near2 = near1.replace("quick", "rapid")         # ~ near1 (chain to base)
+    far = "completely different content about ray data pipelines " * 6
+    ds = rd.from_items([
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": near1},
+        {"doc_id": 12, "text": near2},
+        {"doc_id": 13, "text": far},
+        {"doc_id": 14, "text": far},                # exact dup of 13
+    ])
+    out = dedup_clusters(ds, num_perm=32, bands=16,
+                         jaccard_threshold_micro=500_000).to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster"]))
+    # transitive chain collapses to the min id even if (10,12) was never
+    # a direct candidate pair
+    assert lab[10] == lab[11] == lab[12] == 10
+    assert lab[13] == lab[14] == 13
+    assert lab[13] != lab[10]
+    assert len(out) == 5
+
+
 def test_minhash_signature_deterministic():
     a, b = _perm_params(16)
     s1 = minhash_signature("hello world foo bar", a, b)
