@@ -645,6 +645,22 @@ def q_window_events(sf_dir: str):
                            key_col="event_type", value_col="value")
 
 
+SLIDE_SIZE_US = 3_600_000_000   # 1 h windows
+SLIDE_HOP_US = 900_000_000      # hopping every 15 min
+
+
+def q_window_sliding(sf_dir: str):
+    """Sliding (hopping) window counts over the event stream: 1-hour
+    windows every 15 minutes per event_type — each event replicated to
+    its 4 covering windows in a vectorized per-batch partial."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import sliding_window
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return sliding_window(ev, ts_col="ts", size_us=SLIDE_SIZE_US,
+                          hop_us=SLIDE_HOP_US, key_col="event_type")
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity gap) per user —
     hash-partitioned by user, one vectorized lexsort+gap-scan pass per
@@ -980,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
         "window_events": q_window_events,
+        "window_sliding": q_window_sliding,
         "sessions": q_sessions,
         "replicate_orders": q_replicate_orders,
         "has_child_orders": q_has_child_orders,
@@ -1765,6 +1782,21 @@ FROM per JOIN top1 USING (doc_id) ORDER BY term
                    cast(sum(cast(floor(value * 1e6) AS bigint)) AS bigint)
                      AS sum_value_micro
             FROM events GROUP BY 1, 2""",
+        "window_sliding": f"""
+            WITH ev AS (
+              SELECT epoch_us(ts) AS t, event_type FROM events
+            ),
+            win AS (
+              SELECT unnest(range(
+                       (t - {SLIDE_SIZE_US}) // {SLIDE_HOP_US}
+                         * {SLIDE_HOP_US} + {SLIDE_HOP_US},
+                       t // {SLIDE_HOP_US} * {SLIDE_HOP_US}
+                         + {SLIDE_HOP_US},
+                       {SLIDE_HOP_US})) AS window_us,
+                     event_type
+              FROM ev)
+            SELECT window_us, event_type, count(*) AS n_events
+            FROM win GROUP BY window_us, event_type""",
         "sessions": """
             WITH d AS (
               SELECT user_id, epoch_us(ts) AS tus,

@@ -249,6 +249,65 @@ def tumbling_window(ds, *, ts_col: str, width_us: int, key_col: str,
         batch_format="pyarrow")
 
 
+def _sliding_partial(batch: pa.Table, *, ts_col: str, size_us: int,
+                     hop_us: int, key_col: str) -> pa.Table:
+    """Per-batch partial for sliding windows: each event is replicated to
+    every covering window start (``size/hop`` copies, vectorized repeat),
+    then partially counted — the replication factor is the well-known
+    hopping-window cost and the ONLY blowup; the shuffle moves
+    O(windows × keys) partial rows."""
+    batch = batch.combine_chunks()
+    tus = batch[ts_col].cast(pa.int64()).to_numpy()
+    n = tus.size
+    if n == 0:
+        return pa.table({"window_us": pa.array([], pa.int64()),
+                         key_col: batch[key_col],
+                         "n_events": pa.array([], pa.int64())})
+    # window starts s ≡ 0 (mod hop) with s <= t < s+size:
+    # s from hop*floor((t-size)/hop)+hop  to  hop*floor(t/hop)
+    lo = (tus - size_us) // hop_us * hop_us + hop_us
+    hi = tus // hop_us * hop_us
+    counts = ((hi - lo) // hop_us + 1).astype(np.int64)
+    starts = np.repeat(lo, counts)
+    seg_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    within = np.arange(int(counts.sum()), dtype=np.int64) - \
+        np.repeat(seg_off, counts)
+    win = starts + within * hop_us
+    keys = batch[key_col].take(
+        pa.array(np.repeat(np.arange(n), counts), pa.int64()))
+    part = pa.table({
+        "window_us": pa.array(win),
+        key_col: keys,
+        "n_events": pa.array(np.ones(win.size, np.int64)),
+    })
+    agg = pa.TableGroupBy(part, ["window_us", key_col]).aggregate(
+        [("n_events", "sum")])
+    return pa.table({"window_us": agg["window_us"], key_col: agg[key_col],
+                     "n_events": agg["n_events_sum"]})
+
+
+def sliding_window(ds, *, ts_col: str, size_us: int, hop_us: int,
+                   key_col: str):
+    """Sliding (hopping) window counts: per ``(window_start, key)`` the
+    number of events with ``window_start <= ts < window_start + size``,
+    window starts aligned to ``hop_us``.  ``hop == size`` degenerates to
+    the tumbling window.  Same combiner shape as
+    :func:`tumbling_window`: vectorized per-batch replication + partial
+    group-by, one small global aggregate."""
+    if size_us % hop_us != 0:
+        raise ValueError("size_us must be a multiple of hop_us")
+    partial = ds.map_batches(
+        functools.partial(_sliding_partial, ts_col=ts_col, size_us=size_us,
+                          hop_us=hop_us, key_col=key_col),
+        batch_format="pyarrow")
+    agg = partial.groupby(["window_us", key_col]).sum(["n_events"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "window_us": t["window_us"], key_col: t[key_col],
+            "n_events": t["sum(n_events)"]}),
+        batch_format="pyarrow")
+
+
 # -- session windows ----------------------------------------------------------
 
 def _session_kernel(g: pa.Table, *, user_col: str, ts_col: str,

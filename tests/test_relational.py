@@ -7,7 +7,8 @@ import pyarrow as pa
 import pytest
 
 from search_ingest_ray.functions.relational import (
-    asof_join, range_join_broadcast, session_windows, tumbling_window)
+    asof_join, range_join_broadcast, session_windows, sliding_window,
+    tumbling_window)
 
 
 def _ds(tbl):
@@ -111,6 +112,35 @@ def test_tumbling_window_counts_and_micro_sums(ray_session):
         (10, "a"): (1, -500_000),
         (20, "a"): (1, 3_000_000),
     }
+
+
+def test_sliding_window_covers_and_degenerates(ray_session):
+    ts = pa.array([0, 5, 10, 15, 20], pa.timestamp("us"))
+    tbl = pa.table({"ts": ts,
+                    "key": pa.array(["a", "a", "b", "a", "a"])})
+    # size=10, hop=5: event t covers starts in (t-10, t] aligned to 5
+    out = sliding_window(_ds(tbl), ts_col="ts", size_us=10, hop_us=5,
+                         key_col="key").take_all()
+    got = {(r["window_us"], r["key"]): r["n_events"] for r in out}
+    ref: dict = {}
+    for t, k in [(0, "a"), (5, "a"), (10, "b"), (15, "a"), (20, "a")]:
+        s = (t - 10) // 5 * 5 + 5
+        while s <= t:
+            ref[(s, k)] = ref.get((s, k), 0) + 1
+            s += 5
+    assert got == ref
+    # hop == size degenerates to the tumbling window's counts
+    tbl2 = tbl.append_column("value",
+                             pa.array([1.0] * 5, pa.float64()))
+    slid = sliding_window(_ds(tbl2), ts_col="ts", size_us=10, hop_us=10,
+                          key_col="key").take_all()
+    tumb = tumbling_window(_ds(tbl2), ts_col="ts", width_us=10,
+                           key_col="key", value_col="value").take_all()
+    assert {(r["window_us"], r["key"]): r["n_events"] for r in slid} == \
+        {(r["window_us"], r["key"]): r["n_events"] for r in tumb}
+    with pytest.raises(ValueError):
+        sliding_window(_ds(tbl), ts_col="ts", size_us=10, hop_us=3,
+                       key_col="key")
 
 
 def test_session_gap_boundary(ray_session):
