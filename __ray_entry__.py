@@ -302,6 +302,9 @@ def q_search_after(sf_dir: str):
     from search_ingest_ray.query.searcher import Searcher
     s = Searcher(documents_index(sf_dir, analyzer="simple"))
     d1, m1 = s.search_after(list(BM25_QUERY_TERMS), k=BM25_K)
+    if d1.size == 0:  # no page 1 on this corpus → empty page 2
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micro": pa.array([], pa.int64())})
     cursor = (int(m1[-1]), int(d1[-1]))
     d2, m2 = s.search_after(list(BM25_QUERY_TERMS), k=BM25_K, after=cursor)
     return pa.table({

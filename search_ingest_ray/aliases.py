@@ -17,7 +17,9 @@ swap boundary ES gives.
 
 from __future__ import annotations
 
+import fcntl
 import os
+from contextlib import contextmanager
 
 from .util import atomic_write_json, read_json
 
@@ -34,23 +36,44 @@ def list_aliases(registry_dir: str | None = None) -> dict[str, str]:
     return read_json(p) if os.path.exists(p) else {}
 
 
+@contextmanager
+def _locked(registry_dir: str | None):
+    """Exclusive writer lock for the registry's read-modify-write.
+
+    The temp-file+rename in ``atomic_write_json`` protects READERS (they
+    see old-or-new, never partial); two concurrent writers would still
+    each read the same snapshot and the last rename would drop the other
+    writer's change.  An flock on a sidecar keeps set/drop serialized —
+    readers never take the lock, so resolution stays lock-free."""
+    d = registry_dir or _DEFAULT_REGISTRY
+    os.makedirs(d, exist_ok=True)
+    fd = os.open(os.path.join(d, "aliases.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # closing releases the flock
+
+
 def set_alias(alias: str, index_root: str,
               registry_dir: str | None = None) -> None:
     """Point ``alias`` at ``index_root`` (atomic swap: readers see either
-    the previous target or this one, never a partial state)."""
+    the previous target or this one, never a partial state; concurrent
+    writers serialize on the registry lock)."""
     if alias.startswith(_PREFIX):
         raise ValueError("alias name must not carry the 'alias:' prefix")
-    cur = list_aliases(registry_dir)
-    cur[alias] = os.path.abspath(index_root)
-    os.makedirs(registry_dir or _DEFAULT_REGISTRY, exist_ok=True)
-    atomic_write_json(_path(registry_dir), cur)
+    with _locked(registry_dir):
+        cur = list_aliases(registry_dir)
+        cur[alias] = os.path.abspath(index_root)
+        atomic_write_json(_path(registry_dir), cur)
 
 
 def drop_alias(alias: str, registry_dir: str | None = None) -> None:
-    cur = list_aliases(registry_dir)
-    if alias in cur:
-        del cur[alias]
-        atomic_write_json(_path(registry_dir), cur)
+    with _locked(registry_dir):
+        cur = list_aliases(registry_dir)
+        if alias in cur:
+            del cur[alias]
+            atomic_write_json(_path(registry_dir), cur)
 
 
 def resolve(index_root_or_alias: str) -> str:

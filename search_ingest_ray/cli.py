@@ -135,8 +135,9 @@ def cmd_http(args) -> int:
 
 def cmd_status(args) -> int:
     """Health/status — the analog of GET / and GET /ready (api.cr:59-90)."""
+    from . import aliases
     from .util import read_json
-    root = args.index_root
+    root = aliases.resolve(args.index_root)
     out = {"index_root": root, "ready": False}
     meta = os.path.join(root, "index_meta.json")
     if os.path.exists(meta):
@@ -161,9 +162,11 @@ def cmd_status(args) -> int:
 
 def cmd_reindex(args) -> int:
     """Drop epoch data, keep mapping (table.cr:61-76 semantics)."""
+    from . import aliases
     from .index.build import reindex
-    reindex(args.index_root, epoch=args.epoch)
-    print(json.dumps({"reindexed": args.index_root, "epoch": args.epoch}))
+    root = aliases.resolve(args.index_root)
+    reindex(root, epoch=args.epoch)
+    print(json.dumps({"reindexed": root, "epoch": args.epoch}))
     return 0
 
 
@@ -172,6 +175,14 @@ def cmd_alias(args) -> int:
     reindex cutover).  Every other subcommand accepts ``alias:NAME`` as
     its index_root."""
     from . import aliases
+    # name/index_root are nargs='?' so `alias list` parses; validate per
+    # action here or a missing operand surfaces as a raw AttributeError
+    if args.action in ("set", "drop") and not args.name:
+        print("alias %s requires NAME" % args.action, file=sys.stderr)
+        return 2
+    if args.action == "set" and not args.index_root:
+        print("alias set requires NAME INDEX_ROOT", file=sys.stderr)
+        return 2
     if args.action == "set":
         aliases.set_alias(args.name, args.index_root,
                           registry_dir=args.registry)

@@ -60,6 +60,8 @@ def _topk_from_parts(part_d, part_s, k):
 
 class MultiEpochSearcher:
     def __init__(self, index_root: str):
+        from ..aliases import resolve as _resolve_alias
+        index_root = _resolve_alias(index_root)  # accepts "alias:NAME"
         self.chain = epoch_chain(index_root)
         self.entries = []  # (epoch, Searcher|None, dead_after: sorted int64[])
         deads = {}

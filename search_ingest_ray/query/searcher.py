@@ -92,6 +92,62 @@ def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
     return uniq, out
 
 
+def _int_docvals(vals) -> np.ndarray:
+    """Match-set docvalues → exact int64 with missing entries dropped —
+    the one ingestion path for the integer aggregations.  "Missing" shows
+    up two ways: Arrow nulls (docids absent from the docstore) and NaN
+    inside a float64 array (a FieldStore shard holds a nulled int column
+    as float64, invisible to ``null_count``).  Individual values stay
+    exact in float64 (< 2^53) but float64 SUMS round above 2^53, so cast
+    back to int64 before any accumulation."""
+    arr = vals.to_numpy(zero_copy_only=False)
+    if vals.null_count:
+        arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+    if arr.dtype != np.int64:
+        arr = arr[~np.isnan(arr)]
+        arr = arr.astype(np.int64)
+    return arr
+
+
+def expansion_pairs(terms: np.ndarray, dfs: np.ndarray, kind: str, arg):
+    """(term, df) pairs of ONE term-sorted dictionary column matching an
+    expansion probe — the single implementation of the prefix / fuzzy /
+    wildcard predicates, shared by the local per-partition scan
+    (:meth:`Searcher._vocab_agg`) and the shard-side scan
+    (``sharded.PartitionShard.expand``) so expansion semantics cannot
+    drift between local and sharded serving."""
+    if kind == "prefix":
+        lo = int(np.searchsorted(terms, arg, side="left"))
+        hi = int(np.searchsorted(terms, arg + "\U0010ffff", side="right"))
+        return zip(terms[lo:hi], dfs[lo:hi])
+    if kind == "fuzzy":
+        probe, dist = arg
+        lp = len(probe)
+        return ((t, d) for t, d in zip(terms, dfs)
+                if abs(len(t) - lp) <= dist  # length prefilter skips the DP
+                and _levenshtein_leq(probe, t, dist))
+    if kind == "wildcard":
+        import fnmatch
+        import re
+        rx = re.compile(fnmatch.translate(arg))
+        return ((t, d) for t, d in zip(terms, dfs) if rx.match(t) is not None)
+    raise ValueError(f"unknown expansion {kind!r}")
+
+
+def merge_expansion(pair_lists, k: int) -> list[tuple[str, int]]:
+    """Collapse (term, df) pairs from several dictionary scans by max df
+    (exact: every salted sub-list stores the GLOBAL df) and rank
+    (-df, term) top-k — the one merge used by the local partition loop and
+    the sharded coordinator's gather."""
+    agg: dict[str, int] = {}
+    for pairs in pair_lists:
+        for t, d in pairs:
+            got = agg.get(t)
+            if got is None or d > got:
+                agg[t] = int(d)
+    return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 class Searcher:
     def __init__(self, index_root: str, epoch: int = 0):
         from ..aliases import resolve as _resolve_alias
@@ -180,6 +236,35 @@ class Searcher:
             self._term_cache.update(out)
         out.update(cached)
         return out
+
+    def df_of(self, term: str) -> int:
+        """Exact global df for ``term`` from the dictionary alone — no
+        posting-blob copies (every salted sub-list stores the exact GLOBAL
+        df, so max over hits is exact; 0 if the term is absent).  The
+        cheap path for aggregations that only need df per candidate term
+        (significant_terms / term_vectors / more_like_this): ``_lookup``
+        would copy each term's full doc/tf/dl[/pos] blobs out of the mmap
+        — O(total postings of every candidate) bytes — and flood the term
+        cache with one-off entries."""
+        parts = ([term_partition(term, self.P, salt=s) for s in range(self.S)]
+                 if term in self.hot else [term_partition(term, self.P)])
+        best = 0
+        for tp in dict.fromkeys(parts):
+            ent = self._part(tp)
+            if ent is None:
+                continue
+            tbl, index, _ = ent
+            for i in index.get(term, ()):
+                df = tbl["df"][i].as_py()
+                if df > best:
+                    best = int(df)
+        return best
+
+    def _dfs_of(self, terms: list[str]) -> dict[str, int]:
+        """Bulk :meth:`df_of` (absent terms map to 0).  Overridden by the
+        sharded coordinator with one parallel shard gather — call this, not
+        ``df_of`` in a loop, from multi-candidate aggregations."""
+        return {t: self.df_of(t) for t in terms}
 
     @property
     def fields(self):
@@ -387,26 +472,9 @@ class Searcher:
         so the prefix range is two binary searches per partition; df is the
         GLOBAL df stored on every (possibly salted) list, so duplicates
         across salts/partitions agree and collapse by max."""
-        agg: dict[str, int] = {}
-        hi_key = prefix + "\U0010ffff"
-        for tp in range(self.P):
-            ent = self._part(tp)
-            if ent is None:
-                continue
-            tbl = ent[0]
-            terms = tbl["term"].to_numpy(zero_copy_only=False)
-            lo = int(np.searchsorted(terms, prefix, side="left"))
-            hi = int(np.searchsorted(terms, hi_key, side="right"))
-            if hi <= lo:
-                continue
-            dfs = tbl["df"].to_numpy()[lo:hi]
-            for t, df in zip(terms[lo:hi], dfs):
-                got = agg.get(t)
-                if got is None or df > got:
-                    agg[t] = int(df)
-        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return self._vocab_agg("prefix", prefix, k=k)
 
-    def _vocab_agg(self, pred, k: int = 10) -> list[tuple[str, int]]:
+    def _vocab_agg(self, kind: str, arg, k: int = 10) -> list[tuple[str, int]]:
         """Shared term-dictionary scan for multi-term (expansion) queries:
         aggregate (term, global df) over every partition's dictionary for
         terms satisfying ``pred(term)``, collapsing salted/partition
@@ -418,44 +486,31 @@ class Searcher:
         query actor and partitions scan in parallel across the pool.  A
         Levenshtein-automaton walk (Lucene's approach) would prune further;
         at the dictionary sizes a partition holds (vocab / P) the linear
-        scan is not the serving bottleneck."""
-        agg: dict[str, int] = {}
+        scan is not the serving bottleneck.  Predicates and the merge live
+        in :func:`expansion_pairs` / :func:`merge_expansion`, shared with
+        the shard-side scan."""
+        per = []
         for tp in range(self.P):
             ent = self._part(tp)
             if ent is None:
                 continue
             tbl = ent[0]
-            terms = tbl["term"].to_numpy(zero_copy_only=False)
-            dfs = tbl["df"].to_numpy()
-            for t, df in zip(terms, dfs):
-                if pred(t):
-                    got = agg.get(t)
-                    if got is None or df > got:
-                        agg[t] = int(df)
-        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            per.append(expansion_pairs(
+                tbl["term"].to_numpy(zero_copy_only=False),
+                tbl["df"].to_numpy(), kind, arg))
+        return merge_expansion(per, k)
 
     def fuzzy_terms(self, probe: str, max_dist: int = 1,
                     k: int = 10) -> list[tuple[str, int]]:
         """Fuzzy term expansion (the ES ``fuzzy`` query's rewrite step):
         dictionary terms within Levenshtein distance ``max_dist`` of
-        ``probe``, ranked (-df, term).  A length prefilter skips the DP for
-        terms whose length difference already exceeds the bound."""
-        lp = len(probe)
-
-        def pred(t: str) -> bool:
-            if abs(len(t) - lp) > max_dist:
-                return False
-            return _levenshtein_leq(probe, t, max_dist)
-
-        return self._vocab_agg(pred, k=k)
+        ``probe``, ranked (-df, term)."""
+        return self._vocab_agg("fuzzy", (probe, max_dist), k=k)
 
     def wildcard_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
         """Wildcard term expansion (ES ``wildcard`` query): ``*`` matches
         any run, ``?`` one char; ranked (-df, term)."""
-        import fnmatch
-        import re
-        rx = re.compile(fnmatch.translate(pattern))
-        return self._vocab_agg(lambda t: rx.match(t) is not None, k=k)
+        return self._vocab_agg("wildcard", pattern, k=k)
 
     def _term_postings_micro(self, rows: list[dict]):
         """Fully decode one term's (possibly salted) lists into sorted
@@ -571,19 +626,19 @@ class Searcher:
             np.asarray([seed_doc_id], dtype=np.int64), ["text"])["text"]
         txt = txt_col[0].as_py()
         tf = Counter(self.analyze(txt or ""))
-        rows = self._lookup(list(tf))
         p = self.params
+        dfs = self._dfs_of(list(tf))  # dictionary-only rank pass
         ranked = []
         for t, f in tf.items():
-            rws = rows.get(t) or []
-            if not rws:
+            df = dfs.get(t, 0)
+            if df == 0:
                 continue
-            df = max(r["df"] for r in rws)
             idf = math.log(1 + (p.n_docs - df + 0.5) / (df + 0.5))
             ranked.append((-int(math.floor(f * idf * 1e6)), t))
         ranked.sort()
         sel = [t for _, t in ranked[:max_terms]]
-        d0, m0 = self._union_micro(rows, sel)
+        # postings fetched only for the SELECTED terms, not the whole doc
+        d0, m0 = self._union_micro(self._lookup(sel), sel)
         keep = d0 != seed_doc_id
         d0, m0 = d0[keep], m0[keep]
         top = np.lexsort((d0, -m0))[:k]
@@ -674,10 +729,9 @@ class Searcher:
         txt = self.fields.get(np.asarray([doc_id], dtype=np.int64),
                               ["text"])["text"][0].as_py()
         tf = Counter(self.analyze(txt or ""))
-        rows = self._lookup(list(tf))
         terms = sorted(tf)
-        dfs = [max((r["df"] for r in rows.get(t) or []), default=0)
-               for t in terms]
+        by_term = self._dfs_of(terms)  # dictionary-only, no blobs
+        dfs = [by_term.get(t, 0) for t in terms]
         return pa.table({
             "term": pa.array(terms, pa.string()),
             "tf": pa.array([tf[t] for t in terms], pa.int64()),
@@ -768,9 +822,7 @@ class Searcher:
         docids = self._match_docids(terms)
         vals = (self.fields.get(docids, [field])[field]
                 if docids.size else pa.array([], pa.int64()))
-        arr = vals.to_numpy(zero_copy_only=False)
-        if vals.null_count:
-            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
+        arr = _int_docvals(vals)
         n = int(arr.size)
         s = int(arr.sum()) if n else 0
         return pa.table({
@@ -793,10 +845,8 @@ class Searcher:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         vals = self.fields.get(docids, [field])[field]
-        arr = vals.to_numpy(zero_copy_only=False)
-        if vals.null_count:
-            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
-        buckets = (arr.astype(np.int64) // interval) * interval
+        arr = _int_docvals(vals)
+        buckets = (arr // interval) * interval
         uniq, counts = np.unique(buckets, return_counts=True)
         return pa.table({"bucket": pa.array(uniq, pa.int64()),
                          "n": pa.array(counts, pa.int64())})
@@ -883,10 +933,7 @@ class Searcher:
         docids = self._match_docids(terms)
         vals = (self.fields.get(docids, [field])[field]
                 if docids.size else pa.array([], pa.int64()))
-        arr = vals.to_numpy(zero_copy_only=False)
-        if vals.null_count:
-            arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
-        arr = np.sort(arr.astype(np.int64))
+        arr = np.sort(_int_docvals(vals))
         n = arr.size
         out = []
         for p in pcts:
@@ -914,6 +961,17 @@ class Searcher:
                              "doc_id": pa.array([], pa.int64()),
                              "score_micro": pa.array([], pa.int64())})
         groups = self.fields.get(d0, [group_field])[group_field]
+        # ES buckets skip docs missing the field; nulls also break the
+        # object-dtype lexsort below (None vs str comparison)
+        valid = groups.is_valid().to_numpy(zero_copy_only=False)
+        if not valid.all():
+            d0, m0 = d0[valid], m0[valid]
+            groups = groups.filter(pa.array(valid))
+            if d0.size == 0:
+                return pa.table({group_field: pa.array([], pa.string()),
+                                 "rank": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "score_micro": pa.array([], pa.int64())})
         garr = groups.to_numpy(zero_copy_only=False)
         # one lexsort: (group asc, -score, doc_id); then per-group rank by
         # run-length positions
@@ -957,11 +1015,14 @@ class Searcher:
         for txt in texts:
             fg.update(set(self.analyze(txt or "")))
         cand = [t for t, c in fg.items() if c >= min_fg]
-        rows = self._lookup(cand)
+        # df straight from the dictionaries — a match set of a few
+        # thousand docs yields 10k+ candidate terms, and _lookup would
+        # copy every candidate's posting blobs just to read one integer
         N = self.params.n_docs
+        dfs = self._dfs_of(cand)
         scored = []
         for t in cand:
-            df = max((r["df"] for r in rows.get(t) or []), default=0)
+            df = dfs.get(t, 0)
             if df == 0:
                 continue
             lift = (1_000_000 * fg[t] * N) // (df * F)
@@ -986,11 +1047,14 @@ class Searcher:
             return pa.table({"bucket": pa.array([], pa.timestamp("us")),
                              "n": pa.array([], pa.int64())})
         vals = self.fields.get(docids, [field])[field]
-        if vals.type != pa.timestamp("us"):
-            vals = vals.cast(pa.timestamp("us"))
-        micros = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if vals.null_count:
-            micros = micros[~vals.is_null().to_numpy(zero_copy_only=False)]
+        if pa.types.is_floating(vals.type):
+            # a nulled int/ts column comes back float64+NaN from the
+            # FieldStore shard; float→timestamp casts don't exist
+            micros = _int_docvals(vals)
+        else:
+            if vals.type != pa.timestamp("us"):
+                vals = vals.cast(pa.timestamp("us"))
+            micros = _int_docvals(vals.cast(pa.int64()))
         buckets = (micros // interval_us) * interval_us
         uniq, counts = np.unique(buckets, return_counts=True)
         return pa.table({

@@ -38,8 +38,6 @@ that layout without a second index.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..util import term_partition
 from .searcher import Searcher
 
@@ -77,39 +75,38 @@ def _shard_cls():
             (never touches another partition).  Per-shard top-k is safe to
             merge: the coordinator re-ranks the union, and a term outside
             its shard's local top-k cannot enter the global top-k (df is
-            the exact global df on every sub-list)."""
+            the exact global df on every sub-list).  Predicates and the
+            merge are the SAME code the local scan uses
+            (:func:`searcher.expansion_pairs` / ``merge_expansion``), so
+            local and sharded serving cannot drift."""
+            from .searcher import expansion_pairs, merge_expansion
             ent = self._s._part(self.tpart)
             if ent is None:
                 return []
             tbl = ent[0]
-            terms = tbl["term"].to_numpy(zero_copy_only=False)
-            dfs = tbl["df"].to_numpy()
-            if kind == "prefix":
-                lo = int(np.searchsorted(terms, arg, side="left"))
-                hi = int(np.searchsorted(terms, arg + "\U0010ffff",
-                                         side="right"))
-                pairs = zip(terms[lo:hi], dfs[lo:hi])
-            elif kind == "fuzzy":
-                from .searcher import _levenshtein_leq
-                probe, dist = arg
-                lp = len(probe)
-                pairs = ((t, d) for t, d in zip(terms, dfs)
-                         if abs(len(t) - lp) <= dist
-                         and _levenshtein_leq(probe, t, dist))
-            elif kind == "wildcard":
-                import fnmatch
-                import re
-                rx = re.compile(fnmatch.translate(arg))
-                pairs = ((t, d) for t, d in zip(terms, dfs)
-                         if rx.match(t) is not None)
-            else:
-                raise ValueError(f"unknown expansion {kind!r}")
-            agg: dict[str, int] = {}
-            for t, d in pairs:
-                got = agg.get(t)
-                if got is None or d > got:
-                    agg[t] = int(d)
-            return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            pairs = expansion_pairs(
+                tbl["term"].to_numpy(zero_copy_only=False),
+                tbl["df"].to_numpy(), kind, arg)
+            return merge_expansion([pairs], k)
+
+        def get_dfs(self, terms: list[str]) -> dict[str, int]:
+            """Dictionary-only exact global df for the given terms of this
+            partition (absent terms omitted) — the shard half of the
+            coordinator's ``_dfs_of``; no posting blobs cross the wire."""
+            ent = self._s._part(self.tpart)
+            if ent is None:
+                return {}
+            tbl, index, _ = ent
+            out = {}
+            for t in terms:
+                best = 0
+                for i in index.get(t, ()):
+                    d = tbl["df"][i].as_py()
+                    if d > best:
+                        best = int(d)
+                if best:
+                    out[t] = best
+            return out
 
         def loaded_partitions(self) -> list[int]:
             return [tp for tp, ent in self._s._parts.items()
@@ -137,7 +134,44 @@ class ShardedSearcher(Searcher):
             for tp in range(self.P)
         }
 
+    def warm(self) -> int:
+        """Warm the SHARD actors, not the coordinator: the inherited
+        ``warm()`` would load every partition's dictionary into this one
+        process — exactly the aggregate-memory footprint the sharded shape
+        exists to avoid.  Shards load their dictionary eagerly in
+        ``__init__``; this just blocks until each is up and counts the
+        ones holding a partition."""
+        import ray
+        loaded = ray.get([s.loaded_partitions.remote()
+                          for s in self._shards.values()])
+        return sum(1 for lst in loaded if lst)
+
     # -- distributed lookup --------------------------------------------------
+
+    def _dfs_of(self, terms: list[str]) -> dict[str, int]:
+        """Bulk exact-df lookup as one parallel shard gather (the local
+        implementation would call ``self._part`` per partition, pulling
+        every dictionary into the coordinator)."""
+        import ray
+        by_tpart: dict[int, list[str]] = {}
+        for t in terms:
+            parts = ([term_partition(t, self.P, salt=s)
+                      for s in range(self.S)]
+                     if t in self.hot else [term_partition(t, self.P)])
+            for tp in dict.fromkeys(parts):
+                by_tpart.setdefault(tp, []).append(t)
+        tps = list(by_tpart)
+        replies = ray.get([self._shards[tp].get_dfs.remote(by_tpart[tp])
+                           for tp in tps])
+        out = {t: 0 for t in terms}
+        for reply in replies:
+            for t, df in reply.items():
+                if df > out[t]:
+                    out[t] = df
+        return out
+
+    def df_of(self, term: str) -> int:
+        return self._dfs_of([term]).get(term, 0)
 
     def _lookup(self, terms: list[str]) -> dict[str, list[dict]]:
         cached = {t: self._term_cache[t] for t in terms
@@ -167,26 +201,15 @@ class ShardedSearcher(Searcher):
 
     # -- distributed dictionary expansions -----------------------------------
 
-    def _scatter_expand(self, kind: str, arg, k: int):
+    def _vocab_agg(self, kind: str, arg, k: int = 10):
+        """Dictionary scans scatter to the shards (suggest / fuzzy_terms /
+        wildcard_terms inherit from Searcher and route through here)."""
         import ray
+
+        from .searcher import merge_expansion
         per = ray.get([s.expand.remote(kind, arg, k)
                        for s in self._shards.values()])
-        agg: dict[str, int] = {}
-        for lst in per:
-            for t, df in lst:
-                got = agg.get(t)
-                if got is None or df > got:
-                    agg[t] = int(df)
-        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-
-    def suggest(self, prefix: str, k: int = 10):
-        return self._scatter_expand("prefix", prefix, k)
-
-    def fuzzy_terms(self, probe: str, max_dist: int = 1, k: int = 10):
-        return self._scatter_expand("fuzzy", (probe, max_dist), k)
-
-    def wildcard_terms(self, pattern: str, k: int = 10):
-        return self._scatter_expand("wildcard", pattern, k)
+        return merge_expansion(per, k)
 
     def shard_loaded_partitions(self) -> dict[int, list[int]]:
         """For tests: which partitions each shard actor actually loaded."""

@@ -60,6 +60,10 @@ class ServeSession:
 
     def __init__(self, index_root: str, epoch: int | None = None,
                  warm: bool = True):
+        from .aliases import resolve as _resolve_alias
+        index_root = _resolve_alias(index_root)  # accepts "alias:NAME";
+        # resolved BEFORE chain detection so an aliased delta chain routes
+        # through MultiEpochSearcher instead of silently missing epochs.json
         self.multi = None
         if epoch is None:
             from .pipelines.epochs import epoch_chain, latest_epoch

@@ -138,7 +138,6 @@ def test_search_bool_disjunction_equals_or_scoring(docs_and_searcher):
     """should-only bool == the OR scorer's ranking (micro-floored)."""
     t, s = docs_and_searcher
     d_or, sc_or = s.search_terms(["merge", "scan"], k=200)
-    micro = {int(i): 0 for i in d_or}
     # recompute per-term micros (floor before sum differs from floored sum)
     exp = _bool_reference(t, s.params, [], ["merge", "scan"], [], k=200)
     d_b, m_b = s.search_bool([], should=["merge", "scan"], k=200)
@@ -471,3 +470,46 @@ def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
                    out["n"].to_pylist()))
     assert got == dict(want)
     assert out["bucket"].cast("int64").to_pylist() == sorted(want)
+
+
+def test_aggs_null_and_bigint_docvalues(ray_session, tmp_path):
+    """Null docvalues must not break the aggs: top_hits skips docs whose
+    group field is null (ES bucket semantics — and np.lexsort cannot
+    compare None with str), and agg_stats/date_histogram stay
+    integer-exact after a nulled int64 column round-trips through
+    float64+NaN (a float64 SUM rounds above 2^53)."""
+    import pyarrow as pa
+
+    from search_ingest_ray.index.build import build_index
+    n = 2000
+    big = 5_000_000_000_000  # × 2000 docs: sum 1e16 > 2^53, avg fits int64
+    vals = [None if i == 7 else big + i for i in range(n)]
+    langs = [None if i == 3 else ("en" if i % 2 else "de") for i in range(n)]
+    t = pa.table({
+        "url": [f"u{i}" for i in range(n)],
+        "text": ["alpha beta"] * n,
+        "lang": pa.array(langs, pa.string()),
+        "ts_us": pa.array(vals, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "docs.parquet")], root, analyzer="simple",
+                num_term_partitions=2, store_fields=["lang", "ts_us"])
+    s = Searcher(root)
+
+    th = s.agg_top_hits(["alpha"], "lang", per_group=2)
+    assert set(th["lang"].to_pylist()) == {"en", "de"}  # null bucket gone
+    assert len(th) == 4  # per_group=2 × {en, de}; null-lang doc skipped
+
+    got = s.agg_stats(["alpha"], "ts_us").to_pylist()[0]
+    live = [v for v in vals if v is not None]
+    exact = sum(live)
+    assert got["n"] == len(live)
+    assert got["sum"] == exact  # float64 accumulation would round (±2)
+    assert float(np.float64(exact)) != exact  # the test really covers 2^53
+    assert got["avg_micro"] == (exact * 1_000_000) // len(live)
+
+    dh = s.agg_date_histogram(["alpha"], "ts_us", 1000)
+    want: Counter = Counter((v // 1000) * 1000 for v in live)
+    assert dict(zip(dh["bucket"].cast("int64").to_pylist(),
+                    dh["n"].to_pylist())) == dict(want)

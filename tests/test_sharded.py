@@ -73,3 +73,27 @@ def test_shards_load_only_their_partition(pair):
     assert set(loaded) == set(range(sharded.P))
     for tp, parts in loaded.items():
         assert parts == [tp], f"shard {tp} loaded {parts}"
+
+
+def test_sharded_warm_and_dfs_keep_coordinator_dictionary_free(pair):
+    """warm() and df lookups must go to the shards: the coordinator
+    process loading every partition's dictionary locally is exactly the
+    aggregate-memory footprint the sharded shape exists to avoid."""
+    local, sharded = pair
+    assert sharded.warm() > 0  # shards report ready
+    terms = ["merge", "scan", "window", "zzznosuch"]
+    assert sharded._dfs_of(terms) == local._dfs_of(terms)
+    assert sharded.df_of("merge") == local.df_of("merge") > 0
+    # the coordinator never loaded a partition dictionary of its own
+    assert all(ent is None for ent in sharded._parts.values())
+
+
+def test_sharded_df_aggregations_identical(pair):
+    """term_vectors / significant_terms route df through the shard-side
+    dictionary lookup and must match local serving exactly."""
+    local, sharded = pair
+    d, _ = local.search_terms(["merge"], k=1)
+    doc = int(d[0])
+    assert sharded.term_vectors(doc).equals(local.term_vectors(doc))
+    assert sharded.significant_terms(["merge", "scan"], k=10).equals(
+        local.significant_terms(["merge", "scan"], k=10))
