@@ -509,6 +509,15 @@ def q_top_hits(sf_dir: str):
     return s.agg_top_hits(list(BM25_QUERY_TERMS), "lang", per_group=2)
 
 
+def q_collapse(sf_dir: str):
+    """ES collapse (field collapsing): the disjunction top-10 with at most
+    one hit per lang, each lang represented by its best (-score, doc_id)
+    doc — the serve-time host-dedup idiom."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.collapse_top(list(BM25_QUERY_TERMS), "lang", k=BM25_K)
+
+
 def q_sig_terms(sf_dir: str):
     """ES significant_terms: integer-exact lift of match-set terms vs the
     corpus background (fg>=2), top-10 by (-lift, term)."""
@@ -994,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_boost": q_multi_match_boost,
         "percentiles": q_percentiles,
         "top_hits": q_top_hits,
+        "collapse": q_collapse,
         "sig_terms": q_sig_terms,
         "rescore": q_rescore,
         "asof_orders": q_asof_orders,
@@ -1592,6 +1602,38 @@ j AS (
 )
 SELECT lang, cast(rank AS bigint) AS rank, doc_id, score_micro
 FROM j WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "collapse": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS score_micro
+  FROM per GROUP BY doc_id
+),
+j AS (
+  SELECT d.lang, s.doc_id, s.score_micro,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_micro DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score_micro FROM j WHERE rn = 1
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
         "sig_terms": f"""
             WITH m AS (

@@ -169,6 +169,16 @@ class FieldStore:
                     return False   # non-IPv4 / null never matches
             return np.fromiter((in_block(v) for v in vals.tolist()),
                                dtype=bool, count=len(vals))
+        if isinstance(spec, tuple) and len(spec) == 1 and spec[0] == "exists":
+            # ES `exists` query: the doc has a non-null value for the
+            # field.  Missing is None in object columns and NaN in float64
+            # columns (a nulled int column is stored as float64).
+            if vals.dtype == object:
+                return np.fromiter((v is not None for v in vals.tolist()),
+                                   dtype=bool, count=len(vals))
+            if vals.dtype.kind == "f":
+                return ~np.isnan(vals)
+            return np.ones(len(vals), dtype=bool)
         if isinstance(spec, tuple) and len(spec) and spec[0] == "in":
             m = np.isin(vals, np.asarray(list(spec[1]), dtype=vals.dtype)
                         if vals.dtype != object else list(spec[1]))

@@ -989,6 +989,24 @@ class Searcher:
             "score_micro": pa.array(m0[sel], pa.int64()),
         })
 
+    def collapse_top(self, terms: list[str], group_field: str,
+                     k: int = 10) -> pa.Table:
+        """ES ``collapse`` (field collapsing): the micro-scored
+        disjunction's top-k with at most ONE hit per distinct
+        ``group_field`` value, each group represented by its best
+        (-score, doc_id) doc — the serve-time host-dedup idiom (collapse
+        on the url host so one site can't fill the page).  Docs with a
+        null group value are skipped, matching the ``agg_top_hits``
+        bucket semantics this builds on.  Returns
+        (group_field, doc_id, score_micro) ranked (-score, doc_id)."""
+        th = self.agg_top_hits(terms, group_field, per_group=1)
+        d = th["doc_id"].to_numpy(zero_copy_only=False)
+        m = th["score_micro"].to_numpy(zero_copy_only=False)
+        top = pa.array(np.lexsort((d, -m))[:k], pa.int64())
+        return pa.table({group_field: th[group_field].take(top),
+                         "doc_id": th["doc_id"].take(top),
+                         "score_micro": th["score_micro"].take(top)})
+
     def significant_terms(self, terms: list[str], k: int = 10,
                           min_fg: int = 2) -> pa.Table:
         """ES ``significant_terms``: terms over-represented in the match

@@ -513,3 +513,16 @@ def test_aggs_null_and_bigint_docvalues(ray_session, tmp_path):
     want: Counter = Counter((v // 1000) * 1000 for v in live)
     assert dict(zip(dh["bucket"].cast("int64").to_pylist(),
                     dh["n"].to_pylist())) == dict(want)
+
+    # ES `exists` query: non-null docvalue (None in object columns, NaN in
+    # the float64 a nulled int column is stored as)
+    assert s.filter_docs({}).size == n
+    assert s.filter_docs({"ts_us": ("exists",)}).size == n - 1
+    assert s.filter_docs({"lang": ("exists",)}).size == n - 1
+
+    # ES collapse: one hit per lang, the null-lang doc never representable
+    col = s.collapse_top(["alpha"], "lang", k=10)
+    assert len(col) == 2
+    assert set(col["lang"].to_pylist()) == {"en", "de"}
+    m = col["score_micro"].to_pylist()
+    assert m == sorted(m, reverse=True)
