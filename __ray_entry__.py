@@ -509,6 +509,31 @@ def q_top_hits(sf_dir: str):
     return s.agg_top_hits(list(BM25_QUERY_TERMS), "lang", per_group=2)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing (email/phone masking) via Arrow's RE2 regex kernels —
+    the same regex engine DuckDB uses, so regexp_replace parity is
+    structural.  The corpus carries no PII, so a deterministic identifier
+    string derived from doc_id is appended first (both sides compute the
+    identical enrichment)."""
+    import pyarrow.compute as pc
+
+    from search_ingest_ray.functions.scrub import scrub_pii
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            batch["text"], " mail u", ids, "@ex.com tel 555-123-4567", "")
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", txt)
+
+    ds = scrub_pii(_docs(sf_dir).map_batches(enrich, batch_format="pyarrow"))
+    return ds.select_columns(["doc_id", "text_scrubbed", "n_redactions"])
+
+
 def q_collapse(sf_dir: str):
     """ES collapse (field collapsing): the disjunction top-10 with at most
     one hit per lang, each lang represented by its best (-score, doc_id)
@@ -1004,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": q_percentiles,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
+        "pii_scrub": q_pii_scrub,
         "sig_terms": q_sig_terms,
         "rescore": q_rescore,
         "asof_orders": q_asof_orders,
@@ -1635,6 +1661,20 @@ j AS (
 SELECT lang, doc_id, score_micro FROM j WHERE rn = 1
 ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
+        "pii_scrub": f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' mail u' || cast(doc_id AS varchar)
+              || '@ex.com tel 555-123-4567' AS txt
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed,
+       cast(len(regexp_extract_all(txt, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(txt, '{_PII_PHONE}')) AS bigint)
+         AS n_redactions
+FROM t""",
         "sig_terms": f"""
             WITH m AS (
               SELECT doc_id FROM documents

@@ -292,3 +292,21 @@ def test_frame_sample_stage_explodes(rd):
                          fn_constructor_kwargs={"frames": 3}).to_pandas()
     assert len(out) == 3
     assert out["frame"].tolist() == [0, 1, 2]
+
+
+def test_scrub_batch_masks_and_counts():
+    import pyarrow as pa
+
+    from search_ingest_ray.functions.scrub import scrub_batch
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["mail a.b+c@ex.co and x@y.io now",
+                 "call 555-123-4567 or 555-000-1111",
+                 "clean"],
+    })
+    out = scrub_batch(t)
+    assert out["text_scrubbed"].to_pylist() == [
+        "mail <EMAIL> and <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "clean"]
+    assert out["n_redactions"].to_pylist() == [2, 2, 0]
