@@ -470,6 +470,179 @@ def q_agg_range(sf_dir: str):
     return s.agg_range(list(BM25_QUERY_TERMS), "n_chars", list(RANGE_EDGES))
 
 
+REGEXP_PATTERN = "m[a-z]*e"
+COMPOSITE_SOURCES = ("lang", "source")
+COMPOSITE_AFTER = ("en", "src4")
+COMPOSITE_SIZE = 7
+FS_ORIGIN, FS_SCALE = 300, 250
+
+
+def q_regexp(sf_dir: str):
+    """Regexp term expansion (ES regexp query): dictionary terms fully
+    matching the pattern, ranked (-df, term) — same per-partition
+    dictionary scan as fuzzy/wildcard."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    out = s.regexp_terms(REGEXP_PATTERN, k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
+def q_ext_stats(sf_dir: str):
+    """ES extended_stats in filter context: n/min/max/sum/sum_sq plus
+    exact integer-micro avg and population variance over the match set's
+    n_chars docvalues."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_extended_stats(list(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_composite(sf_dir: str):
+    """ES composite aggregation: (lang, source) buckets over the match
+    set, key-ordered, page 2 via the strictly-after cursor — the
+    streaming full-enumeration agg (no deep terms-agg re-aggregation)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_composite(list(BM25_QUERY_TERMS),
+                           list(COMPOSITE_SOURCES), size=COMPOSITE_SIZE,
+                           after=COMPOSITE_AFTER)
+
+
+def q_function_score(sf_dir: str):
+    """ES function_score with linear decay on a docvalue: micro-scored
+    disjunction × max(0, scale-|n_chars-origin|)//scale, exact integer
+    arithmetic end to end."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.function_score_linear(list(BM25_QUERY_TERMS), "n_chars",
+                                   origin=FS_ORIGIN, scale=FS_SCALE,
+                                   k=BM25_K)
+
+
+DIS_MAX_TB = (3, 10)
+BOOSTING_NEG = "window"
+BOOSTING_NB = (1, 2)
+RANK_FEATURE_PIVOT = 250
+PREFIX_QUERY = "me"
+SPAN_FIRST_TERM, SPAN_FIRST_BOUNDARY = "merge", 5
+SPAN_NEAR_SLOP = 3
+CUMHIST_INTERVAL = 100
+RARE_MAX_DF = 60
+AGG_FILTERS = (("short", {"n_chars": ("range", None, 249)}),
+               ("de", {"lang": "de"}),
+               ("srcs", {"source": ("in", ["src3", "src7"])}))
+ADJ_FILTERS = (("en", {"lang": "en"}),
+               ("long", {"n_chars": ("range", 300, None)}))
+
+
+def q_dis_max(sf_dir: str):
+    """ES dis_max query: best-field score + tie_breaker×(others), exact
+    integer micro arithmetic (tie_breaker 3/10)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.dis_max(list(BM25_QUERY_TERMS), k=BM25_K,
+                     tie_breaker=DIS_MAX_TB)
+
+
+def q_boosting(sf_dir: str):
+    """ES boosting query: positive disjunction demoted (×1/2, not
+    excluded) on docs matching the negative term."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.boosting(list(BM25_QUERY_TERMS), [BOOSTING_NEG],
+                      negative_boost=BOOSTING_NB, k=BM25_K)
+
+
+def q_rank_feature(sf_dir: str):
+    """ES rank_feature (saturation) in bool should: disjunction micro +
+    (1e6·v)//(v+pivot) on the n_chars docvalue."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.rank_feature_saturation(list(BM25_QUERY_TERMS), "n_chars",
+                                     pivot=RANK_FEATURE_PIVOT, k=BM25_K)
+
+
+def q_prefix_query(sf_dir: str):
+    """ES prefix query in filter context: docs containing any term with
+    the prefix, with per-doc distinct matched-term counts."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    return s.prefix_match(PREFIX_QUERY)
+
+
+def q_span_first(sf_dir: str):
+    """ES span_first: docs whose first 'merge' occurrence sits at
+    source-token position < 5, with that position."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple",
+                                 with_positions=True))
+    return s.span_first(SPAN_FIRST_TERM, SPAN_FIRST_BOUNDARY)
+
+
+def q_span_near(sf_dir: str):
+    """ES span_near in_order=false: docs where the two terms occur within
+    slop gap positions in either order (union of the two ordered sloppy
+    phrase matches over the shared cross-candidate DP)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple",
+                                 with_positions=True))
+    d = s.span_near_unordered(*BM25_QUERY_TERMS, slop=SPAN_NEAR_SLOP)
+    return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
+
+
+def q_agg_filters(sf_dir: str):
+    """ES filters aggregation: named predicate buckets counted over the
+    match set's docvalues."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_filters(list(BM25_QUERY_TERMS), list(AGG_FILTERS))
+
+
+def q_adjacency(sf_dir: str):
+    """ES adjacency_matrix aggregation: named filters and their pairwise
+    intersections ("a&b"), empty buckets omitted."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_adjacency_matrix(list(BM25_QUERY_TERMS), list(ADJ_FILTERS))
+
+
+def q_cum_hist(sf_dir: str):
+    """ES histogram + cumulative_sum + derivative pipeline aggs over
+    n_chars (interval 100) in filter context."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_cumulative_histogram(list(BM25_QUERY_TERMS), "n_chars",
+                                      CUMHIST_INTERVAL)
+
+
+def q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation: long-tail terms with global df ≤ 2,
+    ascending (df, term) — exact from the dictionary's global df."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    out = s.rare_terms(RARE_MAX_DF, k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
+def q_multi_terms(sf_dir: str):
+    """ES multi_terms aggregation: (lang, source) buckets over the match
+    set ordered by count descending (terms-agg order)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_multi_terms(list(BM25_QUERY_TERMS),
+                             list(COMPOSITE_SOURCES), k=10)
+
+
 RESCORE_WINDOW = 50
 RESCORE_BONUS = 5_000_000
 
@@ -1020,6 +1193,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_stats": q_facet_stats,
         "cardinality": q_cardinality,
         "agg_range": q_agg_range,
+        "regexp": q_regexp,
+        "ext_stats": q_ext_stats,
+        "composite": q_composite,
+        "function_score": q_function_score,
+        "dis_max": q_dis_max,
+        "boosting": q_boosting,
+        "rank_feature": q_rank_feature,
+        "prefix_query": q_prefix_query,
+        "span_first": q_span_first,
+        "span_near": q_span_near,
+        "agg_filters": q_agg_filters,
+        "adjacency": q_adjacency,
+        "cum_hist": q_cum_hist,
+        "rare_terms": q_rare_terms,
+        "multi_terms": q_multi_terms,
         "multi_match": q_multi_match,
         "termvectors": q_termvectors,
         "explain_top1": q_explain,
@@ -1819,6 +2007,227 @@ FROM per JOIN top1 USING (doc_id) ORDER BY term
                       AND (b.hi IS NULL OR m.n_chars < b.hi)) AS n
             FROM b
             ORDER BY coalesce(b.lo, -9223372036854775808)""",
+        "regexp": f"""
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE regexp_full_match(term, '{REGEXP_PATTERN}')
+            GROUP BY term ORDER BY df DESC, term LIMIT 10""",
+        "ext_stats": f"""
+            SELECT cast(count(*) AS bigint) AS n,
+                   cast(min(n_chars) AS bigint) AS min,
+                   cast(max(n_chars) AS bigint) AS max,
+                   cast(sum(n_chars) AS bigint) AS sum,
+                   cast(sum(n_chars * n_chars) AS bigint) AS sum_sq,
+                   cast((sum(n_chars) * 1000000) // count(*) AS bigint)
+                     AS avg_micro,
+                   cast(((count(*) * sum(n_chars::HUGEINT * n_chars)
+                          - sum(n_chars::HUGEINT) * sum(n_chars::HUGEINT))
+                         * 1000000) // (count(*)::HUGEINT * count(*))
+                        AS bigint) AS var_micro
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "composite": f"""
+            SELECT lang, source, count(*) AS n FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY lang, source
+            HAVING lang > '{COMPOSITE_AFTER[0]}'
+                OR (lang = '{COMPOSITE_AFTER[0]}'
+                    AND source > '{COMPOSITE_AFTER[1]}')
+            ORDER BY lang, source LIMIT {COMPOSITE_SIZE}""",
+        "function_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM per GROUP BY doc_id
+)
+SELECT s.doc_id,
+       cast((s.m * greatest(0, {FS_SCALE} - abs(d.n_chars - {FS_ORIGIN})))
+            // {FS_SCALE} AS bigint) AS score_micro
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "dis_max": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, max(micro) AS mx, sum(micro) AS sm
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       cast(mx + ({DIS_MAX_TB[0]} * (sm - mx)) // {DIS_MAX_TB[1]}
+            AS bigint) AS score_micro
+FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+""",
+        "boosting": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(micro) AS m FROM per GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{BOOSTING_NEG}')
+SELECT s.doc_id,
+       cast(CASE WHEN n.doc_id IS NOT NULL
+            THEN (s.m * {BOOSTING_NB[0]}) // {BOOSTING_NB[1]}
+            ELSE s.m END AS bigint) AS score_micro
+FROM scored s LEFT JOIN neg n USING (doc_id)
+ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "rank_feature": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(micro) AS m FROM per GROUP BY doc_id)
+SELECT s.doc_id,
+       cast(s.m + (1000000 * greatest(d.n_chars, 0))
+              // (greatest(d.n_chars, 0) + {RANK_FEATURE_PIVOT})
+            AS bigint) AS score_micro
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "prefix_query": f"""
+            SELECT doc_id, cast(count(DISTINCT term) AS bigint) AS n_terms
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term LIKE '{PREFIX_QUERY}%'
+            GROUP BY doc_id ORDER BY doc_id""",
+        "span_first": f"""
+            SELECT doc_id,
+                   cast(list_position({_TOKS}, '{SPAN_FIRST_TERM}') - 1
+                        AS bigint) AS first_pos
+            FROM documents
+            WHERE list_position({_TOKS}, '{SPAN_FIRST_TERM}')
+                  BETWEEN 1 AND {SPAN_FIRST_BOUNDARY}
+            ORDER BY doc_id""",
+        "span_near": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS term,
+                     unnest(range(len({_TOKS}))) AS pos
+              FROM documents),
+            a AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+            b AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}')
+            SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
+            WHERE abs(a.pos - b.pos) - 1 <= {SPAN_NEAR_SLOP}
+            ORDER BY a.doc_id""",
+        "agg_filters": f"""
+            WITH m AS (
+              SELECT * FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0)
+            SELECT 'short' AS bucket, cast(coalesce(sum(
+                     CASE WHEN n_chars <= 249 THEN 1 END), 0) AS bigint) AS n
+            FROM m
+            UNION ALL
+            SELECT 'de', cast(coalesce(sum(
+                     CASE WHEN lang = 'de' THEN 1 END), 0) AS bigint) FROM m
+            UNION ALL
+            SELECT 'srcs', cast(coalesce(sum(
+                     CASE WHEN source IN ('src3', 'src7') THEN 1 END), 0)
+                   AS bigint) FROM m""",
+        "adjacency": f"""
+            WITH m AS (
+              SELECT * FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            b AS (
+              SELECT 'en' AS key, cast(coalesce(sum(
+                       CASE WHEN lang = 'en' THEN 1 END), 0) AS bigint) AS n
+              FROM m
+              UNION ALL
+              SELECT 'long', cast(coalesce(sum(
+                       CASE WHEN n_chars >= 300 THEN 1 END), 0) AS bigint)
+              FROM m
+              UNION ALL
+              SELECT 'en&long', cast(coalesce(sum(
+                       CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 END),
+                     0) AS bigint) FROM m)
+            SELECT * FROM b WHERE n > 0""",
+        "cum_hist": f"""
+            WITH m AS (
+              SELECT n_chars FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            h AS (
+              SELECT (n_chars // {CUMHIST_INTERVAL}) * {CUMHIST_INTERVAL}
+                       AS bucket,
+                     count(*) AS n
+              FROM m GROUP BY 1)
+            SELECT bucket, cast(n AS bigint) AS n,
+                   cast(sum(n) OVER (ORDER BY bucket) AS bigint) AS cum_n,
+                   cast(n - lag(n) OVER (ORDER BY bucket) AS bigint) AS d_n
+            FROM h ORDER BY bucket""",
+        "rare_terms": f"""
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term HAVING count(DISTINCT doc_id) <= {RARE_MAX_DF}
+            ORDER BY df ASC, term LIMIT 10""",
+        "multi_terms": f"""
+            SELECT lang, source, count(*) AS n FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY lang, source
+            ORDER BY n DESC, lang, source LIMIT 10""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",

@@ -131,6 +131,11 @@ def expansion_pairs(terms: np.ndarray, dfs: np.ndarray, kind: str, arg):
         import re
         rx = re.compile(fnmatch.translate(arg))
         return ((t, d) for t, d in zip(terms, dfs) if rx.match(t) is not None)
+    if kind == "regexp":
+        import re
+        rx = re.compile(arg)
+        return ((t, d) for t, d in zip(terms, dfs)
+                if rx.fullmatch(t) is not None)
     raise ValueError(f"unknown expansion {kind!r}")
 
 
@@ -511,6 +516,15 @@ class Searcher:
         """Wildcard term expansion (ES ``wildcard`` query): ``*`` matches
         any run, ``?`` one char; ranked (-df, term)."""
         return self._vocab_agg("wildcard", pattern, k=k)
+
+    def regexp_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
+        """Regexp term expansion (ES ``regexp`` query): dictionary terms
+        whose ENTIRE text matches ``pattern`` (anchored full-match, the ES
+        regexp contract), ranked (-df, term).  Same per-partition linear
+        dictionary scan as fuzzy/wildcard (see :meth:`_vocab_agg`'s scale
+        note); stick to RE2-compatible patterns so the behavior matches
+        engines that compile to automata."""
+        return self._vocab_agg("regexp", pattern, k=k)
 
     def _term_postings_micro(self, rows: list[dict]):
         """Fully decode one term's (possibly salted) lists into sorted
@@ -896,6 +910,357 @@ class Searcher:
             vals = self.fields.get(docids, [field])[field]
             nd = len(vals.unique().drop_null())
         return pa.table({"cardinality": pa.array([nd], pa.int64())})
+
+    def agg_extended_stats(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``extended_stats`` aggregation in filter context over an
+        integer docvalue: one row (n, min, max, sum, sum_sq, avg_micro,
+        var_micro) for docs matching ANY query term.  ``sum_sq`` is the
+        exact Σv² (int64 — exact while n·max(v)² < 2⁶³, i.e. any real
+        stat field; a 100 TB rollup should pre-aggregate per partition and
+        combine (n, Σv, Σv²), which this row IS the combinable form of).
+        ``var_micro`` = floor((n·Σv² − (Σv)²)·10⁶ / n²) — the population
+        variance in exact integer arithmetic (computed in Python bigints,
+        so the DuckDB HUGEINT oracle is bit-identical; a float variance
+        would be summation-order-sensitive).  Nulls dropped (ES skips docs
+        without the field)."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = _int_docvals(vals)
+        n = int(arr.size)
+        s = int(arr.sum()) if n else 0
+        ss = int((arr * arr).sum()) if n else 0
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "min": pa.array([int(arr.min()) if n else None], pa.int64()),
+            "max": pa.array([int(arr.max()) if n else None], pa.int64()),
+            "sum": pa.array([s], pa.int64()),
+            "sum_sq": pa.array([ss], pa.int64()),
+            "avg_micro": pa.array([(s * 1_000_000) // n if n else None],
+                                  pa.int64()),
+            "var_micro": pa.array(
+                [((n * ss - s * s) * 1_000_000) // (n * n) if n else None],
+                pa.int64()),
+        })
+
+    def agg_composite(self, terms: list[str], sources: list[str],
+                      size: int = 10,
+                      after: tuple | None = None) -> pa.Table:
+        """ES ``composite`` aggregation: multi-source buckets over the
+        match set's docvalues, ordered by the key tuple ascending, paged
+        with an ``after`` cursor (strictly-greater key) — ES's streaming
+        alternative to deep terms-agg pagination.  One docvalues fetch +
+        one Arrow group_by; the cursor mask is a vectorized tuple compare,
+        so page depth never re-aggregates (exactly why ES recommends
+        composite over terms+partitions for full enumeration).  Returns
+        (source..., n) — ``size`` buckets starting after the cursor."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            cols = {f: pa.array([], pa.string()) for f in sources}
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        got = self.fields.get(docids, sources)
+        tbl = pa.table({f: got[f] for f in sources})
+        g = tbl.group_by(sources).aggregate([([], "count_all")])
+        g = g.rename_columns(sources + ["n"])
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[(f, "ascending") for f in sources]))
+        if after is not None:
+            # strictly-after mask on the lexicographic key tuple
+            gt = np.zeros(g.num_rows, dtype=bool)
+            eq = np.ones(g.num_rows, dtype=bool)
+            for f, av in zip(sources, after):
+                col = np.asarray(g[f].to_pylist(), dtype=object)
+                gt |= eq & (col > av)
+                eq &= col == av
+            g = g.take(pa.array(np.flatnonzero(gt)))
+        return g.slice(0, size)
+
+    def function_score_linear(self, terms: list[str], field: str,
+                              origin: int, scale: int,
+                              k: int = 10) -> pa.Table:
+        """ES ``function_score`` with a ``linear`` decay on a numeric
+        docvalue: the micro-scored disjunction's score multiplied by
+        decay(v) = max(0, scale − |v − origin|) / scale.  Kept in exact
+        integer arithmetic — adj = score_micro · max(0, scale−|v−origin|)
+        // scale — so the DuckDB oracle is bit-identical (ES multiplies
+        floats; the ranking is the same for monotone integerization).
+        Docs missing the field decay to 0 (ES ``missing`` pinned to the
+        far field).  Returns (doc_id, score_micro) by (-score, doc_id)."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if d0.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        vals = self.fields.get(d0, [field])[field]
+        arr = vals.to_numpy(zero_copy_only=False)
+        null = vals.is_null().to_numpy(zero_copy_only=False) \
+            if vals.null_count else np.zeros(d0.size, dtype=bool)
+        if arr.dtype != np.int64:  # nulled int column arrives as float64+NaN
+            null |= np.isnan(arr)
+            arr = np.where(null, 0, arr)
+        v = np.where(null, origin + scale,
+                     arr.astype(np.int64, copy=False))
+        decay_num = np.maximum(0, scale - np.abs(v - origin))
+        adj = (m0 * decay_num) // scale
+        top = np.lexsort((d0, -adj))[:k]
+        return pa.table({"doc_id": pa.array(d0[top], pa.int64()),
+                         "score_micro": pa.array(adj[top], pa.int64())})
+
+    def _union_micro_parts(self, terms: list[str]):
+        """Per-doc (union docids, Σ micro, max per-term micro) for the
+        disjunction — the dis_max building block.  A doc's per-term micro
+        appears once per term (terms are distinct; salted sub-lists of one
+        term are docid-disjoint), so sum/max accumulate exactly."""
+        uniq = list(dict.fromkeys(terms))
+        rows = self._lookup(uniq)
+        parts = [self._term_postings_micro(rows.get(t, [])) for t in uniq]
+        d_all = np.concatenate([d for d, _ in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        m_all = np.concatenate([m for _, m in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        d0, inv = np.unique(d_all, return_inverse=True)
+        s0 = np.zeros(d0.size, dtype=np.int64)
+        np.add.at(s0, inv, m_all)
+        x0 = np.zeros(d0.size, dtype=np.int64)  # micros are > 0 (idf > 0)
+        np.maximum.at(x0, inv, m_all)
+        return d0, s0, x0
+
+    def dis_max(self, terms: list[str], k: int = 10,
+                tie_breaker: tuple[int, int] = (3, 10)) -> pa.Table:
+        """ES ``dis_max`` query: score = best per-term score plus
+        ``tie_breaker`` × the sum of the other terms' scores.  Exact
+        integer micro arithmetic — adj = max + (tb_num·(sum−max)) //
+        tb_den — so the DuckDB oracle is bit-identical (``tie_breaker``
+        as a ratio, e.g. (3, 10) = 0.3).  Returns (doc_id, score_micro)
+        by (-score, doc_id) top-k."""
+        d0, s0, x0 = self._union_micro_parts(terms)
+        if d0.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        num, den = tie_breaker
+        adj = x0 + (num * (s0 - x0)) // den
+        top = np.lexsort((d0, -adj))[:k]
+        return pa.table({"doc_id": pa.array(d0[top], pa.int64()),
+                         "score_micro": pa.array(adj[top], pa.int64())})
+
+    def boosting(self, positive: list[str], negative: list[str],
+                 negative_boost: tuple[int, int] = (1, 2),
+                 k: int = 10) -> pa.Table:
+        """ES ``boosting`` query: the positive disjunction's score,
+        DEMOTED (not excluded — the contrast with bool must_not) by
+        ``negative_boost`` for docs matching any negative term.  Integer
+        micro arithmetic: adj = micro·nb_num // nb_den on demoted docs.
+        Returns (doc_id, score_micro) by (-score, doc_id) top-k."""
+        uniq = list(dict.fromkeys(positive))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if d0.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        neg = self._match_docids(negative)
+        demote = _isin_sorted_i64(d0, neg)
+        num, den = negative_boost
+        adj = np.where(demote, (m0 * num) // den, m0)
+        top = np.lexsort((d0, -adj))[:k]
+        return pa.table({"doc_id": pa.array(d0[top], pa.int64()),
+                         "score_micro": pa.array(adj[top], pa.int64())})
+
+    def rank_feature_saturation(self, terms: list[str], field: str,
+                                pivot: int, k: int = 10) -> pa.Table:
+        """ES ``rank_feature`` (saturation) inside a bool should: the
+        micro-scored disjunction plus boost·v/(v+pivot) from a numeric
+        docvalue — in exact integers, feature_micro = (10⁶·v)//(v+pivot)
+        (boost 1.0).  Docs missing the feature add 0 (ES skips them).
+        Returns (doc_id, score_micro) by (-score, doc_id) top-k."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if d0.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        vals = self.fields.get(d0, [field])[field]
+        arr = vals.to_numpy(zero_copy_only=False)
+        miss = vals.is_null().to_numpy(zero_copy_only=False) \
+            if vals.null_count else np.zeros(d0.size, dtype=bool)
+        if arr.dtype != np.int64:  # nulled int column arrives float64+NaN
+            miss |= np.isnan(arr)
+            arr = np.where(miss, 0, arr).astype(np.int64)
+        v = np.maximum(arr, 0)  # rank_feature requires positive features
+        adj = m0 + np.where(miss, 0, (1_000_000 * v) // (v + pivot))
+        top = np.lexsort((d0, -adj))[:k]
+        return pa.table({"doc_id": pa.array(d0[top], pa.int64()),
+                         "score_micro": pa.array(adj[top], pa.int64())})
+
+    def prefix_match(self, prefix: str) -> pa.Table:
+        """ES ``prefix`` query in filter context: docs containing ANY
+        dictionary term starting with ``prefix``, with the count of
+        DISTINCT matching terms per doc (the multi-term rewrite's blended
+        evidence).  Expansion is the same two-binary-search dictionary
+        range as :meth:`suggest`, uncapped (ES rewrites with an expansion
+        budget; the per-doc distinct-term count here needs the full set).
+        Returns (doc_id, n_terms) sorted by doc_id ascending."""
+        expanded = self._vocab_agg("prefix", prefix, k=1 << 62)
+        ds = []
+        rows = self._lookup([t for t, _ in expanded])
+        for t, _ in expanded:
+            per = [self._decode_list(row)[0].astype(np.int64)
+                   for row in rows.get(t) or []]
+            if per:
+                ds.append(np.concatenate(per))  # salted sub-lists disjoint
+        if not ds:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64())})
+        d_all = np.concatenate(ds)
+        d0, counts = np.unique(d_all, return_counts=True)
+        return pa.table({"doc_id": pa.array(d0, pa.int64()),
+                         "n_terms": pa.array(counts.astype(np.int64),
+                                             pa.int64())})
+
+    def span_first(self, term: str, boundary: int) -> pa.Table:
+        """ES ``span_first``: docs whose FIRST occurrence of ``term`` sits
+        at position < ``boundary`` (0-based source-token positions, the
+        same stream phrase queries use).  Per (possibly salted) sub-list
+        the first position of each posting is the head of its position
+        run — one gather at the run starts, no full position decode needed
+        conceptually (the codec decodes the block; the gather is
+        vectorized).  Returns (doc_id, first_pos) sorted by doc_id."""
+        rows = self._lookup([term]).get(term) or []
+        out_d, out_p = [], []
+        for row in rows:
+            if "pos_blob" not in row:
+                raise ValueError("index was built without positions")
+            d, tf, _ = self._decode_list(row)
+            plists = self._decode_positions(row, tf.astype(np.int64))
+            flat = (np.concatenate(plists) if plists
+                    else np.empty(0, dtype=np.int64))
+            starts = np.concatenate(
+                [[0], np.cumsum(tf.astype(np.int64))])[:-1]
+            first = flat[starts]
+            keep = first < boundary
+            out_d.append(d.astype(np.int64)[keep])
+            out_p.append(first[keep].astype(np.int64))
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        d = np.concatenate(out_d)
+        p = np.concatenate(out_p)
+        o = np.argsort(d, kind="stable")
+        return pa.table({"doc_id": pa.array(d[o], pa.int64()),
+                         "first_pos": pa.array(p[o], pa.int64())})
+
+    def span_near_unordered(self, term_a: str, term_b: str,
+                            slop: int = 0) -> np.ndarray:
+        """ES ``span_near`` with ``in_order: false`` for two clauses: docs
+        where the terms occur within ``slop`` gap positions in EITHER
+        order — the union of the two ordered sloppy matches, each served
+        by the shared cross-candidate phrase DP (no per-doc Python).
+        Returns sorted unique docids."""
+        fwd = self.phrase_match_docs([term_a, term_b], slop=slop)
+        rev = self.phrase_match_docs([term_b, term_a], slop=slop)
+        return np.union1d(fwd, rev)
+
+    def agg_filters(self, terms: list[str],
+                    named: list[tuple[str, dict]]) -> pa.Table:
+        """ES ``filters`` aggregation: one named bucket per filter spec,
+        counted over the match set's docvalues — each bucket is one
+        vectorized :meth:`FieldStore.mask` pass over the SAME candidate
+        docids (shards load once through the store's LRU).  Returns
+        (bucket, n) in the given bucket order."""
+        docids = self._match_docids(terms)
+        names, ns = [], []
+        for name, filt in named:
+            names.append(name)
+            ns.append(int(self.fields.mask(docids, filt).sum())
+                      if docids.size else 0)
+        return pa.table({"bucket": pa.array(names, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def agg_adjacency_matrix(self, terms: list[str],
+                             named: list[tuple[str, dict]]) -> pa.Table:
+        """ES ``adjacency_matrix`` aggregation: counts for every named
+        filter and every pairwise intersection (key "a&b", ES's
+        separator), empty buckets omitted (ES behavior).  Masks are
+        computed once per filter and AND-ed pairwise — O(F²) boolean
+        vector ops, one docvalues pass."""
+        docids = self._match_docids(terms)
+        masks = [(name, self.fields.mask(docids, filt) if docids.size
+                  else np.zeros(0, dtype=bool)) for name, filt in named]
+        keys, ns = [], []
+        for i, (ni, mi) in enumerate(masks):
+            for j in range(i, len(masks)):
+                nj, mj = masks[j]
+                n = int((mi & mj).sum()) if i != j else int(mi.sum())
+                if n > 0:
+                    keys.append(ni if i == j else f"{ni}&{nj}")
+                    ns.append(n)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def agg_cumulative_histogram(self, terms: list[str], field: str,
+                                 interval: int) -> pa.Table:
+        """ES ``histogram`` + ``cumulative_sum`` + ``derivative`` pipeline
+        aggregations: per bucket (floor(v/interval)·interval) the count,
+        running total, and delta vs the previous PRESENT bucket (first
+        bucket's derivative is NULL, ES semantics; empty buckets omitted
+        as min_doc_count=1).  One docvalues fetch; the pipeline stages are
+        cumsum/diff over the tiny bucket vector."""
+        hist = self.agg_histogram(terms, field, interval)
+        n = hist["n"].to_numpy()
+        if n.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cum_n": pa.array([], pa.int64()),
+                             "d_n": pa.array([], pa.int64())})
+        cum = np.cumsum(n)
+        d = np.diff(n).astype(np.int64)
+        return pa.table({
+            "bucket": hist["bucket"],
+            "n": hist["n"],
+            "cum_n": pa.array(cum.astype(np.int64), pa.int64()),
+            "d_n": pa.array([None] + list(d), pa.int64()),
+        })
+
+    def rare_terms(self, max_df: int, k: int = 10) -> list[tuple[str, int]]:
+        """ES ``rare_terms`` aggregation: dictionary terms with global
+        df ≤ ``max_df``, ranked ASCENDING (df, term) — the long-tail
+        complement of the terms agg (ES approximates with a CuckooFilter
+        sweep; the dictionary stores exact global df on every salted
+        sub-list, so this is exact).  Per-partition linear dictionary
+        scan, same shape as :meth:`_vocab_agg`."""
+        agg: dict[str, int] = {}
+        for tp in range(self.P):
+            ent = self._part(tp)
+            if ent is None:
+                continue
+            tbl = ent[0]
+            terms = tbl["term"].to_numpy(zero_copy_only=False)
+            dfs = tbl["df"].to_numpy()
+            sel = dfs <= max_df
+            for t, d in zip(terms[sel], dfs[sel]):
+                got = agg.get(t)
+                if got is None or d > got:
+                    agg[t] = int(d)
+        return sorted(agg.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+
+    def agg_multi_terms(self, terms: list[str], sources: list[str],
+                        k: int = 10) -> pa.Table:
+        """ES ``multi_terms`` aggregation: composite-key buckets over the
+        match set ordered by doc count DESCENDING (the terms-agg order,
+        vs :meth:`agg_composite`'s key order/pagination).  One docvalues
+        fetch + one Arrow group_by.  Returns (source..., n) top-k by
+        (-n, key...)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            cols = {f: pa.array([], pa.string()) for f in sources}
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        got = self.fields.get(docids, sources)
+        tbl = pa.table({f: got[f] for f in sources})
+        g = tbl.group_by(sources).aggregate([([], "count_all")])
+        g = g.rename_columns(sources + ["n"])
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("n", "descending")]
+            + [(f, "ascending") for f in sources]))
+        return g.slice(0, k)
 
     def agg_range(self, terms: list[str], field: str,
                   edges: list[int]) -> pa.Table:

@@ -526,3 +526,184 @@ def test_aggs_null_and_bigint_docvalues(ray_session, tmp_path):
     assert set(col["lang"].to_pylist()) == {"en", "de"}
     m = col["score_micro"].to_pylist()
     assert m == sorted(m, reverse=True)
+
+
+# -- round-3 batch 2: dis_max / boosting / rank_feature / prefix / span /
+#    filters-family aggregations ------------------------------------------
+
+
+def _micro_map(t, p, terms):
+    """Brute-force doc -> {term: micro} over the fixture table."""
+    ids = t["doc_id"].to_numpy()
+    toks = [tokenize_simple(x or "") for x in t["text"].to_pylist()]
+    df = _vocab_df(t)
+    out = {}
+    for i, tl in enumerate(toks):
+        c = Counter(tl)
+        per = {}
+        for term in terms:
+            if term in c:
+                sc = term_scores(np.array([c[term]]), np.array([len(tl)]),
+                                 df[term], p)[0]
+                per[term] = int(np.floor(sc * 1e6))
+        if per:
+            out[int(ids[i])] = per
+    return out
+
+
+def test_dis_max_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    mm = _micro_map(t, s.params, ["merge", "scan"])
+    exp = []
+    for d, per in mm.items():
+        mx, sm = max(per.values()), sum(per.values())
+        exp.append((d, mx + (3 * (sm - mx)) // 10))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    out = s.dis_max(["merge", "scan"], k=10, tie_breaker=(3, 10))
+    assert list(zip(out["doc_id"].to_pylist(),
+                    out["score_micro"].to_pylist())) == exp[:10]
+    # tie_breaker=1 ≡ plain disjunction sum
+    out1 = s.dis_max(["merge", "scan"], k=10, tie_breaker=(1, 1))
+    ref = _bool_reference(t, s.params, [], ["merge", "scan"], [], k=10)
+    assert list(zip(out1["doc_id"].to_pylist(),
+                    out1["score_micro"].to_pylist())) == ref
+
+
+def test_boosting_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    mm = _micro_map(t, s.params, ["merge", "scan"])
+    toks = {int(i): set(tokenize_simple(x or ""))
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    exp = []
+    for d, per in mm.items():
+        m = sum(per.values())
+        exp.append((d, m // 2 if "window" in toks[d] else m))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    out = s.boosting(["merge", "scan"], ["window"],
+                     negative_boost=(1, 2), k=10)
+    assert list(zip(out["doc_id"].to_pylist(),
+                    out["score_micro"].to_pylist())) == exp[:10]
+    # a demoted doc is NOT excluded (contrast with bool must_not)
+    demoted = {d for d in mm if "window" in toks[d]}
+    if demoted:
+        full = s.boosting(["merge", "scan"], ["window"], k=10**9)
+        assert demoted <= set(full["doc_id"].to_pylist())
+
+
+def test_rank_feature_vs_bruteforce(sf_dir, stats_searcher):
+    t, s = stats_searcher
+    mm = _micro_map(t, s.params, ["merge", "scan"])
+    nch = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    pivot = 250
+    exp = sorted(((d, sum(per.values())
+                   + (1_000_000 * nch[d]) // (nch[d] + pivot))
+                  for d, per in mm.items()),
+                 key=lambda x: (-x[1], x[0]))[:10]
+    out = s.rank_feature_saturation(["merge", "scan"], "n_chars",
+                                    pivot=pivot, k=10)
+    assert list(zip(out["doc_id"].to_pylist(),
+                    out["score_micro"].to_pylist())) == exp
+
+
+def test_prefix_match_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    exp = {}
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        n = len({tok for tok in tokenize_simple(x or "")
+                 if tok.startswith("me")})
+        if n:
+            exp[int(i)] = n
+    out = s.prefix_match("me")
+    assert dict(zip(out["doc_id"].to_pylist(),
+                    out["n_terms"].to_pylist())) == exp
+    assert out["doc_id"].to_pylist() == sorted(exp)
+
+
+def test_span_first_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    exp = {}
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tl = tokenize_simple(x or "")
+        if "merge" in tl and tl.index("merge") < 5:
+            exp[int(i)] = tl.index("merge")
+    out = s.span_first("merge", 5)
+    assert dict(zip(out["doc_id"].to_pylist(),
+                    out["first_pos"].to_pylist())) == exp
+
+
+def test_span_near_unordered_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    for slop in (0, 2, 5):
+        exp = []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tl = tokenize_simple(x or "")
+            pa_ = [j for j, tok in enumerate(tl) if tok == "merge"]
+            pb_ = [j for j, tok in enumerate(tl) if tok == "scan"]
+            if pa_ and pb_ and min(abs(a - b)
+                                   for a in pa_ for b in pb_) - 1 <= slop:
+                exp.append(int(i))
+        got = s.span_near_unordered("merge", "scan", slop=slop)
+        assert sorted(got.tolist()) == sorted(exp), slop
+
+
+def test_agg_filters_and_adjacency(stats_searcher):
+    t, s = stats_searcher
+    vals = {}
+    for i, x, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        tl = set(tokenize_simple(x or ""))
+        if "merge" in tl or "scan" in tl:
+            vals[int(i)] = v
+    named = [("short", {"n_chars": ("range", None, 249)}),
+             ("long", {"n_chars": ("range", 300, None)})]
+    out = s.agg_filters(["merge", "scan"], named)
+    assert out["bucket"].to_pylist() == ["short", "long"]
+    assert out["n"].to_pylist() == [
+        sum(v <= 249 for v in vals.values()),
+        sum(v >= 300 for v in vals.values())]
+    adj = s.agg_adjacency_matrix(["merge", "scan"], named)
+    got = dict(zip(adj["key"].to_pylist(), adj["n"].to_pylist()))
+    exp = {"short": sum(v <= 249 for v in vals.values()),
+           "long": sum(v >= 300 for v in vals.values()),
+           "short&long": 0}
+    exp = {k: v for k, v in exp.items() if v > 0}
+    assert got == exp
+
+
+def test_agg_cumulative_histogram(stats_searcher):
+    t, s = stats_searcher
+    vals = _match_vals(t, ["merge", "scan"])
+    want = Counter((v // 100) * 100 for v in vals)
+    buckets = sorted(want)
+    out = s.agg_cumulative_histogram(["merge", "scan"], "n_chars", 100)
+    assert out["bucket"].to_pylist() == buckets
+    ns = [want[b] for b in buckets]
+    assert out["n"].to_pylist() == ns
+    assert out["cum_n"].to_pylist() == list(np.cumsum(ns))
+    assert out["d_n"].to_pylist() == [None] + [ns[i] - ns[i - 1]
+                                               for i in range(1, len(ns))]
+
+
+def test_rare_terms_vs_vocab(docs_and_searcher):
+    t, s = docs_and_searcher
+    df = _vocab_df(t)
+    for max_df in (min(df.values()), 60, max(df.values())):
+        exp = sorted(((term, n) for term, n in df.items() if n <= max_df),
+                     key=lambda kv: (kv[1], kv[0]))[:10]
+        assert s.rare_terms(max_df, k=10) == exp, max_df
+
+
+def test_agg_multi_terms_vs_bruteforce(stats_searcher):
+    t, s = stats_searcher
+    # lang is the only keyword field this fixture stores; single-source
+    # multi_terms == terms agg ordered (-n, key)
+    langs = {}
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tl = set(tokenize_simple(x or ""))
+        if "merge" in tl or "scan" in tl:
+            langs[int(i)] = None
+    got = s.agg_multi_terms(["merge", "scan"], ["lang"], k=10)
+    facet = s.facet_counts(["merge", "scan"], "lang")
+    exp = sorted(zip(facet["lang"].to_pylist(), facet["n"].to_pylist()),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["lang"].to_pylist(), got["n"].to_pylist())) == exp
