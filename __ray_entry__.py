@@ -643,6 +643,65 @@ def q_multi_terms(sf_dir: str):
                              list(COMPOSITE_SOURCES), k=10)
 
 
+IDS_PROBE = (0, 1, 7, 10**12)   # last id is absent → silently dropped
+PHRASE_PREFIX_FIRST = "merge"
+PHRASE_PREFIX = "sc"
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetitiveness: per-doc top-bigram fraction in exact
+    integer micro-units — the boilerplate/degenerate-page filter signal
+    of a training-data pipeline."""
+    from search_ingest_ray.functions.textstats import repetition_batch
+    ds = _docs(sf_dir).map_batches(repetition_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_bigrams", "top_bigram_micro"])
+
+
+def q_weighted_avg(sf_dir: str):
+    """ES weighted_avg aggregation (and the pre-aggregate-then-groupby
+    scale pattern): per-lang average of n_chars weighted by token count,
+    exact integers — in-batch partial (Σw, Σv·w) per lang, then a tiny
+    groupby-sum over one row per (block, lang), never a per-doc shuffle."""
+    from search_ingest_ray.functions.textstats import (token_count_batch,
+                                                       weighted_partial_batch)
+    import functools
+    ds = (_docs(sf_dir)
+          .map_batches(token_count_batch, batch_format="pyarrow")
+          .map_batches(functools.partial(weighted_partial_batch,
+                                         group_col="lang", val_col="n_chars",
+                                         weight_col="n_tokens"),
+                       batch_format="pyarrow"))
+    g = ds.groupby("lang").sum(["w_sum", "wv_sum"])
+    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    w = t["sum(w_sum)"].to_numpy().astype(np.int64)
+    wv = t["sum(wv_sum)"].to_numpy().astype(np.int64)
+    out = pa.table({
+        "lang": t["lang"],
+        "wavg_micro": pa.array((wv * 1_000_000) // np.maximum(w, 1),
+                               pa.int64()),
+    })
+    return out.sort_by([("lang", "ascending")])
+
+
+def q_ids(sf_dir: str):
+    """ES ids query: docstore fetch by docid list; absent ids silently
+    dropped, only the touched docid-range shards load."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.ids_query(list(IDS_PROBE), ["lang", "source"])
+
+
+def q_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix: exact phrase then a prefix-expanded last
+    position (uncapped expansion so the LIKE oracle mirrors exactly)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple",
+                                 with_positions=True))
+    d = s.match_phrase_prefix([PHRASE_PREFIX_FIRST], PHRASE_PREFIX)
+    return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
+
+
 RESCORE_WINDOW = 50
 RESCORE_BONUS = 5_000_000
 
@@ -1208,6 +1267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_hist": q_cum_hist,
         "rare_terms": q_rare_terms,
         "multi_terms": q_multi_terms,
+        "repetition": q_repetition,
+        "weighted_avg": q_weighted_avg,
+        "ids": q_ids,
+        "phrase_prefix": q_phrase_prefix,
         "multi_match": q_multi_match,
         "termvectors": q_termvectors,
         "explain_top1": q_explain,
@@ -2228,6 +2291,42 @@ ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
                   x -> x IN ('{t1}', '{t2}'))) > 0
             GROUP BY lang, source
             ORDER BY n DESC, lang, source LIMIT 10""",
+        "repetition": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS term,
+                     unnest(range(len({_TOKS}))) AS pos
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) AS b
+              FROM tok QUALIFY b IS NOT NULL),
+            cnt AS (SELECT doc_id, b, count(*) AS c FROM bg
+                    GROUP BY doc_id, b),
+            top AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(greatest(len({_TOKS}) - 1, 0) AS bigint)
+                     AS n_bigrams,
+                   cast(coalesce((t.mc * 1000000)
+                          // greatest(len({_TOKS}) - 1, 1), 0) AS bigint)
+                     AS top_bigram_micro
+            FROM documents d LEFT JOIN top t USING (doc_id)
+            ORDER BY d.doc_id""",
+        "weighted_avg": f"""
+            SELECT lang,
+                   cast(sum(n_chars::BIGINT * len({_TOKS})) * 1000000
+                        // greatest(sum(len({_TOKS})), 1) AS bigint)
+                     AS wavg_micro
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "ids": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN ({', '.join(str(i) for i in IDS_PROBE)})
+            ORDER BY doc_id""",
+        "phrase_prefix": f"""
+            SELECT doc_id FROM documents
+            WHERE ' ' || lower(text) || ' '
+                  LIKE '% {PHRASE_PREFIX_FIRST} {PHRASE_PREFIX}%'
+            ORDER BY doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",

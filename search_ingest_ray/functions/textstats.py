@@ -163,3 +163,63 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
     """Stateless function form — prefer passing :class:`Fingerprinter` to
     map_batches for cross-batch token-hash caching."""
     return Fingerprinter(text_col=text_col, out_col=out_col)(batch)
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetitiveness signal: the fraction of a doc's token
+    bigrams taken by its single most frequent bigram, as exact integer
+    micro-units — ``top_bigram_micro = (max_count · 10⁶) // n_bigrams``
+    (0 when the doc has < 2 tokens).  High values flag boilerplate /
+    degenerate pages a training-data pipeline drops.
+
+    Fully vectorized: one batch-wide token factorize (np.unique), bigram
+    codes from adjacent code pairs (doc-boundary pairs masked), then a
+    single lexsort + run-length count + per-doc max — no per-doc Python
+    in the hot path.  Appends (n_bigrams, top_bigram_micro)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    tok_lists = [tokenize_simple(t or "") for t in texts]
+    lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    total = int(lens.sum())
+    nbg = np.maximum(lens - 1, 0)
+    top = np.zeros(n, dtype=np.int64)
+    if total >= 2:
+        flat = np.array([t for tl in tok_lists for t in tl], dtype=object)
+        _, inv = np.unique(flat, return_inverse=True)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        d = doc_idx[:-1]
+        same = doc_idx[1:] == d  # drop pairs that straddle a doc boundary
+        d = d[same]
+        a, b = inv[:-1][same], inv[1:][same]
+        if d.size:
+            # count identical (doc, bigram) runs without building d*V²+b
+            # keys (which could overflow int64 on huge batches)
+            order = np.lexsort((b, a, d))
+            ds, as_, bs = d[order], a[order], b[order]
+            new = np.empty(ds.size, dtype=bool)
+            new[0] = True
+            new[1:] = ((ds[1:] != ds[:-1]) | (as_[1:] != as_[:-1])
+                       | (bs[1:] != bs[:-1]))
+            gid = np.cumsum(new) - 1
+            counts = np.bincount(gid)
+            np.maximum.at(top, ds[new], counts)
+    micro = (top * 1_000_000) // np.maximum(nbg, 1)
+    return (batch.append_column("n_bigrams", pa.array(nbg))
+                 .append_column("top_bigram_micro", pa.array(micro)))
+
+
+def weighted_partial_batch(batch: pa.Table, *, group_col: str,
+                           val_col: str, weight_col: str) -> pa.Table:
+    """In-batch partial aggregation for a weighted average: collapse a
+    batch to one row per group carrying (Σ weight, Σ value·weight) as
+    exact int64 — the combiner half of the pre-aggregate-then-tiny-groupby
+    pattern (the downstream ``groupby(group).sum`` shuffles one row per
+    (block, group), never per doc)."""
+    v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({group_col: batch[group_col],
+                  "w_sum": pa.array(w, pa.int64()),
+                  "wv_sum": pa.array(v * w, pa.int64())})
+    return (t.group_by(group_col)
+             .aggregate([("w_sum", "sum"), ("wv_sum", "sum")])
+             .rename_columns([group_col, "w_sum", "wv_sum"]))

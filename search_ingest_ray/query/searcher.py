@@ -1158,6 +1158,44 @@ class Searcher:
         rev = self.phrase_match_docs([term_b, term_a], slop=slop)
         return np.union1d(fwd, rev)
 
+    def ids_query(self, ids: list[int], cols: list[str]) -> pa.Table:
+        """ES ``ids`` query: fetch documents by docid list from the
+        docstore — absent ids are silently dropped (ES behavior), present
+        ones return their stored fields.  One :meth:`FieldStore.contains`
+        presence probe + one :meth:`FieldStore.get`; only the docid-range
+        shards the ids fall into are loaded.  Returns (doc_id, cols...)
+        sorted by doc_id."""
+        d = np.unique(np.asarray(list(ids), dtype=np.int64))
+        present = self.fields.contains(d)
+        d = d[present]
+        got = self.fields.get(d, cols) if d.size else \
+            {c: pa.array([], pa.string()) for c in cols}
+        out = {"doc_id": pa.array(d, pa.int64())}
+        out.update({c: got[c] for c in cols})
+        return pa.table(out)
+
+    def match_phrase_prefix(self, terms: list[str], prefix: str,
+                            max_expansions: int | None = None) -> np.ndarray:
+        """ES ``match_phrase_prefix``: the exact phrase ``terms`` followed
+        by ANY term starting with ``prefix`` — the last position expands
+        via the dictionary's two-binary-search prefix range, then each
+        expansion runs the shared cross-candidate phrase DP; results
+        union.  ``max_expansions`` caps the expansion set in dictionary
+        order (ES's cap, default 50 there; None = uncapped, which the SQL
+        oracle mirrors).  Returns sorted unique docids (filter context —
+        ES scores the rewrite per expansion; callers wanting scores can
+        rescore the match set)."""
+        expanded = sorted(t for t, _ in
+                          self._vocab_agg("prefix", prefix, k=1 << 62))
+        if max_expansions is not None:
+            expanded = expanded[:max_expansions]
+        outs = [self.phrase_match_docs([*terms, e], slop=0)
+                for e in expanded]
+        outs = [o for o in outs if o.size]
+        if not outs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(outs))
+
     def agg_filters(self, terms: list[str],
                     named: list[tuple[str, dict]]) -> pa.Table:
         """ES ``filters`` aggregation: one named bucket per filter spec,

@@ -310,3 +310,40 @@ def test_scrub_batch_masks_and_counts():
         "call <PHONE> or <PHONE>",
         "clean"]
     assert out["n_redactions"].to_pylist() == [2, 2, 0]
+
+
+def test_repetition_top_bigram_vs_bruteforce():
+    from collections import Counter
+
+    from search_ingest_ray.analyzer import tokenize_simple
+    from search_ingest_ray.functions.textstats import repetition_batch
+    texts = ["a b a b a b c",          # 'a b' ×3 of 6 bigrams
+             "x",                      # <2 tokens → 0
+             "",                       # empty → 0
+             "one two three four",     # all distinct → 1/3
+             "spam spam spam spam"]    # 'spam spam' ×3 of 3
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_batch(batch)
+    for i, t in enumerate(texts):
+        toks = tokenize_simple(t)
+        bgs = Counter(zip(toks, toks[1:]))
+        nbg = max(len(toks) - 1, 0)
+        want = (max(bgs.values()) * 1_000_000) // nbg if bgs else 0
+        assert out["n_bigrams"][i].as_py() == nbg
+        assert out["top_bigram_micro"][i].as_py() == want, t
+    # no cross-doc bigram bleed: doc boundaries mask adjacent pairs
+    b2 = pa.table({"doc_id": [0, 1], "text": ["q q", "q q"]})
+    r2 = repetition_batch(b2)
+    assert r2["top_bigram_micro"].to_pylist() == [1_000_000, 1_000_000]
+
+
+def test_weighted_partial_batch_exact():
+    from search_ingest_ray.functions.textstats import weighted_partial_batch
+    batch = pa.table({"lang": ["en", "de", "en", "en"],
+                      "v": [10, 20, 30, 40],
+                      "w": [1, 2, 3, 0]})
+    out = weighted_partial_batch(batch, group_col="lang", val_col="v",
+                                 weight_col="w").sort_by("lang")
+    assert out["lang"].to_pylist() == ["de", "en"]
+    assert out["w_sum"].to_pylist() == [2, 4]
+    assert out["wv_sum"].to_pylist() == [40, 10 + 90 + 0]

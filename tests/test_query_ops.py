@@ -221,7 +221,7 @@ def stats_searcher(ray_session, sf_dir):
     root = documents_index(sf_dir, analyzer="simple",
                            store_fields=("lang", "n_chars"))
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text", "n_chars"])
+                      columns=["doc_id", "text", "n_chars", "lang"])
     return t, Searcher(root)
 
 
@@ -707,3 +707,30 @@ def test_agg_multi_terms_vs_bruteforce(stats_searcher):
     exp = sorted(zip(facet["lang"].to_pylist(), facet["n"].to_pylist()),
                  key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["lang"].to_pylist(), got["n"].to_pylist())) == exp
+
+
+def test_ids_query_drops_absent(stats_searcher):
+    t, s = stats_searcher
+    ids = t["doc_id"].to_pylist()
+    probe = [ids[0], ids[-1], 10**12]
+    out = s.ids_query(probe, ["lang"])
+    assert out["doc_id"].to_pylist() == sorted([ids[0], ids[-1]])
+    # stored lang values round-trip exactly
+    want = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    got = dict(zip(out["doc_id"].to_pylist(), out["lang"].to_pylist()))
+    assert got == {i: want[i] for i in got}
+
+
+def test_match_phrase_prefix_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    exp = []
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tl = tokenize_simple(x or "")
+        if any(a == "merge" and b.startswith("sc")
+               for a, b in zip(tl, tl[1:])):
+            exp.append(int(i))
+    got = s.match_phrase_prefix(["merge"], "sc")
+    assert got.tolist() == sorted(exp)
+    # expansion cap: max_expansions=0 matches nothing
+    assert s.match_phrase_prefix(["merge"], "sc",
+                                 max_expansions=0).size == 0
