@@ -702,6 +702,26 @@ def q_phrase_prefix(sf_dir: str):
     return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
 
 
+DECONTAM_MOD = 97   # docs with doc_id % MOD == 0 form the "benchmark" slice
+
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style eval-set decontamination: flag corpus docs sharing any
+    word-3-gram with the (broadcast) benchmark slice.  No shuffle — the
+    benchmark n-gram hash set is ray.put once and probed per batch."""
+    from search_ingest_ray.functions.decontam import decontaminate
+    return decontaminate(_docs(sf_dir), mod=DECONTAM_MOD, k=3,
+                         concurrency=_pool())
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Lee-et-al duplicate-n-gram signal: per doc, how many of its
+    distinct 5-grams occur in ≥2 docs corpus-wide (exact integer micro
+    fraction).  Shuffles 8-byte n-gram hashes, never text."""
+    from search_ingest_ray.functions.decontam import dup_ngram_stats
+    return dup_ngram_stats(_docs(sf_dir), k=5, concurrency=_pool())
+
+
 RESCORE_WINDOW = 50
 RESCORE_BONUS = 5_000_000
 
@@ -1269,6 +1289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms": q_multi_terms,
         "repetition": q_repetition,
         "weighted_avg": q_weighted_avg,
+        "decontaminate": q_decontaminate,
+        "dup_ngrams": q_dup_ngrams,
         "ids": q_ids,
         "phrase_prefix": q_phrase_prefix,
         "multi_match": q_multi_match,
@@ -1420,6 +1442,37 @@ bands AS (
            AS band_hash
   FROM sig JOIN bm ON bm.r = pidx % 4
   GROUP BY doc_id, pidx // 4)"""
+
+    def _sh_cte(k: int) -> str:
+        """CTE ``sh(doc_id, hv)``: DISTINCT word-k-gram hashes per doc —
+        the exact ShingleHasher value (md5-low64 token hashes +
+        position-weighted MIX polynomial, wrapping mod 2^64)."""
+        from search_ingest_ray.functions.dedup import ShingleHasher
+        mix = ShingleHasher.MIX
+        leads = ",\n         ".join(
+            f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS h{j}"
+            for j in range(1, k))
+        terms = "\n          + ".join(
+            _mulmod64("h" if j == 0 else f"h{j}",
+                      f"{int(mix[j])}::HUGEINT")
+            for j in range(k))
+        return f"""nbase AS (
+  SELECT doc_id,
+         list_concat({_TOKS},
+           list_transform(range(greatest({k} - len({_TOKS}), 0)),
+                          x -> '')) AS toks
+  FROM documents),
+ntok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
+                unnest(range(len(toks))) AS pos, len(toks) AS nt
+         FROM nbase),
+nw AS (
+  SELECT doc_id, pos, nt, h,
+         {leads}
+  FROM ntok),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ({terms}) % {_M64}::HUGEINT AS hv
+  FROM nw WHERE pos <= nt - {k})"""
 
     bool_micro = (f"cast(floor(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
                   f" * ((tf.tf * ({k1} + 1))"
@@ -2322,6 +2375,27 @@ ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id IN ({', '.join(str(i) for i in IDS_PROBE)})
             ORDER BY doc_id""",
+        "decontaminate": f"""
+WITH {_sh_cte(3)},
+bench AS (SELECT DISTINCT hv FROM sh WHERE doc_id % {DECONTAM_MOD} = 0)
+SELECT s.doc_id,
+       cast(count(*) AS bigint) AS n_ngrams,
+       cast(count(b.hv) AS bigint) AS n_shared,
+       cast(CASE WHEN count(b.hv) > 0 THEN 1 ELSE 0 END AS bigint)
+         AS contaminated
+FROM sh s LEFT JOIN bench b ON s.hv = b.hv
+WHERE s.doc_id % {DECONTAM_MOD} <> 0
+GROUP BY s.doc_id ORDER BY s.doc_id""",
+        "dup_ngrams": f"""
+WITH {_sh_cte(5)},
+runs AS (SELECT hv, count(*) AS c FROM sh GROUP BY hv)
+SELECT s.doc_id,
+       cast(count(*) AS bigint) AS n_distinct,
+       cast(sum(CASE WHEN r.c >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup,
+       cast(sum(CASE WHEN r.c >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS bigint) AS dup_micro
+FROM sh s JOIN runs r ON s.hv = r.hv
+GROUP BY s.doc_id ORDER BY s.doc_id""",
         "phrase_prefix": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || lower(text) || ' '

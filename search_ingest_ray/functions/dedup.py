@@ -152,33 +152,22 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np
     return vals.min(axis=1)
 
 
-class MinHashEmitter:
-    """map_batches stage: doc → ``bands`` rows (band, band_hash, id).
+class ShingleHasher:
+    """Vectorized word-k-gram hasher with a per-instance md5-low64 token
+    cache (SQL parity: ``md5_number_lower``): per-token hashes are computed
+    once per DISTINCT token (cached across batches), then k-gram shingle
+    hashes are a strided position-weighted polynomial mix in numpy (wraps
+    mod 2^64).  Shared by MinHash emission, benchmark decontamination and
+    duplicate-n-gram scoring so all three reproduce in pure-SQL oracles."""
 
-    Permutation parameters and a token-hash cache are built once per actor
-    (stateful setup).  Shingle hashing is vectorized: per-token md5-low64
-    hashes (SQL parity: ``md5_number_lower``) are computed once per
-    DISTINCT token (cached across batches), then k-gram shingle hashes are
-    a strided polynomial mix in numpy — the whole emit→band→pair pipeline
-    is reproducible by the pure-SQL DuckDB oracle in ``__ray_entry__``."""
+    MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                    0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                    0x85EBCA6B2C2B2AE3], dtype=np.uint64)
 
-    _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                             0x165667B19E3779F9, 0x27D4EB2F165667C5,
-                             0x85EBCA6B2C2B2AE3], dtype=np.uint64)
-
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                 seed: int = 7):
-        assert num_perm % bands == 0
-        assert shingle_k <= len(self._SHINGLE_MIX)
-        self.text_col, self.id_col = text_col, id_col
-        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
-        self.rows_per_band = num_perm // bands
-        self.a, self.b = _perm_params(num_perm, seed)
+    def __init__(self, k: int):
+        assert k <= len(self.MIX)
+        self.k = k
         self._tok_cache: dict[str, int] = {}
-        # band signature → 63-bit hash mix constants
-        self._band_mix = np.arange(1, self.rows_per_band + 1,
-                                   dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
     def _tok_hash(self, tok: str) -> int:
         h = self._tok_cache.get(tok)
@@ -188,7 +177,9 @@ class MinHashEmitter:
                 self._tok_cache[tok] = h
         return h
 
-    def _doc_shingles(self, text: str) -> np.ndarray:
+    def doc_shingles(self, text: str) -> np.ndarray:
+        """All k-gram hashes of ``text`` (simple-analyzed, padded with ''
+        tokens up to length k so every doc yields ≥1 shingle)."""
         toks = tokenize_simple(text or "")
         if len(toks) < self.k:
             toks = toks + [""] * (self.k - len(toks))
@@ -199,8 +190,35 @@ class MinHashEmitter:
         nsh = len(toks) - self.k + 1
         acc = np.zeros(nsh, dtype=np.uint64)
         for j in range(self.k):
-            acc += h[j:j + nsh] * self._SHINGLE_MIX[j]
+            acc += h[j:j + nsh] * self.MIX[j]
         return acc
+
+
+class MinHashEmitter:
+    """map_batches stage: doc → ``bands`` rows (band, band_hash, id).
+
+    Permutation parameters and the :class:`ShingleHasher` token cache are
+    built once per actor (stateful setup); the whole emit→band→pair
+    pipeline is reproducible by the pure-SQL DuckDB oracle in
+    ``__ray_entry__``."""
+
+    _SHINGLE_MIX = ShingleHasher.MIX   # oracle constants alias
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 7):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+        self._shingler = ShingleHasher(shingle_k)
+        # band signature → 63-bit hash mix constants
+        self._band_mix = np.arange(1, self.rows_per_band + 1,
+                                   dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _doc_shingles(self, text: str) -> np.ndarray:
+        return self._shingler.doc_shingles(text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)

@@ -347,3 +347,53 @@ def test_weighted_partial_batch_exact():
     assert out["lang"].to_pylist() == ["de", "en"]
     assert out["w_sum"].to_pylist() == [2, 4]
     assert out["wv_sum"].to_pylist() == [40, 10 + 90 + 0]
+
+
+def _kgram_sets(texts, k):
+    from search_ingest_ray.analyzer import tokenize_simple
+    out = []
+    for t in texts:
+        toks = tokenize_simple(t or "")
+        if len(toks) < k:
+            toks = toks + [""] * (k - len(toks))
+        out.append({" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)})
+    return out
+
+
+def test_decontaminate_vs_bruteforce(rd):
+    texts = ["alpha beta gamma delta", "beta gamma delta epsilon",
+             "zeta eta theta", "alpha beta gamma", "iota kappa",
+             "x", ""]
+    ids = [0, 7, 14, 3, 5, 9, 11]   # ids 0,14 are benchmark (mod 7)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    from search_ingest_ray.functions.decontam import decontaminate
+    out = decontaminate(ds, mod=7, k=3).to_pandas().sort_values("doc_id")
+    sets = dict(zip(ids, _kgram_sets(texts, 3)))
+    bench = set().union(*(sets[i] for i in ids if i % 7 == 0))
+    for _, row in out.iterrows():
+        s = sets[row["doc_id"]]
+        assert row["doc_id"] % 7 != 0
+        assert row["n_ngrams"] == len(s)
+        assert row["n_shared"] == len(s & bench)
+        assert row["contaminated"] == int(bool(s & bench))
+    assert set(out["doc_id"]) == {i for i in ids if i % 7 != 0}
+
+
+def test_dup_ngram_stats_vs_bruteforce(rd):
+    texts = ["a b c d e f", "a b c d e g", "h i j k l m",
+             "a b c d e f", "short"]
+    ids = list(range(5))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    from search_ingest_ray.functions.decontam import dup_ngram_stats
+    out = dup_ngram_stats(ds, k=5, num_partitions=4) \
+        .to_pandas().sort_values("doc_id")
+    sets = _kgram_sets(texts, 5)
+    from collections import Counter
+    cnt = Counter(g for s in sets for g in s)
+    for i, row in zip(ids, out.itertuples()):
+        s = sets[i]
+        ndup = sum(1 for g in s if cnt[g] >= 2)
+        assert row.n_distinct == len(s)
+        assert row.n_dup == ndup, texts[i]
+        assert row.dup_micro == ndup * 1_000_000 // max(len(s), 1)
