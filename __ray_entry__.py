@@ -813,6 +813,21 @@ def q_date_histogram(sf_dir: str):
     return s.agg_date_histogram(["purchase"], "ts", HOUR_US)
 
 
+MOVING_WINDOW = 3
+MOVING_MIN_N = 2
+
+
+def q_moving_avg(sf_dir: str):
+    """ES moving_fn + bucket_selector pipeline aggs over the hourly
+    purchase date_histogram: previous-3-bucket moving average (exact
+    integer micro), then keep only buckets with n >= 2."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_moving_selected(["purchase"], "ts", HOUR_US,
+                                 MOVING_WINDOW, MOVING_MIN_N)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -1269,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats": q_agg_stats,
         "agg_histogram": q_agg_histogram,
         "date_histogram": q_date_histogram,
+        "moving_avg": q_moving_avg,
         "facet_stats": q_facet_stats,
         "cardinality": q_cardinality,
         "agg_range": q_agg_range,
@@ -1802,6 +1818,21 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY bucket ORDER BY bucket""",
+        "moving_avg": f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+m AS (
+  SELECT bucket, n,
+         sum(n) OVER w AS wsum,
+         count(*) OVER w AS wcnt
+  FROM h
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN {MOVING_WINDOW} PRECEDING AND 1 PRECEDING))
+SELECT bucket, cast(n AS bigint) AS n,
+       cast(CASE WHEN wcnt > 0 THEN wsum * 1000000 // wcnt END AS bigint)
+         AS mov_avg_micro
+FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
         "facet_stats": f"""
             SELECT lang,
                    cast(count(*) AS bigint) AS n,

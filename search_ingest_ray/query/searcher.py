@@ -1483,6 +1483,38 @@ class Searcher:
             "n": pa.array(counts, pa.int64()),
         })
 
+    def agg_moving_selected(self, terms: list[str], field: str,
+                            interval_us: int, window: int,
+                            min_n: int) -> pa.Table:
+        """ES ``moving_fn`` + ``bucket_selector`` pipeline aggs over a
+        date_histogram: per PRESENT bucket, the exact-integer moving
+        average (micro-units) of the previous ``window`` buckets' counts
+        (ES moving_fn with shift=0: frame [i-window, i), current bucket
+        excluded; first bucket → NULL), then a bucket_selector keeps only
+        buckets with ``n >= min_n``.  Pipeline stages run AFTER the
+        histogram, in ES order: the window sees every present bucket,
+        selection only trims the response.  O(buckets) numpy on the tiny
+        bucket vector."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        m = n.size
+        idx = np.arange(m, dtype=np.int64)
+        lo = np.maximum(idx - window, 0)
+        csum = np.concatenate([[0], np.cumsum(n, dtype=np.int64)])
+        wsum = csum[idx] - csum[lo]
+        wcnt = idx - lo
+        mov = np.where(wcnt > 0,
+                       wsum * 1_000_000 // np.maximum(wcnt, 1), 0)
+        keep = n >= min_n
+        return pa.table({
+            "bucket": hist["bucket"].filter(pa.array(keep)),
+            "n": hist["n"].filter(pa.array(keep)),
+            "mov_avg_micro": pa.array(
+                [int(v) if c > 0 else None
+                 for v, c, k_ in zip(mov, wcnt, keep) if k_],
+                pa.int64()),
+        })
+
     def filter_docs(self, filters: dict, k: int | None = None) -> np.ndarray:
         """Filter-context-ONLY query: docids (sorted ascending) whose
         stored fields satisfy ``filters`` — the ES ``constant_score``
