@@ -753,6 +753,19 @@ def q_percentiles(sf_dir: str):
     return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
 
 
+PCT_RANK_VALUES = (100, 300, 800)
+
+
+def q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks agg (exact-CDF flavor) over n_chars of the
+    match set: per probe value, match-set fraction ≤ it in integer
+    micro-percent."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_percentile_ranks(list(BM25_QUERY_TERMS), "n_chars",
+                                  list(PCT_RANK_VALUES))
+
+
 def q_top_hits(sf_dir: str):
     """ES top_hits sub-agg: per-lang top-2 docs by the micro disjunction
     score."""
@@ -1316,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": q_sort_by_field,
         "multi_match_boost": q_multi_match_boost,
         "percentiles": q_percentiles,
+        "percentile_ranks": q_percentile_ranks,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -1932,6 +1946,20 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "percentile_ranks": f"""
+            WITH m AS (
+              SELECT n_chars AS v FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+            ),
+            cnt AS (SELECT count(*) AS n FROM m),
+            probes(val) AS (VALUES ({PCT_RANK_VALUES[0]}),
+                                   ({PCT_RANK_VALUES[1]}),
+                                   ({PCT_RANK_VALUES[2]}))
+            SELECT cast(probes.val AS bigint) AS value,
+                   cast((SELECT count(*) FROM m WHERE m.v <= probes.val)
+                        * 100000000 // cnt.n AS bigint) AS pct_micro
+            FROM probes CROSS JOIN cnt ORDER BY value""",
         "top_hits": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents

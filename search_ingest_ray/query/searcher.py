@@ -1350,6 +1350,27 @@ class Searcher:
             "value": pa.array(out, pa.int64()),
         })
 
+    def agg_percentile_ranks(self, terms: list[str], field: str,
+                             values: list[int]) -> pa.Table:
+        """ES ``percentile_ranks`` aggregation, exact-CDF flavor: for each
+        probe value, the percentage of match-set docvalues ≤ it, in exact
+        integer micro-percent (``count(x ≤ v)·100·10⁶ // n``; ES
+        approximates with t-digest).  One docvalues fetch + one sort;
+        each probe is a binary search.  Returns (value, pct_micro)."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = np.sort(_int_docvals(vals))
+        n = arr.size
+        probes = np.asarray(list(values), dtype=np.int64)
+        if n == 0:
+            pct = pa.array([None] * probes.size, pa.int64())
+        else:
+            ranks = np.searchsorted(arr, probes, side="right")
+            pct = pa.array(ranks * 100_000_000 // n, pa.int64())
+        return pa.table({"value": pa.array(probes, pa.int64()),
+                         "pct_micro": pct})
+
     def agg_top_hits(self, terms: list[str], group_field: str,
                      per_group: int = 2) -> pa.Table:
         """ES ``top_hits`` sub-aggregation: within each group-field
