@@ -1222,17 +1222,26 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal plumbing: documents' text bytes stand in for image
-    binaries (decode stage stubbed — see functions/multimodal.py)."""
+    """Multimodal with REAL pixel decode: a deterministic 16×16 PNG is
+    synthesized per doc (seeded by doc_id), then the actor-pool stage
+    decodes the actual pixels (stdlib zlib codec) and emits
+    pixel-statistics features — decoded=True end to end."""
+    from search_ingest_ray.functions.imagecodec import encode_png
     from search_ingest_ray.functions.multimodal import ImageFeatureStage
 
     def to_binary(t: pa.Table) -> pa.Table:
-        data = pa.array([x.encode() for x in t["text"].to_pylist()], pa.binary())
-        return pa.table({"media_id": t["doc_id"].cast(pa.string()), "data": data})
+        imgs = []
+        for i in t["doc_id"].to_pylist():
+            rng = np.random.default_rng(int(i))
+            imgs.append(encode_png(rng.integers(0, 256, size=(16, 16, 3),
+                                                dtype=np.uint8)))
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()),
+                         "data": pa.array(imgs, pa.binary())})
 
     ds = _docs(sf_dir).map_batches(to_binary, batch_format="pyarrow")
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=_pool(2))
+                          batch_size=64, concurrency=_pool(2),
+                          fn_constructor_kwargs={"strict": True})
 
 
 def q_webpage_build(sf_dir: str):

@@ -181,7 +181,10 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # round-3 query-DSL / aggs / distributed serving
                  "bool_query", "search_after", "multi_match", "facet_lang",
                  "top_hits", "sig_terms", "rescore", "date_histogram",
-                 "bm25_sharded"]:
+                 "bm25_sharded",
+                 # training-data hygiene (late round 3)
+                 "decontaminate", "dup_ngrams", "repetition",
+                 "dedup_clusters"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

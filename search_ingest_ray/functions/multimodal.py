@@ -1,11 +1,16 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment — clearly marked below); everything Ray-side is real and tested:
-schemas, actor-pool stage shape, small batch sizes for wide binary rows,
-and output layout.  Swap ``_decode_image_stub`` for a real decoder (PIL /
-ffmpeg) in production without touching the pipeline shape.
+Decode kernels are REAL for every format the standard library can carry:
+PNG / PPM / BMP pixels and PCM WAV audio decode via
+:mod:`.imagecodec` (zlib / struct / wave — no PIL/ffmpeg needed).  Formats
+that genuinely require external codecs (JPEG, MP4/WebM video) raise
+``NotImplementedError`` inside the codec; the stages surface that as
+``decoded=False`` rows with content-hash fallback features (``strict=True``
+re-raises instead), so a mixed corpus streams through without faking
+pixels.  Ray-side shape: small batches (binary rows are wide), stateful
+setup once per actor, one output row per media item (or per sampled
+frame).
 """
 
 from __future__ import annotations
@@ -15,23 +20,23 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .imagecodec import (audio_features, decode_image, decode_png,
+                         image_features, _PNG_MAGIC)
+
 IMAGE_META_SCHEMA = pa.schema([
     ("media_id", pa.string()),
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("n_bytes", pa.int64()),
     ("sha", pa.string()),
+    ("decoded", pa.bool_()),
     ("feature", pa.list_(pa.float32())),
 ])
 
 
-def _decode_image_stub(data: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB decoder — deterministic fake in lieu of PIL/libjpeg.
-
-    Production: replace with a real decode returning (width, height,
-    feature_vector).  The fake derives stable pseudo-dimensions and an
-    8-dim feature from the content hash so tests are deterministic.
-    """
+def _fallback_features(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Content-hash pseudo-features for undecodable payloads — stable and
+    clearly flagged (``decoded=False``), never passed off as pixels."""
     h = hashlib.blake2b(data, digest_size=16).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -44,26 +49,39 @@ class ImageFeatureStage:
 
     Usage: ``ds.map_batches(ImageFeatureStage, batch_size=64,
     concurrency=(2, 8), num_cpus=1, batch_format="pyarrow")`` — small
-    batches because each row can be MBs of binary; model/codec state loads
-    once per actor in ``__init__``.
-    """
+    batches because each row can be MBs of binary; codec state loads once
+    per actor in ``__init__``.  PNG/PPM/BMP rows decode for real
+    (12-dim pixel-statistics feature: RGB means + 8-bin luminance
+    histogram + aspect); JPEG/unknown rows get ``decoded=False`` +
+    hash-fallback features, or raise when ``strict=True``."""
 
-    def __init__(self, data_col: str = "data", id_col: str = "media_id"):
+    def __init__(self, data_col: str = "data", id_col: str = "media_id",
+                 strict: bool = False):
         self.data_col = data_col
         self.id_col = id_col
-        # production: load the decoder / feature model here, once per actor
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, widths, heights, nbytes, shas, feats = [], [], [], [], [], []
+        ids, widths, heights, nbytes, shas, dec, feats = \
+            [], [], [], [], [], [], []
         for mid, data in zip(batch[self.id_col].to_pylist(),
                              batch[self.data_col].to_pylist()):
             data = data or b""
-            w, h, f = _decode_image_stub(data)
+            try:
+                px = decode_image(data)
+                h, w = px.shape[0], px.shape[1]
+                f, ok = image_features(px), True
+            except Exception:
+                if self.strict:
+                    raise
+                w, h, f = _fallback_features(data)
+                ok = False
             ids.append(str(mid))
             widths.append(w)
             heights.append(h)
             nbytes.append(len(data))
             shas.append(hashlib.sha1(data).hexdigest())
+            dec.append(ok)
             feats.append(f)
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
@@ -71,37 +89,118 @@ class ImageFeatureStage:
             "height": pa.array(heights, pa.int32()),
             "n_bytes": pa.array(nbytes, pa.int64()),
             "sha": pa.array(shas, pa.string()),
-            "feature": pa.array([np.asarray(f, dtype=np.float32) for f in feats],
-                                pa.list_(pa.float32())),
+            "decoded": pa.array(dec, pa.bool_()),
+            "feature": pa.array([np.asarray(f, dtype=np.float32)
+                                 for f in feats], pa.list_(pa.float32())),
         })
 
 
-class FrameSampleStage:
-    """Actor-pool stage: sample N pseudo-frames per video binary.
-
-    STUB: real frame extraction needs ffmpeg; the fake emits deterministic
-    frame offsets + content-hash features, preserving the real output
-    layout (one row per sampled frame — a flat_map-shaped explosion)."""
+class AudioFeatureStage:
+    """Actor-pool stage: REAL PCM-WAV feature extraction (stdlib codec):
+    sample rate, duration, RMS and zero-crossing rate in exact integer
+    micro-units.  Non-WAV rows → ``decoded=False`` zero features (or
+    raise when ``strict=True``)."""
 
     def __init__(self, data_col: str = "data", id_col: str = "media_id",
-                 frames: int = 4):
+                 strict: bool = False):
         self.data_col = data_col
         self.id_col = id_col
-        self.frames = frames
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mid_out, frame_out, feat_out = [], [], []
+        cols: dict[str, list] = {k: [] for k in (
+            "media_id", "n_bytes", "decoded", "sample_rate", "n_samples",
+            "duration_us", "rms_micro", "zcr_micro")}
         for mid, data in zip(batch[self.id_col].to_pylist(),
                              batch[self.data_col].to_pylist()):
             data = data or b""
+            try:
+                f = audio_features(data)
+                ok = True
+            except Exception:
+                if self.strict:
+                    raise
+                f = dict(sample_rate=0, n_samples=0, duration_us=0,
+                         rms_micro=0, zcr_micro=0)
+                ok = False
+            cols["media_id"].append(str(mid))
+            cols["n_bytes"].append(len(data))
+            cols["decoded"].append(ok)
+            for k in ("sample_rate", "n_samples", "duration_us",
+                      "rms_micro", "zcr_micro"):
+                cols[k].append(int(f[k]))
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
+            "decoded": pa.array(cols["decoded"], pa.bool_()),
+            "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "duration_us": pa.array(cols["duration_us"], pa.int64()),
+            "rms_micro": pa.array(cols["rms_micro"], pa.int64()),
+            "zcr_micro": pa.array(cols["zcr_micro"], pa.int64()),
+        })
+
+
+def _split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG clip (frames stored back-to-back) into
+    per-frame byte strings."""
+    frames, pos = [], 0
+    while True:
+        nxt = data.find(_PNG_MAGIC, pos + 1)
+        if nxt == -1:
+            frames.append(data[pos:])
+            return frames
+        frames.append(data[pos:nxt])
+        pos = nxt
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample N frames per video binary (one output row
+    per sampled frame — a flat_map-shaped explosion).
+
+    A concatenated-PNG clip (our deterministic stdlib-expressible video
+    container: PNG frames back-to-back) decodes FOR REAL — frames are
+    sampled evenly and featurized from actual pixels.  Real codecs
+    (MP4/WebM) need ffmpeg, absent here: those rows emit ``decoded=False``
+    content-hash frame features (or raise when ``strict=True``)."""
+
+    def __init__(self, data_col: str = "data", id_col: str = "media_id",
+                 frames: int = 4, strict: bool = False):
+        self.data_col = data_col
+        self.id_col = id_col
+        self.frames = frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mid_out, frame_out, dec_out, feat_out = [], [], [], []
+        for mid, data in zip(batch[self.id_col].to_pylist(),
+                             batch[self.data_col].to_pylist()):
+            data = data or b""
+            if data.startswith(_PNG_MAGIC):
+                clip = _split_png_stream(data)
+                picks = np.unique(np.linspace(0, len(clip) - 1, self.frames)
+                                  .astype(np.int64))
+                for fr in picks:
+                    px = decode_png(clip[int(fr)])
+                    mid_out.append(str(mid))
+                    frame_out.append(int(fr))
+                    dec_out.append(True)
+                    feat_out.append(image_features(px))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "video codecs beyond concatenated-PNG need ffmpeg")
             for fr in range(self.frames):
                 h = hashlib.blake2b(data + fr.to_bytes(4, "big"),
                                     digest_size=8).digest()
                 mid_out.append(str(mid))
                 frame_out.append(fr)
-                feat_out.append(np.frombuffer(h, dtype=np.uint8).astype(np.float32))
+                dec_out.append(False)
+                feat_out.append(
+                    np.frombuffer(h, dtype=np.uint8).astype(np.float32))
         return pa.table({
             "media_id": pa.array(mid_out, pa.string()),
             "frame": pa.array(frame_out, pa.int32()),
+            "decoded": pa.array(dec_out, pa.bool_()),
             "feature": pa.array(feat_out, pa.list_(pa.float32())),
         })

@@ -276,8 +276,9 @@ def test_image_feature_stage_plumbing(rd):
                          batch_size=4, concurrency=2).to_pandas()
     assert len(out) == 10
     assert set(out.columns) == {"media_id", "width", "height", "n_bytes",
-                                "sha", "feature"}
+                                "sha", "decoded", "feature"}
     assert (out["n_bytes"] == 100).all()
+    assert not out["decoded"].any()   # raw bytes aren't a decodable image
     # deterministic across runs
     out2 = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=4, concurrency=2).to_pandas()

@@ -1,0 +1,176 @@
+"""Stdlib image/audio codec tests: PNG round-trip + all five scanline
+filters against an independent reference filterer, PPM/BMP bit-exact
+decode, WAV features vs analytic values, and the real-decode paths of the
+multimodal stages."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_ingest_ray.functions.imagecodec import (
+    audio_features, decode_bmp, decode_image, decode_png, decode_ppm,
+    encode_png, encode_wav, image_features,
+)
+from search_ingest_ray.functions.multimodal import (
+    AudioFeatureStage, FrameSampleStage, ImageFeatureStage,
+)
+
+
+def _rng_img(h, w, ch, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8).squeeze()
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip(ch):
+    img = _rng_img(13, 7, ch, seed=ch)
+    out = decode_png(encode_png(img))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+
+
+def _ref_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Independent PNG scanline filterer (spec section 9) — builds the
+    raw stream the decoder must invert."""
+    h, w, ch = img.shape
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int64)
+        out = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+            out[x] = (cur[x] - pred) % 256
+        raw += bytes([ftype]) + bytes(out.astype(np.uint8))
+        prev = cur
+    return raw
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filters_decode(ftype):
+    img = _rng_img(9, 5, 3, seed=10 + ftype)
+    ihdr = struct.pack(">IIBBBBB", 5, 9, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(_ref_filter(img, ftype)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_ppm_decode():
+    img = _rng_img(4, 6, 3, seed=3)
+    data = b"P6\n# comment\n6 4\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+
+
+def test_bmp_decode_24bit_bottom_up():
+    img = _rng_img(3, 5, 3, seed=4)
+    stride = (5 * 3 + 3) & ~3
+    rows = b""
+    for y in range(2, -1, -1):          # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    assert np.array_equal(decode_bmp(header + rows), img)
+
+
+def test_decode_image_sniffs_and_rejects():
+    img = _rng_img(2, 2, 3, seed=5)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"garbage")
+
+
+def test_image_features_match_numpy():
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = 255                       # pure red
+    f = image_features(img)
+    assert f.shape == (12,)
+    assert abs(f[0] - 1.0) < 1e-6 and abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6
+    lum = 0.299 * 255
+    hist = np.zeros(8)
+    hist[int(lum // 32)] = 1.0
+    assert np.allclose(f[3:11], hist)
+    assert abs(f[11] - 2.0) < 1e-6           # aspect 20/10
+
+
+def test_wav_features_analytic():
+    rate, freq, amp = 16000, 1000, 0.5
+    t = np.arange(rate // 10) / rate         # 0.1 s
+    wav = encode_wav(amp * np.sin(2 * np.pi * freq * t), rate)
+    f = audio_features(wav)
+    assert f["sample_rate"] == rate
+    assert f["n_samples"] == rate // 10
+    assert f["duration_us"] == 100_000
+    # sine RMS = amp/√2; 16-bit quantization keeps it within ~100 micro
+    assert abs(f["rms_micro"] - int(amp / np.sqrt(2) * 1e6)) < 200
+    # zero crossings ≈ 2·freq·duration
+    assert abs(f["zcr_micro"] - int(2 * freq / rate * 1e6)) < 2000
+
+
+def test_image_stage_decodes_real_pixels(ray_session):
+    import ray.data as rd
+    imgs = [_rng_img(8, 8, 3, seed=i) for i in range(6)]
+    ds = rd.from_items([{"media_id": str(i), "data": encode_png(im)}
+                        for i, im in enumerate(imgs)])
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=2, concurrency=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    assert out["decoded"].all()
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    for i, im in enumerate(imgs):
+        assert np.allclose(out["feature"][i], image_features(im))
+
+
+def test_audio_stage_mixed_corpus(ray_session):
+    import ray.data as rd
+    wav = encode_wav(np.zeros(1600), 16000)
+    ds = rd.from_items([{"media_id": "a", "data": wav},
+                        {"media_id": "b", "data": b"notawav"}])
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    out = out.set_index("media_id")
+    assert bool(out.loc["a", "decoded"]) and not bool(out.loc["b", "decoded"])
+    assert out.loc["a", "duration_us"] == 100_000
+    assert out.loc["a", "rms_micro"] == 0
+
+
+def test_frame_sample_concat_png_clip(ray_session):
+    import ray.data as rd
+    frames = [_rng_img(4, 4, 3, seed=40 + i) for i in range(5)]
+    clip = b"".join(encode_png(f) for f in frames)
+    ds = rd.from_items([{"media_id": "v", "data": clip}])
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"frames": 3}).to_pandas()
+    assert out["decoded"].all()
+    assert out["frame"].tolist() == [0, 2, 4]
+    for row, fr in zip(out.itertuples(), (0, 2, 4)):
+        assert np.allclose(row.feature, image_features(frames[fr]))
