@@ -256,6 +256,25 @@ def _burn(n):
     return x
 
 
+def host_mem_bandwidth_gbps(size_mb: int = 128, reps: int = 5) -> float:
+    """Single-thread memcpy bandwidth (GB/s, best of ``reps``).  The burn
+    probe only sees CPU-cycle grants; a noisy neighbor on the memory bus
+    halves the build (streaming encode is bandwidth-bound) while burn
+    still reads full cores — observed windows with grants 1.0/4.3 yet
+    eff 0.53 and both legs ~2x slow.  Gate scaling trials on BOTH."""
+    import numpy as np
+    a = np.empty(size_mb << 20, dtype=np.uint8)
+    a[:] = 1
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        del b
+        best = max(best, (a.nbytes * 2) / dt / 1e9)
+    return round(best, 2)
+
+
 def run_scaling() -> dict:
     """Fresh-process runs at N and 4N cpus on the same corpus.
 
@@ -276,6 +295,7 @@ def run_scaling() -> dict:
     trials = int(os.environ.get("SCALE_TRIALS", "1"))
     runs = []
     for _ in range(trials):
+        bw0 = host_mem_bandwidth_gbps()
         r_lo = run(lo)
         r_hi = run(hi)
         tput_lo = r_lo["build"]["docs_per_sec"]
@@ -297,6 +317,8 @@ def run_scaling() -> dict:
             "qps_lo": r_lo["query"]["qps"], "qps_hi": r_hi["query"]["qps"],
             "p50_ms_hi": r_hi["query"]["query_p50_ms"],
             "p99_ms_hi": r_hi["query"]["query_p99_ms"],
+            "mem_bw_gbps_before": bw0,
+            "mem_bw_gbps_after": host_mem_bandwidth_gbps(),
         })
     best = max(runs, key=lambda r: r["eff"])  # least-noise trial
     effs = sorted(r["eff"] for r in runs)

@@ -26,14 +26,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = "/tmp/si_scaling_hunt.jsonl"
 LOCK = "/tmp/si_scaling_pair.lock"
+BUSY = "/tmp/si_builder_busy"   # touched by the builder around heavy jobs
 WIN = "/tmp/si_scaling_hunt_QUALIFIED.json"
 
 sys.path.insert(0, REPO)
 
 
-def probe() -> tuple[float, float]:
-    from bench import host_parallel_ceiling
-    return host_parallel_ceiling(1), host_parallel_ceiling(4)
+def probe() -> tuple[float, float, float]:
+    from bench import host_mem_bandwidth_gbps, host_parallel_ceiling
+    return (host_parallel_ceiling(1), host_parallel_ceiling(4),
+            host_mem_bandwidth_gbps())
 
 
 def qualifies(trial: dict) -> bool:
@@ -47,11 +49,23 @@ def main() -> int:
     max_minutes = float(os.environ.get("HUNT_MINUTES", "300"))
     deadline = time.monotonic() + max_minutes * 60
     attempt = 0
+    # memory-bandwidth gate: the burn probe misses memory-bus contention
+    # (windows with full CPU grants still ran both legs 2x slow at
+    # 5.9 GB/s memcpy).  Adaptive: require >= 75% of the best bandwidth
+    # seen this hunt, with an absolute floor.
+    bw_floor = float(os.environ.get("HUNT_MIN_BW", "8.0"))
+    bw_best = 0.0
     while time.monotonic() < deadline:
-        c1, c4 = probe()
-        calm = c1 >= 0.9 and c4 >= 3.55
+        if os.path.exists(BUSY):
+            time.sleep(30)
+            continue
+        c1, c4, bw = probe()
+        bw_best = max(bw_best, bw)
+        calm = (c1 >= 0.9 and c4 >= 3.55
+                and bw >= max(bw_floor, 0.75 * bw_best)
+                and not os.path.exists(BUSY))
         rec = {"ts": time.time(), "probe_c1": c1, "probe_c4": c4,
-               "calm": calm}
+               "mem_bw_gbps": bw, "calm": calm}
         if not calm:
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
