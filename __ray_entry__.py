@@ -753,6 +753,15 @@ def q_percentiles(sf_dir: str):
     return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
 
 
+def q_index_stats(sf_dir: str):
+    """ES _stats-style counters straight from segment metadata — an
+    index-integrity invariant the SQL oracle re-derives from raw text."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    return s.index_stats()
+
+
 PCT_RANK_VALUES = (100, 300, 800)
 
 
@@ -1339,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_boost": q_multi_match_boost,
         "percentiles": q_percentiles,
         "percentile_ranks": q_percentile_ranks,
+        "index_stats": q_index_stats,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -1955,6 +1965,15 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "index_stats": f"""
+            SELECT
+              cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,
+              cast((SELECT count(DISTINCT term) FROM
+                     (SELECT unnest({_TOKS}) AS term FROM documents))
+                   AS bigint) AS n_terms,
+              cast((SELECT count(*) FROM
+                     (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+                      FROM documents)) AS bigint) AS n_postings""",
         "percentile_ranks": f"""
             WITH m AS (
               SELECT n_chars AS v FROM documents

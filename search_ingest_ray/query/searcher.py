@@ -1350,6 +1350,29 @@ class Searcher:
             "value": pa.array(out, pa.int64()),
         })
 
+    def index_stats(self) -> pa.Table:
+        """ES ``_stats``-style index integrity counters, exact from segment
+        metadata: n_docs (epoch stats), n_terms (distinct dictionary terms
+        across partitions — salted sub-lists of one term count once) and
+        n_postings (Σ local list lengths ``n`` = distinct (term, doc)
+        pairs; each doc lives in exactly one docid-mod sub-list of a
+        salted term).  An end-to-end invariant a SQL oracle can re-derive
+        from the raw corpus."""
+        terms: set[str] = set()
+        postings = 0
+        for tp in range(self.P):
+            ent = self._part(tp)
+            if ent is None:
+                continue
+            tbl = ent[0]
+            terms.update(tbl["term"].to_pylist())
+            postings += int(pc.sum(tbl["n"]).as_py() or 0)
+        return pa.table({
+            "n_docs": pa.array([int(self.stats["n_docs"])], pa.int64()),
+            "n_terms": pa.array([len(terms)], pa.int64()),
+            "n_postings": pa.array([postings], pa.int64()),
+        })
+
     def agg_percentile_ranks(self, terms: list[str], field: str,
                              values: list[int]) -> pa.Table:
         """ES ``percentile_ranks`` aggregation, exact-CDF flavor: for each
