@@ -722,6 +722,80 @@ def q_dup_ngrams(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir), k=5, concurrency=_pool())
 
 
+FILTER_MIN_TOKENS = 30        # Gopher-style length floor
+FILTER_MIN_STOP_MICRO = 20_000    # ≥2% stopwords
+FILTER_MAX_REP_MICRO = 100_000    # top bigram ≤10% of bigrams
+FILTER_MAX_DUP_MICRO = 500_000    # ≤50% corpus-duplicated 5-grams
+FILTER_LANG = "en"
+FILTER_N_SIGNALS = 4
+
+
+def q_corpus_filter(sf_dir: str):
+    """The canonical LLM training-data filter pipeline END TO END:
+    quality thresholds + Gopher repetition cap + language-ID + exact
+    dedup (first wins) + benchmark decontamination + duplicate-n-gram
+    cap, composed from the individually-oracled operators.
+
+    Shape: each signal family is an independent streaming pipeline
+    emitting (doc_id, ok) votes; ONE doc_id-keyed groupby-sum combines
+    them (a doc survives iff present with ok=1 in all four vote streams)
+    — no driver-side joins, no materialization beyond the per-doc vote
+    rows."""
+    import pyarrow.compute as pc
+
+    from search_ingest_ray.functions.decontam import (decontaminate,
+                                                      dup_ngram_stats)
+    from search_ingest_ray.functions.dedup import exact_dedup
+    from search_ingest_ray.functions.textstats import (LangId,
+                                                       quality_batch,
+                                                       repetition_batch)
+    docs = _docs(sf_dir)
+
+    def sig_quality(t: pa.Table) -> pa.Table:
+        ok = ((t["n_tokens"].to_numpy(zero_copy_only=False)
+               >= FILTER_MIN_TOKENS)
+              & (t["stopword_ratio_micro"].to_numpy(zero_copy_only=False)
+                 >= FILTER_MIN_STOP_MICRO)
+              & (t["top_bigram_micro"].to_numpy(zero_copy_only=False)
+                 <= FILTER_MAX_REP_MICRO)
+              & (np.asarray(t["lang_pred"].to_pylist()) == FILTER_LANG))
+        return pa.table({"doc_id": t["doc_id"],
+                         "ok": pa.array(ok.astype(np.int64))})
+
+    # three actor-pool stages coexist in ONE streaming DAG — size each
+    # pool small (2) so their fixed reservations fit the smallest driver
+    # session (8 cpus) without starving task-based stages
+    s1 = (docs.map_batches(quality_batch, batch_format="pyarrow")
+              .map_batches(repetition_batch, batch_format="pyarrow")
+              .map_batches(LangId, batch_format="pyarrow",
+                           concurrency=_pool(2))
+              .map_batches(sig_quality, batch_format="pyarrow"))
+    s2 = decontaminate(docs, mod=DECONTAM_MOD, k=3,
+                       concurrency=_pool(2)).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "ok": pc.subtract(pa.scalar(1, pa.int64()), t["contaminated"]),
+        }), batch_format="pyarrow")
+    s3 = dup_ngram_stats(docs, k=5, concurrency=_pool(2)).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "ok": pc.cast(pc.less_equal(t["dup_micro"],
+                                        FILTER_MAX_DUP_MICRO), pa.int64()),
+        }), batch_format="pyarrow")
+    s4 = exact_dedup(docs).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "ok": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }), batch_format="pyarrow")
+
+    votes = s1.union(s2).union(s3).union(s4)
+    summed = votes.groupby("doc_id").sum("ok")
+    return summed.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pc.equal(t["sum(ok)"], FILTER_N_SIGNALS))["doc_id"]}),
+        batch_format="pyarrow")
+
+
 RESCORE_WINDOW = 50
 RESCORE_BONUS = 5_000_000
 
@@ -1338,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": q_weighted_avg,
         "decontaminate": q_decontaminate,
         "dup_ngrams": q_dup_ngrams,
+        "corpus_filter": q_corpus_filter,
         "ids": q_ids,
         "phrase_prefix": q_phrase_prefix,
         "multi_match": q_multi_match,
@@ -1492,10 +1567,12 @@ bands AS (
   FROM sig JOIN bm ON bm.r = pidx % 4
   GROUP BY doc_id, pidx // 4)"""
 
-    def _sh_cte(k: int) -> str:
-        """CTE ``sh(doc_id, hv)``: DISTINCT word-k-gram hashes per doc —
+    def _sh_cte(k: int, p: str = "n", out: str = "sh") -> str:
+        """CTE ``{out}(doc_id, hv)``: DISTINCT word-k-gram hashes per doc —
         the exact ShingleHasher value (md5-low64 token hashes +
-        position-weighted MIX polynomial, wrapping mod 2^64)."""
+        position-weighted MIX polynomial, wrapping mod 2^64).  ``p``
+        prefixes the intermediate CTE names so two k's can coexist in one
+        query."""
         from search_ingest_ray.functions.dedup import ShingleHasher
         mix = ShingleHasher.MIX
         leads = ",\n         ".join(
@@ -1505,23 +1582,23 @@ bands AS (
             _mulmod64("h" if j == 0 else f"h{j}",
                       f"{int(mix[j])}::HUGEINT")
             for j in range(k))
-        return f"""nbase AS (
+        return f"""{p}base AS (
   SELECT doc_id,
          list_concat({_TOKS},
            list_transform(range(greatest({k} - len({_TOKS}), 0)),
                           x -> '')) AS toks
   FROM documents),
-ntok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
+{p}tok AS (SELECT doc_id, md5_number_lower(unnest(toks))::HUGEINT AS h,
                 unnest(range(len(toks))) AS pos, len(toks) AS nt
-         FROM nbase),
-nw AS (
+         FROM {p}base),
+{p}w AS (
   SELECT doc_id, pos, nt, h,
          {leads}
-  FROM ntok),
-sh AS (
+  FROM {p}tok),
+{out} AS (
   SELECT DISTINCT doc_id,
          ({terms}) % {_M64}::HUGEINT AS hv
-  FROM nw WHERE pos <= nt - {k})"""
+  FROM {p}w WHERE pos <= nt - {k})"""
 
     bool_micro = (f"cast(floor(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
                   f" * ((tf.tf * ({k1} + 1))"
@@ -2473,6 +2550,61 @@ SELECT s.doc_id,
 FROM sh s LEFT JOIN bench b ON s.hv = b.hv
 WHERE s.doc_id % {DECONTAM_MOD} <> 0
 GROUP BY s.doc_id ORDER BY s.doc_id""",
+        "corpus_filter": f"""
+WITH {_sh_cte(3, p='d3', out='sh3')},
+{_sh_cte(5, p='d5', out='sh5')},
+q AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         cast(floor(len(list_filter(toks, x -> x IN {STOP_SQL}))::double
+              / greatest(len(toks), 1) * 1e6) AS bigint) AS stop_micro
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+tokp AS (SELECT doc_id, unnest({_TOKS}) AS term,
+                unnest(range(len({_TOKS}))) AS pos FROM documents),
+bg AS (SELECT doc_id, term || ' ' || lead(term)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       FROM tokp QUALIFY b IS NOT NULL),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+rep AS (SELECT d.doc_id,
+               cast(coalesce((t.mc * 1000000)
+                      // greatest(len({_TOKS}) - 1, 1), 0) AS bigint)
+                 AS rep_micro
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id) t
+          USING (doc_id)),
+dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+prof(lang, w) AS (VALUES {prof_vals}),
+sc AS (SELECT dt.doc_id, p.lang, count(*) AS s
+       FROM dt JOIN prof p ON dt.term = p.w GROUP BY dt.doc_id, p.lang),
+best AS (SELECT doc_id, lang AS lang_pred,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, lang) AS rn
+         FROM sc WHERE s >= 1),
+lid AS (SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred
+        FROM documents d
+        LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+bench AS (SELECT DISTINCT hv FROM sh3 WHERE doc_id % {DECONTAM_MOD} = 0),
+dec AS (SELECT s.doc_id,
+               max(CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END) AS cont
+        FROM sh3 s LEFT JOIN bench b ON s.hv = b.hv
+        WHERE s.doc_id % {DECONTAM_MOD} <> 0 GROUP BY s.doc_id),
+runs5 AS (SELECT hv, count(*) AS c FROM sh5 GROUP BY hv),
+dup AS (SELECT s.doc_id,
+               sum(CASE WHEN r.c >= 2 THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS dup_micro
+        FROM sh5 s JOIN runs5 r ON s.hv = r.hv GROUP BY s.doc_id),
+ded AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT d.doc_id
+FROM documents d
+JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN lid USING (doc_id)
+JOIN dec USING (doc_id) JOIN dup USING (doc_id)
+JOIN ded ON ded.doc_id = d.doc_id
+WHERE q.n_tokens >= {FILTER_MIN_TOKENS}
+  AND q.stop_micro >= {FILTER_MIN_STOP_MICRO}
+  AND rep.rep_micro <= {FILTER_MAX_REP_MICRO}
+  AND lid.lang_pred = '{FILTER_LANG}'
+  AND dec.cont = 0
+  AND dup.dup_micro <= {FILTER_MAX_DUP_MICRO}
+ORDER BY d.doc_id""",
         "dup_ngrams": f"""
 WITH {_sh_cte(5)},
 runs AS (SELECT hv, count(*) AS c FROM sh GROUP BY hv)

@@ -184,7 +184,7 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "bm25_sharded",
                  # training-data hygiene (late round 3)
                  "decontaminate", "dup_ngrams", "repetition",
-                 "dedup_clusters"]:
+                 "dedup_clusters", "corpus_filter"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
