@@ -196,6 +196,29 @@ def cmd_alias(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """ES _snapshot API analog: checksummed epoch backup / verified
+    restore / repository listing."""
+    from . import snapshot as snap
+    if args.action in ("create", "restore") and not (args.name
+                                                     and args.index_root):
+        print("snapshot %s requires REPO NAME INDEX_ROOT" % args.action,
+              file=sys.stderr)
+        return 2
+    if args.action == "create":
+        m = snap.snapshot(args.index_root, args.repo, args.name,
+                          epoch=args.epoch)
+        print(json.dumps({"snapshot": args.name,
+                          "n_files": len(m["files"])}))
+    elif args.action == "restore":
+        m = snap.restore(args.repo, args.name, args.index_root)
+        print(json.dumps({"restored": args.name,
+                          "n_files": len(m["files"])}))
+    else:  # list
+        print(json.dumps(snap.list_snapshots(args.repo)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="search_ingest_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -274,6 +297,14 @@ def main(argv=None) -> int:
     al.add_argument("--registry", default=None,
                     help="registry dir (default: the shared cache dir)")
     al.set_defaults(fn=cmd_alias)
+
+    sn = sub.add_parser("snapshot", help="checksummed backup/restore")
+    sn.add_argument("action", choices=["create", "restore", "list"])
+    sn.add_argument("repo", help="repository directory")
+    sn.add_argument("name", nargs="?", default=None)
+    sn.add_argument("index_root", nargs="?", default=None)
+    sn.add_argument("--epoch", type=int, default=0)
+    sn.set_defaults(fn=cmd_snapshot)
 
     args = p.parse_args(argv)
     return args.fn(args)
