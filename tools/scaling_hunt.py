@@ -54,16 +54,26 @@ def main() -> int:
     # 5.9 GB/s memcpy).  Adaptive: require >= 75% of the best bandwidth
     # seen this hunt, with an absolute floor.
     bw_floor = float(os.environ.get("HUNT_MIN_BW", "8.0"))
+    bw_floor_min = float(os.environ.get("HUNT_MIN_BW_FLOOR", "4.5"))
     bw_best = 0.0
+    start = time.monotonic()
+    last_calm = start
     while time.monotonic() < deadline:
         if os.path.exists(BUSY):
             time.sleep(30)
             continue
+        # decay the blind-calibrated floor 10% per half hour without a
+        # calm window (the post-hoc lo-leg >= 950 gate still voids bad
+        # trials; the floor only protects the trial budget)
+        stale_halves = int((time.monotonic() - last_calm) / 1800)
+        floor_now = max(bw_floor_min, bw_floor * (0.9 ** stale_halves))
         c1, c4, bw = probe()
         bw_best = max(bw_best, bw)
         calm = (c1 >= 0.9 and c4 >= 3.55
-                and bw >= max(bw_floor, 0.75 * bw_best)
+                and bw >= min(max(floor_now, 0.75 * bw_best), bw_best)
                 and not os.path.exists(BUSY))
+        if calm:
+            last_calm = time.monotonic()
         rec = {"ts": time.time(), "probe_c1": c1, "probe_c4": c4,
                "mem_bw_gbps": bw, "calm": calm}
         if not calm:
@@ -75,7 +85,8 @@ def main() -> int:
         open(LOCK, "w").write(str(os.getpid()))
         try:
             env = dict(os.environ, SCALE_LO="1", SCALE_HI="4",
-                       BENCH_DOCS="100000", SCALE_TRIALS="1")
+                       BENCH_DOCS="100000", SCALE_TRIALS="1",
+                       SCALE_ABORT_LO_BELOW="950")
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
                 env=env, capture_output=True, text=True, cwd=REPO)
