@@ -81,6 +81,33 @@ def main() -> int:
                 f.write(json.dumps(rec) + "\n")
             time.sleep(45)
             continue
+        # second-stage gate: a 10k-doc 1-cpu MINI build (~25 s) measures
+        # the actual bandwidth-sensitive build rate — the thing the lo-leg
+        # gate checks — before committing ~3.5 min to the real lo leg
+        open(LOCK, "w").write(str(os.getpid()))
+        try:
+            mini_env = dict(os.environ, RAY_GRAFT_CPUS="1",
+                            BENCH_DOCS="10000", SCALE_SKIP_SF="1")
+            mout = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=mini_env, capture_output=True, text=True, cwd=REPO)
+            mline = mout.stdout.strip().splitlines()[-1] \
+                if mout.stdout.strip() else "{}"
+            mini_rate = json.loads(mline).get("build", {}) \
+                .get("docs_per_sec", 0.0)
+        except Exception:  # noqa: BLE001 — treat as not-calm
+            mini_rate = 0.0
+        finally:
+            try:
+                os.unlink(LOCK)
+            except OSError:
+                pass
+        rec["mini_docs_per_sec"] = mini_rate
+        if mini_rate < float(os.environ.get("HUNT_MINI_RATE", "820")):
+            with open(LOG, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            time.sleep(30)
+            continue
         attempt += 1
         open(LOCK, "w").write(str(os.getpid()))
         try:
