@@ -1304,6 +1304,45 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf(rd.read_parquet(emb_path), [q], k=10, nlist=8, nprobe=3)
 
 
+WAV_RATE = 8000
+WAV_HALF = 10       # square-wave half-period in samples
+WAV_AMP = 0.5       # quantizes to ±16383/32768 exactly
+
+
+def q_audio_features(sf_dir: str):
+    """REAL audio decode, SQL-oracled end to end: a deterministic square
+    wave (n_samples = 1000 + (n_chars%7)·100, half-period 10) is encoded
+    to PCM WAV per doc, the actor-pool stage decodes it with the stdlib
+    codec, and DuckDB re-derives every feature analytically — RMS is
+    exactly 16383/32768 (dyadic quantization, IEEE-exact), zero crossings
+    are (n-1)//half."""
+    from search_ingest_ray.functions.imagecodec import encode_wav
+    from search_ingest_ray.functions.multimodal import AudioFeatureStage
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        wavs = []
+        for nc in t["n_chars"].to_numpy(zero_copy_only=False):
+            n = 1000 + (int(nc) % 7) * 100
+            i = np.arange(n)
+            x = np.where((i // WAV_HALF) % 2 == 0, WAV_AMP, -WAV_AMP)
+            wavs.append(encode_wav(x, WAV_RATE))
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()),
+                         "data": pa.array(wavs, pa.binary())})
+
+    ds = (_docs(sf_dir).map_batches(to_wav, batch_format="pyarrow")
+          .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=_pool(2),
+                       fn_constructor_kwargs={"strict": True}))
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["media_id"].cast(pa.int64()),
+            "n_samples": t["n_samples"],
+            "duration_us": t["duration_us"],
+            "rms_micro": t["rms_micro"],
+            "zcr_micro": t["zcr_micro"],
+        }), batch_format="pyarrow")
+
+
 def q_image_features(sf_dir: str):
     """Multimodal with REAL pixel decode: a deterministic 16×16 PNG is
     synthesized per doc (seeded by doc_id), then the actor-pool stage
@@ -1424,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": q_percentiles,
         "percentile_ranks": q_percentile_ranks,
         "index_stats": q_index_stats,
+        "audio_features": q_audio_features,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -2042,6 +2082,19 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "audio_features": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     1000 + (n_chars % 7) * 100 AS n
+              FROM documents)
+            SELECT doc_id,
+                   cast(n AS bigint) AS n_samples,
+                   cast(n * 1000000 // {WAV_RATE} AS bigint) AS duration_us,
+                   cast(round(16383.0 / 32768.0 * 1000000) AS bigint)
+                     AS rms_micro,
+                   cast(((n - 1) // {WAV_HALF}) * 1000000 // (n - 1)
+                        AS bigint) AS zcr_micro
+            FROM s ORDER BY doc_id""",
         "index_stats": f"""
             SELECT
               cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,
