@@ -143,15 +143,23 @@ class AudioFeatureStage:
 
 def _split_png_stream(data: bytes) -> list[bytes]:
     """Split a concatenated-PNG clip (frames stored back-to-back) into
-    per-frame byte strings."""
+    per-frame byte strings by walking the chunk structure to each IEND —
+    never by searching for the magic, which can occur inside compressed
+    IDAT payloads."""
+    import struct
     frames, pos = [], 0
-    while True:
-        nxt = data.find(_PNG_MAGIC, pos + 1)
-        if nxt == -1:
-            frames.append(data[pos:])
-            return frames
-        frames.append(data[pos:nxt])
-        pos = nxt
+    n = len(data)
+    while pos < n and data[pos:pos + 8] == _PNG_MAGIC:
+        start, p = pos, pos + 8
+        while p + 8 <= n:
+            (ln,) = struct.unpack(">I", data[p:p + 4])
+            tag = data[p + 4:p + 8]
+            p += 12 + ln
+            if tag == b"IEND":
+                break
+        frames.append(data[start:min(p, n)])
+        pos = p
+    return frames or [data]
 
 
 class FrameSampleStage:
