@@ -827,6 +827,19 @@ def q_percentiles(sf_dir: str):
     return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
 
 
+DISTANCE_ORIGIN = 400
+DISTANCE_PIVOT = 50
+
+
+def q_distance_feature(sf_dir: str):
+    """ES distance_feature (numeric): proximity of n_chars to an origin,
+    exact integer micro decay, top-10 over the match set."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.distance_feature(list(BM25_QUERY_TERMS), "n_chars",
+                              DISTANCE_ORIGIN, DISTANCE_PIVOT, k=10)
+
+
 def q_index_stats(sf_dir: str):
     """ES _stats-style counters straight from segment metadata — an
     index-integrity invariant the SQL oracle re-derives from raw text."""
@@ -1464,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": q_percentile_ranks,
         "index_stats": q_index_stats,
         "audio_features": q_audio_features,
+        "distance_feature": q_distance_feature,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -2082,6 +2096,15 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "distance_feature": f"""
+            SELECT doc_id,
+                   cast(1000000 * {DISTANCE_PIVOT}
+                        // ({DISTANCE_PIVOT} + abs(n_chars - {DISTANCE_ORIGIN}))
+                        AS bigint) AS score_micro
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            ORDER BY score_micro DESC, doc_id LIMIT 10""",
         "audio_features": f"""
             WITH s AS (
               SELECT doc_id,

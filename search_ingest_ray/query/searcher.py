@@ -1350,6 +1350,24 @@ class Searcher:
             "value": pa.array(out, pa.int64()),
         })
 
+    def distance_feature(self, terms: list[str], field: str, origin: int,
+                         pivot: int, k: int = 10) -> pa.Table:
+        """ES ``distance_feature`` query (numeric flavor) in exact integer
+        micro-units: over the match set, score = 10⁶·pivot //
+        (pivot + |value − origin|) — monotone-decaying with distance from
+        ``origin``, halving at ``pivot`` — then top-k by (-score, doc_id).
+        One docvalues fetch + vectorized arithmetic."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        v = _int_docvals(vals)
+        score = (1_000_000 * pivot) // (pivot + np.abs(v - origin))
+        order = np.lexsort((docids, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docids[order], pa.int64()),
+            "score_micro": pa.array(score[order], pa.int64()),
+        })
+
     def index_stats(self) -> pa.Table:
         """ES ``_stats``-style index integrity counters, exact from segment
         metadata: n_docs (epoch stats), n_terms (distinct dictionary terms
