@@ -303,7 +303,8 @@ def main(argv=None) -> int:
     sn.add_argument("repo", help="repository directory")
     sn.add_argument("name", nargs="?", default=None)
     sn.add_argument("index_root", nargs="?", default=None)
-    sn.add_argument("--epoch", type=int, default=0)
+    sn.add_argument("--epoch", type=int, default=None,
+                    help="pin one epoch (default: every committed epoch)")
     sn.set_defaults(fn=cmd_snapshot)
 
     args = p.parse_args(argv)

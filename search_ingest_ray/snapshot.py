@@ -46,32 +46,54 @@ def _epoch_dir(index_root: str, epoch: int) -> str:
     return os.path.join(index_root, "epochs", f"e{epoch:04d}")
 
 
+def _committed_epochs(index_root: str) -> list[int]:
+    """Every epoch with a committed manifest, ascending."""
+    base = os.path.join(index_root, "epochs")
+    out = []
+    if not os.path.isdir(base):
+        return out
+    for d in sorted(os.listdir(base)):
+        mp = os.path.join(base, d, "manifest.json")
+        if (d.startswith("e") and os.path.exists(mp)
+                and read_json(mp).get("status") == "done"):
+            out.append(int(d[1:]))
+    return out
+
+
 def snapshot(index_root: str, repo_dir: str, name: str,
-             epoch: int = 0) -> dict:
-    """Copy the committed epoch + index meta into ``repo_dir/name``.
-    Refuses uncommitted epochs and duplicate names."""
-    ed = _epoch_dir(index_root, epoch)
-    man = read_json(os.path.join(ed, "manifest.json"))
-    if man.get("status") != "done":
-        raise RuntimeError(f"epoch {epoch} not committed; cannot snapshot")
+             epoch: int | None = None) -> dict:
+    """Copy committed epochs + index meta into ``repo_dir/name``.  By
+    default EVERY committed epoch is captured (a delta-chain index is a
+    chain — restoring only its head would silently drop history);
+    ``epoch`` pins a single one.  Refuses uncommitted epochs and
+    duplicate names."""
+    epochs = [epoch] if epoch is not None else _committed_epochs(index_root)
+    if not epochs:
+        raise RuntimeError("no committed epochs to snapshot")
+    for ep in epochs:
+        man = read_json(os.path.join(_epoch_dir(index_root, ep),
+                                     "manifest.json"))
+        if man.get("status") != "done":
+            raise RuntimeError(f"epoch {ep} not committed; cannot snapshot")
     dest = os.path.join(repo_dir, name)
     if os.path.exists(dest):
         raise FileExistsError(f"snapshot {name!r} already exists")
     tmp = dest + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     files = {}
-    # every file under the epoch dir, plus the index-level meta
-    for base, rel_prefix in ((ed, f"epochs/e{epoch:04d}"), ):
-        for dirpath, _dirs, names in sorted(os.walk(base)):
+    # every file under each epoch dir, plus the index-level meta
+    for ep in epochs:
+        ed = _epoch_dir(index_root, ep)
+        for dirpath, _dirs, names in sorted(os.walk(ed)):
             for fn in sorted(names):
                 src = os.path.join(dirpath, fn)
-                rel = os.path.join(rel_prefix,
-                                   os.path.relpath(src, base))
+                rel = os.path.join(f"epochs/e{ep:04d}",
+                                   os.path.relpath(src, ed))
                 files[rel] = src
     meta_src = os.path.join(index_root, "index_meta.json")
     if os.path.exists(meta_src):
         files["index_meta.json"] = meta_src
-    manifest = {"name": name, "epoch": epoch, "files": {}}
+    manifest = {"name": name, "epochs": epochs, "files": {}}
     for rel, src in files.items():
         out = os.path.join(tmp, "files", rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -93,7 +115,8 @@ def list_snapshots(repo_dir: str) -> list[dict]:
         mp = os.path.join(repo_dir, name, "snapshot.json")
         if os.path.exists(mp):
             m = read_json(mp)
-            out.append({"name": m["name"], "epoch": m["epoch"],
+            out.append({"name": m["name"],
+                        "epochs": m.get("epochs", [m.get("epoch", 0)]),
                         "n_files": len(m["files"]),
                         "bytes": sum(f["bytes"]
                                      for f in m["files"].values())})

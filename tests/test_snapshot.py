@@ -76,3 +76,21 @@ def test_cli_snapshot_roundtrip(snap_index, tmp_path, capsys):
     assert main(["snapshot", "restore", repo, "cliSnap", dest]) == 0
     assert _topk(dest) == _topk(snap_index)
     assert main(["snapshot", "create", repo]) == 2   # missing operands
+
+
+def test_snapshot_captures_whole_epoch_chain(snap_index, tmp_path):
+    import json
+    # simulate a committed second epoch (delta-chain head)
+    e0 = os.path.join(snap_index, "epochs", "e0000")
+    e1 = os.path.join(snap_index, "epochs", "e0001")
+    shutil.copytree(e0, e1)
+    repo = str(tmp_path / "repo4")
+    man = snapshot(snap_index, repo, "chain")
+    assert man["epochs"] == [0, 1]
+    assert any(r.startswith("epochs/e0001/") for r in man["files"])
+    dest = str(tmp_path / "chainrestored")
+    restore(repo, "chain", dest)
+    assert os.path.exists(os.path.join(dest, "epochs", "e0001",
+                                       "manifest.json"))
+    assert _topk(dest) == _topk(snap_index)
+    shutil.rmtree(e1)   # leave the module-scoped fixture as it was
