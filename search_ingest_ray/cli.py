@@ -196,6 +196,24 @@ def cmd_alias(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Tail a changefeed directory and apply epochs as they appear (the
+    reference's watch loop, table.cr:25-46)."""
+    ray, owned = _ray_session()
+    try:
+        from .pipelines.epochs import watch_deltas
+        applied = watch_deltas(
+            args.index_root, args.feed_dir, poll_sec=args.poll_sec,
+            max_epochs=args.max_epochs, mode=args.mode,
+            id_col=args.id_col, text_col=args.text_col,
+            analyzer=args.analyzer)
+        print(json.dumps({"applied": len(applied)}))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def cmd_snapshot(args) -> int:
     """ES _snapshot API analog: checksummed epoch backup / verified
     restore / repository listing."""
@@ -297,6 +315,17 @@ def main(argv=None) -> int:
     al.add_argument("--registry", default=None,
                     help="registry dir (default: the shared cache dir)")
     al.set_defaults(fn=cmd_alias)
+
+    w = sub.add_parser("watch", help="tail a changefeed dir, apply epochs")
+    w.add_argument("index_root")
+    w.add_argument("feed_dir")
+    w.add_argument("--poll-sec", type=float, default=1.0)
+    w.add_argument("--max-epochs", type=int, default=None)
+    w.add_argument("--mode", default="delta", choices=["full", "delta"])
+    w.add_argument("--id-col", default="url")
+    w.add_argument("--text-col", default="text")
+    w.add_argument("--analyzer", default="standard")
+    w.set_defaults(fn=cmd_watch)
 
     sn = sub.add_parser("snapshot", help="checksummed backup/restore")
     sn.add_argument("action", choices=["create", "restore", "list"])

@@ -436,3 +436,44 @@ def epoch_chain(index_root: str) -> list[tuple[int, str]]:
     last_full = max((i for i, (_, m) in enumerate(out) if m == "full"),
                     default=0)
     return out[last_full:]
+
+
+def watch_deltas(index_root: str, feed_dir: str, *, poll_sec: float = 1.0,
+                 max_epochs: int | None = None, stop_when=None,
+                 mode: str = "delta", **delta_kwargs) -> list[dict]:
+    """Tail a changefeed directory — the engine-native analog of the
+    reference's RethinkDB changefeed watch loop (table.cr:25-46, which
+    re-subscribes and applies each change as it arrives).
+
+    Contract: the feed publishes one parquet per epoch named
+    ``delta-e{N:04d}.parquet`` (atomic rename by the producer).  The
+    watcher applies epochs strictly in order starting after the highest
+    committed epoch, so it is RESUMABLE: restarting it re-scans the chain
+    and continues where the last run stopped; a replayed epoch is
+    idempotent (``apply_delta_epoch`` short-circuits on a committed
+    manifest).  ``stop_when`` (callable → bool, checked each poll) and
+    ``max_epochs`` bound the loop for tests/one-shot drains; by default
+    it runs until stopped.  Returns the applied epoch manifests."""
+    import time as _time
+
+    applied: list[dict] = []
+    chain_path = os.path.join(index_root, "epochs.json")
+    while True:
+        if stop_when is not None and stop_when():
+            return applied
+        nxt = (read_json(chain_path)["latest"] + 1
+               if os.path.exists(chain_path) else 0)
+        path = os.path.join(feed_dir, f"delta-e{nxt:04d}.parquet")
+        if not os.path.exists(path):
+            _time.sleep(poll_sec)
+            continue
+        if nxt == 0:
+            # epoch 0 in the feed is the backfill table itself
+            applied.append(apply_delta_epoch(index_root, None, 0,
+                                             base_paths=[path],
+                                             **delta_kwargs))
+        else:
+            applied.append(apply_delta_epoch(index_root, [path], nxt,
+                                             mode=mode, **delta_kwargs))
+        if max_epochs is not None and len(applied) >= max_epochs:
+            return applied
