@@ -1170,6 +1170,32 @@ def q_ann_cosine(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+KNN_FILTER_LABEL = 1
+
+
+def q_knn_filtered(sf_dir: str):
+    """ES kNN search with a pre-filter (modern `knn` + `filter`): cosine
+    top-k restricted to label == 1, with the predicate pushed into the
+    parquet read (row-group pruning) — the filter never reaches the
+    scoring stage as Python."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import knn_cosine
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path,
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    ds = rd.read_parquet(emb_path,
+                         filter=(pa.dataset.field("label")
+                                 == KNN_FILTER_LABEL))
+    out = knn_cosine(ds, [q], k=10, round_to=None)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"],
+            "cos_micro": pa.array(
+                np.round(np.asarray(t["cos"]) * 1e4).astype(np.int64)),
+        }), batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str):
     from search_ingest_ray.functions.textstats import quality_batch
     ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
@@ -1492,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_orders": q_has_child_orders,
         "has_parent_orders": q_has_parent_orders,
         "ann_cosine": q_ann_cosine,
+        "knn_filtered": q_knn_filtered,
         "quality": q_quality,
         "token_jaccard": q_token_jaccard,
         "phrase_match": q_phrase_match,
@@ -2795,6 +2822,17 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
             SELECT o.o_orderkey, o.o_custkey
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'""",
+        "knn_filtered": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   cast(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                        q.qe) * 1e4) AS bigint) AS cos_micro
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label = {KNN_FILTER_LABEL}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                     e.vec_id
+            LIMIT 10""",
         "ann_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0)
