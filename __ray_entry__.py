@@ -39,9 +39,19 @@ def _docs(sf_dir: str):
 
 
 def q_doc_count_by_lang(sf_dir: str):
-    ds = _docs(sf_dir).groupby("lang").count()
-    return ds.map_batches(lambda t: t.rename_columns(["lang", "n"]),
-                          batch_format="pyarrow")
+    """Pruned read (ONLY the lang column leaves storage) + in-batch
+    partial counts, then a tiny groupby-sum over one row per
+    (block, lang) — never a per-doc shuffle."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang"])
+    pre = ds.map_batches(
+        lambda t: (t.group_by("lang").aggregate([([], "count_all")])
+                   .rename_columns(["lang", "n"])),
+        batch_format="pyarrow")
+    g = pre.groupby("lang").sum("n")
+    return g.map_batches(lambda t: t.rename_columns(["lang", "n"]),
+                         batch_format="pyarrow")
 
 
 def q_token_count(sf_dir: str):
