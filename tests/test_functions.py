@@ -398,3 +398,31 @@ def test_dup_ngram_stats_vs_bruteforce(rd):
         assert row.n_distinct == len(s)
         assert row.n_dup == ndup, texts[i]
         assert row.dup_micro == ndup * 1_000_000 // max(len(s), 1)
+
+
+def test_decontaminate_plan_is_shuffle_free(rd):
+    """Scale-shape guard: the decontamination pipeline must stream through
+    map_batches only — the benchmark set is broadcast, never shuffled."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(40)),
+        "text": [f"alpha beta w{i} gamma delta" for i in range(40)],
+    }))
+    from search_ingest_ray.functions.decontam import decontaminate
+    st = decontaminate(ds, mod=7, k=3).materialize().stats()
+    assert "Sort" not in st and "Aggregate" not in st, st
+
+
+def test_dup_ngram_plan_has_two_exchanges(rd):
+    """Scale-shape guard: dup_ngram_stats shuffles exactly twice — once on
+    the n-gram hash, once on the doc partition — both as coarse
+    partition-keyed sorts, with no native Aggregate operator."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(30)),
+        "text": [f"a b c d e f g{i % 3}" for i in range(30)],
+    }))
+    from search_ingest_ray.functions.decontam import dup_ngram_stats
+    import re
+    st = dup_ngram_stats(ds, k=5, num_partitions=4).materialize().stats()
+    assert "Aggregate" not in st, st
+    sorts = re.findall(r"Operator \d+ Sort", st)
+    assert len(sorts) == 2, st
