@@ -837,6 +837,19 @@ def q_percentiles(sf_dir: str):
     return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
 
 
+TERMS_SET_TERMS = ("merge", "scan", "hash")
+
+
+def q_terms_set(sf_dir: str):
+    """ES terms_set: a doc matches when at least (n_chars % 3) + 1 of the
+    query terms occur in it — per-doc minimum_should_match from a
+    docvalues field with a vectorized script transform."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.terms_set(list(TERMS_SET_TERMS), "n_chars",
+                       transform=lambda v: v % 3 + 1)
+
+
 DISTANCE_ORIGIN = 400
 DISTANCE_PIVOT = 50
 
@@ -1514,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "audio_features": q_audio_features,
         "distance_feature": q_distance_feature,
+        "terms_set": q_terms_set,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -2133,6 +2147,16 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "terms_set": f"""
+            SELECT doc_id,
+                   cast(len(list_distinct(list_filter({_TOKS},
+                        x -> x IN {str(TERMS_SET_TERMS)}))) AS bigint)
+                     AS n_matched
+            FROM documents
+            WHERE len(list_distinct(list_filter({_TOKS},
+                  x -> x IN {str(TERMS_SET_TERMS)})))
+                  >= (n_chars % 3) + 1
+            ORDER BY doc_id""",
         "distance_feature": f"""
             SELECT doc_id,
                    cast(1000000 * {DISTANCE_PIVOT}

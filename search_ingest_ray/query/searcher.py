@@ -1350,6 +1350,34 @@ class Searcher:
             "value": pa.array(out, pa.int64()),
         })
 
+    def terms_set(self, terms: list[str], msm_field: str,
+                  transform=None) -> pa.Table:
+        """ES ``terms_set`` query: a doc matches when at least
+        ``required(doc)`` of the distinct query terms occur in it, where
+        the per-doc requirement comes from a docvalues field
+        (``minimum_should_match_field``; ``transform`` is the optional
+        vectorized ``_script`` analog applied to the field's int64
+        array).  Vectorized end to end: one postings union with per-doc
+        matched-term counts (each term's posting list already has unique
+        docids), ONE docvalues fetch for the union, one numpy mask.
+        Returns (doc_id, n_matched) sorted by doc_id."""
+        uniq = list(dict.fromkeys(terms))
+        parts = [d for d in (self._match_docids([t]) for t in uniq)
+                 if d.size]
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
+        docids, counts = np.unique(np.concatenate(parts),
+                                   return_counts=True)
+        vals = _int_docvals(self.fields.get(docids,
+                                            [msm_field])[msm_field])
+        req = transform(vals) if transform is not None else vals
+        keep = counts >= req
+        return pa.table({
+            "doc_id": pa.array(docids[keep], pa.int64()),
+            "n_matched": pa.array(counts[keep], pa.int64()),
+        })
+
     def distance_feature(self, terms: list[str], field: str, origin: int,
                          pivot: int, k: int = 10) -> pa.Table:
         """ES ``distance_feature`` query (numeric flavor) in exact integer
