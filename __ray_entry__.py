@@ -837,6 +837,33 @@ def q_percentiles(sf_dir: str):
     return s.agg_percentiles(list(BM25_QUERY_TERMS), "n_chars", list(PCTS))
 
 
+def q_rank_eval(sf_dir: str):
+    """ES _rank_eval API: precision@k, MRR and recall of the BM25 top-k
+    against derived qrels (relevant = docs containing EVERY query term),
+    in exact integer micro-units."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    d, _sc = s.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
+    per_term = [s._match_docids([t])
+                for t in dict.fromkeys(BM25_QUERY_TERMS)]
+    rel = per_term[0]
+    for p in per_term[1:]:
+        rel = np.intersect1d(rel, p)
+    hits = np.isin(d, rel)
+    n_hit = int(hits.sum())
+    first = int(np.flatnonzero(hits)[0]) + 1 if n_hit else 0
+    return pa.table({
+        "precision_micro": pa.array([n_hit * 1_000_000 // BM25_K],
+                                    pa.int64()),
+        "mrr_micro": pa.array([1_000_000 // first if first else 0],
+                              pa.int64()),
+        "recall_micro": pa.array([n_hit * 1_000_000 // max(rel.size, 1)],
+                                 pa.int64()),
+        "n_rel": pa.array([int(rel.size)], pa.int64()),
+    })
+
+
 TERMS_SET_TERMS = ("merge", "scan", "hash")
 
 
@@ -1528,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "distance_feature": q_distance_feature,
         "terms_set": q_terms_set,
+        "rank_eval": q_rank_eval,
         "top_hits": q_top_hits,
         "collapse": q_collapse,
         "pii_scrub": q_pii_scrub,
@@ -2147,6 +2175,26 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
                       cast(ceiling(p.pct / 100.0 * cnt.n) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "rank_eval": f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM ({bm25})
+),
+rel AS (
+  SELECT doc_id FROM documents
+  WHERE list_has_all({_TOKS}, ['{t1}', '{t2}'])
+),
+hit AS (SELECT rn FROM ranked JOIN rel USING (doc_id))
+SELECT
+  cast((SELECT count(*) FROM hit) * 1000000 // {BM25_K} AS bigint)
+    AS precision_micro,
+  cast(coalesce((SELECT 1000000 // min(rn) FROM hit), 0) AS bigint)
+    AS mrr_micro,
+  cast((SELECT count(*) FROM hit) * 1000000
+       // greatest((SELECT count(*) FROM rel), 1) AS bigint)
+    AS recall_micro,
+  cast((SELECT count(*) FROM rel) AS bigint) AS n_rel""",
         "terms_set": f"""
             SELECT doc_id,
                    cast(len(list_distinct(list_filter({_TOKS},
