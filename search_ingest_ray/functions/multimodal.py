@@ -185,17 +185,29 @@ class FrameSampleStage:
                              batch[self.data_col].to_pylist()):
             data = data or b""
             if data.startswith(_PNG_MAGIC):
-                clip = _split_png_stream(data)
-                picks = np.unique(np.linspace(0, len(clip) - 1, self.frames)
-                                  .astype(np.int64))
-                for fr in picks:
-                    px = decode_png(clip[int(fr)])
-                    mid_out.append(str(mid))
-                    frame_out.append(int(fr))
-                    dec_out.append(True)
-                    feat_out.append(image_features(px))
-                continue
-            if self.strict:
+                # A corrupt/truncated payload behind a valid PNG magic
+                # must degrade to decoded=False rows when strict=False
+                # (same contract as ImageFeatureStage/AudioFeatureStage),
+                # not crash the batch.
+                try:
+                    clip = _split_png_stream(data)
+                    picks = np.unique(
+                        np.linspace(0, len(clip) - 1, self.frames)
+                        .astype(np.int64))
+                    rows = [(int(fr), image_features(
+                        decode_png(clip[int(fr)]))) for fr in picks]
+                except Exception:
+                    if self.strict:
+                        raise
+                    rows = None
+                if rows is not None:
+                    for fr, feat in rows:
+                        mid_out.append(str(mid))
+                        frame_out.append(fr)
+                        dec_out.append(True)
+                        feat_out.append(feat)
+                    continue
+            elif self.strict:
                 raise NotImplementedError(
                     "video codecs beyond concatenated-PNG need ffmpeg")
             for fr in range(self.frames):

@@ -109,6 +109,24 @@ def _int_docvals(vals) -> np.ndarray:
     return arr
 
 
+def _int_docvals_aligned(vals) -> tuple[np.ndarray, np.ndarray]:
+    """Match-set docvalues → (int64 values, valid mask), POSITIONALLY
+    ALIGNED with the input — for queries that must keep per-doc
+    correspondence with a parallel docid array (terms_set,
+    distance_feature) rather than aggregate.  Missing entries (Arrow
+    nulls, and NaN in a float64-ified nulled int column — see
+    :func:`_int_docvals`) get value 0 and valid=False; callers exclude
+    them, matching SQL NULL-comparison semantics (and ES, which skips
+    docs missing the field)."""
+    arr = vals.to_numpy(zero_copy_only=False)
+    valid = ~vals.is_null().to_numpy(zero_copy_only=False) \
+        if vals.null_count else np.ones(len(vals), dtype=bool)
+    if arr.dtype != np.int64:
+        valid &= ~np.isnan(arr)
+        arr = np.where(valid, arr, 0).astype(np.int64)
+    return arr, valid
+
+
 def expansion_pairs(terms: np.ndarray, dfs: np.ndarray, kind: str, arg):
     """(term, df) pairs of ONE term-sorted dictionary column matching an
     expansion probe — the single implementation of the prefix / fuzzy /
@@ -961,6 +979,20 @@ class Searcher:
             return pa.table(cols)
         got = self.fields.get(docids, sources)
         tbl = pa.table({f: got[f] for f in sources})
+        # ES composite with missing_bucket=false (the default) drops docs
+        # missing ANY source — and a null key would break the typed
+        # cursor compare below, so filter before grouping.  Missing shows
+        # up as Arrow nulls AND as NaN in a float64-ified nulled int
+        # column (see _int_docvals), so mask both.
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        for f in sources:
+            col = tbl[f]
+            if col.null_count:
+                keep &= ~col.is_null().to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                keep &= ~np.isnan(col.to_numpy(zero_copy_only=False))
+        if not keep.all():
+            tbl = tbl.take(pa.array(np.flatnonzero(keep)))
         g = tbl.group_by(sources).aggregate([([], "count_all")])
         g = g.rename_columns(sources + ["n"])
         g = g.take(pc.sort_indices(
@@ -1360,7 +1392,11 @@ class Searcher:
         array).  Vectorized end to end: one postings union with per-doc
         matched-term counts (each term's posting list already has unique
         docids), ONE docvalues fetch for the union, one numpy mask.
-        Returns (doc_id, n_matched) sorted by doc_id."""
+        Docs missing ``msm_field`` are excluded (ES skips them; SQL NULL
+        comparisons are false) — the aligned-mask fetch keeps ``vals``
+        positionally in step with ``docids``/``counts`` even when some
+        matched docs lack the field.  Returns (doc_id, n_matched) sorted
+        by doc_id."""
         uniq = list(dict.fromkeys(terms))
         parts = [d for d in (self._match_docids([t]) for t in uniq)
                  if d.size]
@@ -1369,10 +1405,10 @@ class Searcher:
                              "n_matched": pa.array([], pa.int64())})
         docids, counts = np.unique(np.concatenate(parts),
                                    return_counts=True)
-        vals = _int_docvals(self.fields.get(docids,
-                                            [msm_field])[msm_field])
+        vals, ok = _int_docvals_aligned(
+            self.fields.get(docids, [msm_field])[msm_field])
         req = transform(vals) if transform is not None else vals
-        keep = counts >= req
+        keep = ok & (counts >= req)
         return pa.table({
             "doc_id": pa.array(docids[keep], pa.int64()),
             "n_matched": pa.array(counts[keep], pa.int64()),
@@ -1384,11 +1420,14 @@ class Searcher:
         micro-units: over the match set, score = 10⁶·pivot //
         (pivot + |value − origin|) — monotone-decaying with distance from
         ``origin``, halving at ``pivot`` — then top-k by (-score, doc_id).
-        One docvalues fetch + vectorized arithmetic."""
+        One docvalues fetch + vectorized arithmetic.  Docs missing
+        ``field`` don't match (ES distance_feature semantics); the
+        aligned-mask fetch keeps values in step with docids."""
         docids = self._match_docids(terms)
         vals = (self.fields.get(docids, [field])[field]
                 if docids.size else pa.array([], pa.int64()))
-        v = _int_docvals(vals)
+        v, ok = _int_docvals_aligned(vals)
+        docids, v = docids[ok], v[ok]
         score = (1_000_000 * pivot) // (pivot + np.abs(v - origin))
         order = np.lexsort((docids, -score))[:k]
         return pa.table({
