@@ -236,11 +236,26 @@ def q_keyword_exact(sf_dir: str):
     mapping promises text+keyword multi-fields (T2, ref schemas.cr:313-322)
     — filter by the VERBATIM untokenized value (two probe texts via "in"),
     served from the docvalues sidecar as an ES constant_score term query.
-    Docs that analyze identically but differ verbatim never match."""
+    Docs that analyze identically but differ verbatim never match.
+
+    Probe selection is footer-pruned: Parquet row-group statistics locate
+    the row groups holding the global min/max doc_id, so only those row
+    groups' (doc_id, text) are read — the query CONSTRUCTOR never pulls
+    the full text column onto the driver (at 100× scale that read would
+    OOM long before the operator ran)."""
     import pyarrow.parquet as pq
     from search_ingest_ray.query.searcher import Searcher
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    names = pf.schema_arrow.names
+    ci = names.index("doc_id")
+    stats = [pf.metadata.row_group(i).column(ci).statistics
+             for i in range(pf.metadata.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        groups = sorted({int(np.argmin([s.min for s in stats])),
+                         int(np.argmax([s.max for s in stats]))})
+    else:  # stats-less writer: fall back to the full (pruned-column) read
+        groups = list(range(pf.metadata.num_row_groups))
+    t = pf.read_row_groups(groups, columns=["doc_id", "text"])
     ids = t["doc_id"].to_numpy()
     txt = t["text"].to_pylist()
     probes = [txt[int(np.argmin(ids))], txt[int(np.argmax(ids))]]
@@ -682,15 +697,19 @@ def q_weighted_avg(sf_dir: str):
                                          weight_col="n_tokens"),
                        batch_format="pyarrow"))
     g = ds.groupby("lang").sum(["w_sum", "wv_sum"])
-    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
-    w = t["sum(w_sum)"].to_numpy().astype(np.int64)
-    wv = t["sum(wv_sum)"].to_numpy().astype(np.int64)
-    out = pa.table({
-        "lang": t["lang"],
-        "wavg_micro": pa.array((wv * 1_000_000) // np.maximum(w, 1),
-                               pa.int64()),
-    })
-    return out.sort_by([("lang", "ascending")])
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        w = t["sum(w_sum)"].to_numpy().astype(np.int64)
+        wv = t["sum(wv_sum)"].to_numpy().astype(np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "wavg_micro": pa.array((wv * 1_000_000) // np.maximum(w, 1),
+                                   pa.int64()),
+        })
+
+    # stays a Dataset end to end (rows = distinct langs, tiny) — no
+    # driver-side pandas round-trip.
+    return g.map_batches(_finalize, batch_format="pyarrow").sort("lang")
 
 
 def q_ids(sf_dir: str):

@@ -237,7 +237,20 @@ def kmeans_fit(vecs: np.ndarray, nlist: int, iters: int = 10,
     v = _normalize(np.asarray(vecs, dtype=np.float64))
     rng = np.random.default_rng(seed)
     n = len(v)
-    cent = v[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    k = min(nlist, n)
+    # Greedy farthest-point init (deterministic k-means++ flavor): seed
+    # one point, then repeatedly take the point least similar to its
+    # nearest chosen centroid.  Plain random init over a skewed sample
+    # can drop a whole (small, well-separated) cluster — exactly the
+    # corpora the coarse quantizer exists for.
+    first = int(rng.integers(n))
+    chosen = [first]
+    best = v @ v[first]  # cosine to nearest chosen centroid
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, v @ v[nxt])
+    cent = v[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(v @ cent.T, axis=1)
         new = np.zeros_like(cent)
@@ -252,10 +265,27 @@ def kmeans_fit(vecs: np.ndarray, nlist: int, iters: int = 10,
 def ivf_fit(ds, nlist: int = 16, sample: int = 4096,
             vec_col: str = "embedding", iters: int = 10,
             seed: int = 13) -> np.ndarray:
-    """Fit the coarse quantizer on a bounded sample (the 10^12-scale path
-    trains on a sample, never the full corpus)."""
-    rows = ds.limit(sample).take_all()
+    """Fit the coarse quantizer on a bounded UNIFORM sample (the
+    10^12-scale path trains on a sample, never the full corpus).
+
+    Sampling is a seeded Bernoulli ``random_sample`` over the stream —
+    NOT ``limit()``, which takes the first blocks: on a corpus sorted or
+    clustered by source, the head is one cluster and the quantizer it
+    trains is biased (every other cluster lands in one catch-all list,
+    destroying the pruned-probe story).  ``count()`` on a parquet read is
+    metadata-only.  The Bernoulli draw overshoots ``sample`` slightly
+    (bounded: ~1.05×); the trim back down is a seeded uniform choice over
+    the materialized sample, never a stream ``limit`` (which would cut
+    the sampled TAIL and re-introduce the head bias)."""
+    n = ds.count()
+    if n > sample:
+        ds = ds.random_sample(min(1.0, 1.05 * sample / n), seed=seed)
+    rows = ds.take_all()
     vecs = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if len(vecs) > sample:
+        idx = np.random.default_rng(seed).choice(len(vecs), size=sample,
+                                                 replace=False)
+        vecs = vecs[np.sort(idx)]
     return kmeans_fit(vecs, nlist, iters=iters, seed=seed)
 
 

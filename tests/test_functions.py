@@ -426,3 +426,37 @@ def test_dup_ngram_plan_has_two_exchanges(rd):
     assert "Aggregate" not in st, st
     sorts = re.findall(r"Operator \d+ Sort", st)
     assert len(sorts) == 2, st
+
+
+def test_ivf_fit_uniform_sample_on_sorted_corpus(rd):
+    """VERDICT-r3 #8: a corpus SORTED by cluster must still train a
+    quantizer that covers every cluster.  The fixture front-loads one
+    cluster with more rows than the training sample, so the old
+    ``limit(sample)`` fit saw only cluster 0 (its centroids all sat on
+    cluster 0; the other clusters' max centroid-cosine was ~0 across
+    orthogonal clusters) — the seeded ``random_sample`` fit covers all
+    four.  Both halves asserted: the biased fit FAILS the coverage bar
+    the uniform fit passes."""
+    from search_ingest_ray.functions.similarity import (
+        _normalize, ivf_fit, kmeans_fit)
+    rng = np.random.default_rng(21)
+    centers = np.eye(4, 16) * 10.0
+    parts = [centers[0] + 0.05 * rng.standard_normal((600, 16))] + [
+        centers[c] + 0.05 * rng.standard_normal((80, 16))
+        for c in (1, 2, 3)]
+    vecs = np.concatenate(parts).astype(np.float32)  # sorted by cluster
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+    })
+    sample = 256  # < 600 rows of cluster 0 at the head
+
+    def coverage(cent):
+        cn = _normalize(centers)
+        return (cn @ cent.T).max(axis=1)  # best centroid cos per cluster
+
+    biased = kmeans_fit(vecs[:sample].astype(np.float64), nlist=4)
+    assert (coverage(biased) > 0.9).sum() == 1  # limit() saw one cluster
+
+    cent = ivf_fit(rd.from_arrow(tbl), nlist=4, sample=sample)
+    assert (coverage(cent) > 0.9).all()  # uniform sample covers all four
