@@ -311,7 +311,9 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 def dedup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
                    num_perm: int = 32, bands: int = 8, shingle_k: int = 3,
                    seed: int = 7, jaccard_threshold_micro: int = 500_000,
-                   concurrency: int | None = None):
+                   concurrency: int | None = None,
+                   max_driver_edges: int = 2_000_000,
+                   cc_num_partitions: int = 16, cc_max_iters: int = 64):
     """Duplicate CLUSTERING — the canonicalization step a training-data
     dedup pipeline runs after candidate generation:
 
@@ -323,25 +325,42 @@ def dedup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
     4. every document labeled with its cluster = the MIN doc id of its
        component (singletons label themselves).
 
-    Scale shape: steps 1 is the heavy distributed pipeline; the candidate
-    pair list and the token sets of candidate-touched docs are BOUNDED BY
-    LSH DESIGN (collisions, not corpus size) and are the only things
-    gathered to the driver — same contract as the hot-candidate cap in
-    the index build.  The final labeling is a broadcast map over the full
-    dataset (``ray.put`` once, O(1) lookup per row).  A corpus whose
-    verified-duplicate EDGE SET itself exceeds driver memory needs
-    iterative label propagation (alternate groupby-min over edges and
-    labels) — noted, not needed while LSH parameters bound candidates.
+    Scale shape: the candidate-pair dataset is materialized in the
+    OBJECT STORE (spillable) and counted; the driver union-find path is
+    entered only when the edge count fits under ``max_driver_edges`` —
+    that is the enforced bound on everything the driver gathers (pairs
+    plus candidate-touched token sets, both LSH-collision-sized).  Above
+    the bound the structural fallback runs instead: distributed pair
+    verification (hash-partitioned token-set attach, no driver gather)
+    and iterative min-label propagation (alternate edge⋈label joins and
+    groupby-min) until fixpoint — O(component diameter) rounds, every
+    step a Dataset exchange.  Both paths produce identical labels.
 
     Returns a Dataset of (``id_col``, ``cluster``)."""
+    pairs_ds = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+        concurrency=concurrency).materialize()
+    if pairs_ds.count() > max_driver_edges:
+        return _cluster_distributed_cc(
+            ds, pairs_ds, text_col=text_col, id_col=id_col,
+            thr=int(jaccard_threshold_micro),
+            num_partitions=cc_num_partitions, max_iters=cc_max_iters)
+    return _cluster_driver_cc(ds, pairs_ds, text_col=text_col,
+                              id_col=id_col,
+                              thr=int(jaccard_threshold_micro))
+
+
+def _cluster_driver_cc(ds, pairs_ds, *, text_col: str, id_col: str,
+                       thr: int):
+    """Driver-side union-find path: only entered when the dispatcher has
+    ALREADY asserted the edge count ≤ ``max_driver_edges``, so the two
+    driver gathers below (pairs, candidate token sets) are bounded."""
     import pyarrow.compute as pc
 
     from ..analyzer import tokenize_simple
 
-    pairs = minhash_candidate_pairs(
-        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
-        bands=bands, shingle_k=shingle_k, seed=seed,
-        concurrency=concurrency).take_all()
+    pairs = pairs_ds.take_all()
     edges = [(int(r["a"]), int(r["b"])) for r in pairs]
     cand_ids = sorted({i for e in edges for i in e})
 
@@ -366,7 +385,6 @@ def dedup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
             tok_sets[int(r[id_col])] = frozenset(r["toks"])
 
     # exact verification (integer-exact; mirrors the SQL oracle)
-    thr = int(jaccard_threshold_micro)
     verified = []
     for a, b in edges:
         sa, sb = tok_sets[a], tok_sets[b]
@@ -410,6 +428,207 @@ def dedup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.select_columns([id_col]).map_batches(
         _assign, batch_format="pyarrow")
+
+
+_TOKS_T = pa.list_(pa.string())
+
+
+def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
+                            thr: int, num_partitions: int, max_iters: int):
+    """Structural fallback when the verified-edge set may exceed driver
+    memory: nothing about the edge set is ever gathered to the driver.
+
+    - Pair verification: the candidate-node set is derived as a Dataset
+      (distinct endpoints), candidate docs are selected by LEFT-SEMI hash
+      join (no broadcast), and the token-set attach runs as two
+      hash-partitioned union+map_groups stages — first keyed by ``a``
+      (attach A's tokens to each pair), then keyed by ``b`` (attach B's
+      tokens and verify inline).  Acero joins reject list payloads, so
+      the attach uses the same ``_tag_partition`` exchange as the pair
+      emitter rather than ``Dataset.join``.
+    - Connected components: iterative MIN-LABEL PROPAGATION — each round
+      is one int64 hash join (directed edges ⋈ labels) plus one
+      groupby-min; labels are monotone non-increasing, so Σlabel is a
+      cheap fixpoint detector.  Rounds ≤ component diameter.
+    """
+    import pyarrow.compute as pc
+    import ray  # noqa: F401 — Dataset ops only
+
+    from ..analyzer import tokenize_simple
+
+    # --- candidate nodes (distinct pair endpoints), as a Dataset --------
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.chunked_array([batch["a"].combine_chunks(),
+                                 batch["b"].combine_chunks()])
+        return pa.table({"node": pc.unique(both).cast(pa.int64())})
+
+    cand_nodes = (pairs_ds.map_batches(_endpoints, batch_format="pyarrow")
+                  .groupby("node").count().select_columns(["node"]))
+
+    # --- token sets for candidate docs only (left-semi join prune) ------
+    cand_docs = ds.select_columns([id_col, text_col]).join(
+        cand_nodes, "left_semi", num_partitions,
+        on=(id_col,), right_on=("node",))
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        toks = [sorted(set(tokenize_simple(x or "")))
+                for x in batch[text_col].to_pylist()]
+        return pa.table({"node": batch[id_col].cast(pa.int64()),
+                         "toks": pa.array(toks, _TOKS_T)})
+
+    # materialized once (object store): consumed by BOTH attach stages
+    toksets = cand_docs.map_batches(_toks,
+                                    batch_format="pyarrow").materialize()
+
+    # --- stage A: attach toks(a) to every pair, co-partitioned by a -----
+    def _pairs_keyed_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"k": batch["a"].cast(pa.int64()),
+                         "a": batch["a"].cast(pa.int64()),
+                         "b": batch["b"].cast(pa.int64()),
+                         "toks": pa.nulls(n, _TOKS_T)})
+
+    def _toksets_keyed(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"k": batch["node"],
+                         "a": pa.nulls(n, pa.int64()),
+                         "b": pa.nulls(n, pa.int64()),
+                         "toks": batch["toks"]})
+
+    stage_a_in = (pairs_ds.map_batches(_pairs_keyed_a,
+                                       batch_format="pyarrow")
+                  .union(toksets.map_batches(_toksets_keyed,
+                                             batch_format="pyarrow"))
+                  .map_batches(functools.partial(_tag_partition,
+                                                 key_cols=["k"],
+                                                 num_partitions=num_partitions),
+                               batch_format="pyarrow"))
+
+    def _attach_a(g: pa.Table) -> pa.Table:
+        is_tok = pc.is_null(g["a"])
+        tok_rows = g.filter(is_tok)
+        lut = dict(zip(tok_rows["k"].to_pylist(),
+                       tok_rows["toks"].to_pylist()))
+        p = g.filter(pc.invert(is_tok))
+        a = p["a"].to_pylist()
+        b = p["b"].to_pylist()
+        return pa.table({"k": pa.array(b, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "toks_a": pa.array([lut.get(x) for x in a],
+                                            _TOKS_T)})
+
+    with_toks_a = stage_a_in.groupby(_PART_COL).map_groups(
+        _attach_a, batch_format="pyarrow")
+
+    # --- stage B: attach toks(b), verify Jaccard inline, emit edges -----
+    def _toksets_keyed_b(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"k": batch["node"],
+                         "a": pa.nulls(n, pa.int64()),
+                         "b": pa.nulls(n, pa.int64()),
+                         "toks_a": pa.nulls(n, _TOKS_T),
+                         "toks": batch["toks"]})
+
+    def _pairs_keyed_b(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"k": batch["k"], "a": batch["a"],
+                         "b": batch["b"], "toks_a": batch["toks_a"],
+                         "toks": pa.nulls(n, _TOKS_T)})
+
+    stage_b_in = (with_toks_a.map_batches(_pairs_keyed_b,
+                                          batch_format="pyarrow")
+                  .union(toksets.map_batches(_toksets_keyed_b,
+                                             batch_format="pyarrow"))
+                  .map_batches(functools.partial(_tag_partition,
+                                                 key_cols=["k"],
+                                                 num_partitions=num_partitions),
+                               batch_format="pyarrow"))
+
+    def _verify_b(g: pa.Table) -> pa.Table:
+        is_tok = pc.is_null(g["a"])
+        tok_rows = g.filter(is_tok)
+        lut = dict(zip(tok_rows["k"].to_pylist(),
+                       tok_rows["toks"].to_pylist()))
+        p = g.filter(pc.invert(is_tok))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for a, b, ta in zip(p["a"].to_pylist(), p["b"].to_pylist(),
+                            p["toks_a"].to_pylist()):
+            sa = set(ta or ())
+            sb = set(lut.get(b) or ())
+            u = len(sa | sb)
+            if u == 0 or 1_000_000 * len(sa & sb) >= thr * u:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    verified = stage_b_in.groupby(_PART_COL).map_groups(
+        _verify_b, batch_format="pyarrow").materialize()
+
+    ids_only = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({id_col: t[id_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    if verified.count() == 0:
+        return ids_only.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "cluster": t[id_col]}),
+            batch_format="pyarrow")
+
+    # --- min-label propagation over verified edges ----------------------
+    def _both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, b]),
+                         "dst": pa.chunked_array([b, a])})
+
+    directed = verified.map_batches(_both_dirs,
+                                    batch_format="pyarrow").materialize()
+
+    labels = (directed.map_batches(
+        lambda t: pa.table({"node": pc.unique(t["src"].combine_chunks())}),
+        batch_format="pyarrow")
+        .groupby("node").count()
+        .map_batches(lambda t: pa.table({"node": t["node"],
+                                         "label": t["node"]}),
+                     batch_format="pyarrow")
+        .materialize())
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = (directed.join(labels, "inner", num_partitions,
+                              on=("src",), right_on=("node",))
+                .map_batches(lambda t: pa.table({"node": t["dst"],
+                                                 "label": t["label"]}),
+                             batch_format="pyarrow"))
+        labels = (labels.union(msgs).groupby("node").min("label")
+                  .map_batches(lambda t: pa.table(
+                      {"node": t["node"],
+                       "label": t["min(label)"]}),
+                      batch_format="pyarrow")
+                  .materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(pathological duplicate-chain diameter); raise cc_max_iters")
+
+    # --- final assignment: left-outer join, singletons label themselves -
+    joined = ids_only.join(labels, "left_outer", num_partitions,
+                           on=(id_col,), right_on=("node",))
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pc.coalesce(batch["label"], batch[id_col]),
+        })
+
+    return joined.map_batches(_final, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------

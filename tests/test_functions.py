@@ -76,6 +76,36 @@ def test_dedup_clusters_transitive(rd):
     assert len(out) == 5
 
 
+def test_dedup_clusters_distributed_matches_driver(rd):
+    """Forcing the edge-count threshold to 0 routes through the
+    distributed label-propagation path; clusters must be identical to
+    the driver union-find path (incl. a doc in no candidate pair)."""
+    from search_ingest_ray.functions.dedup import dedup_clusters
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near1 = base.replace("lazy", "sleepy")
+    near2 = near1.replace("quick", "rapid")
+    far = "completely different content about ray data pipelines " * 6
+    lonely = "a singleton document sharing nothing with anything else " * 4
+    rows = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": near1},
+        {"doc_id": 12, "text": near2},
+        {"doc_id": 13, "text": far},
+        {"doc_id": 14, "text": far},
+        {"doc_id": 15, "text": lonely},
+    ]
+    kw = dict(num_perm=32, bands=16, jaccard_threshold_micro=500_000)
+    drv = dedup_clusters(rd.from_items(rows), **kw).to_pandas()
+    dist = dedup_clusters(rd.from_items(rows), max_driver_edges=0,
+                          cc_num_partitions=4, **kw).to_pandas()
+    d1 = dict(zip(drv["doc_id"], drv["cluster"]))
+    d2 = dict(zip(dist["doc_id"], dist["cluster"]))
+    assert d1 == d2 and len(dist) == 6
+    assert d2[10] == d2[11] == d2[12] == 10
+    assert d2[13] == d2[14] == 13
+    assert d2[15] == 15
+
+
 def test_minhash_signature_deterministic():
     a, b = _perm_params(16)
     s1 = minhash_signature("hello world foo bar", a, b)
