@@ -28,6 +28,10 @@ STOP_SQL = "('the','and','of','a','to','in','is','it','for','on')"
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# mirrors of pipelines.flagship.GEO_LAT_SQL / GEO_LON_SQL (tested equal)
+_GEO_LAT = "(-60.0 + ((doc_id % 120001) * 7919 % 120001) / 1000.0)"
+_GEO_LON = "(-170.0 + ((doc_id % 340001) * 104729 % 340001) / 1000.0)"
+
 
 def _docs(sf_dir: str):
     import ray.data as rd
@@ -261,6 +265,39 @@ def q_keyword_exact(sf_dir: str):
     probes = [txt[int(np.argmin(ids))], txt[int(np.argmax(ids))]]
     s = Searcher(_fields_index(sf_dir))
     d = s.filter_docs({"text": ("in", probes)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
+# geo filter fixtures: center in the mid-ocean of the synthetic coordinate
+# space, radius chosen so no doc sits near the haversine boundary (nearest
+# synthetic points are km apart; trig ulp skew is micrometres)
+GEO_CENTER = (37.7749, -122.4194)
+GEO_RADIUS_M = 2_500_000.0
+GEO_BOX = (50.0, -60.0, 10.0, 40.0)   # top, left, bottom, right
+
+
+def q_geo_distance(sf_dir: str):
+    """ES geo_distance filter: docs whose synthetic geo_point lies within
+    GEO_RADIUS_M haversine metres of GEO_CENTER, served from the
+    (geo_lat, geo_lon) docvalue pair (constant_score filter context).
+    The numpy op order in FieldStore._geo_mask matches the SQL oracle's
+    expression exactly; see geo_coords for the coordinate derivation."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    lat0, lon0 = GEO_CENTER
+    d = s.filter_docs({"geo": ("geo_distance", lat0, lon0, GEO_RADIUS_M)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
+def q_geo_bbox(sf_dir: str):
+    """ES geo_bounding_box filter over the same synthetic geo_point pair
+    (pure coordinate comparisons — bit-exact vs the SQL oracle)."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    top, left, bottom, right = GEO_BOX
+    d = s.filter_docs({"geo": ("geo_bbox", top, left, bottom, right)})
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
@@ -1526,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fold_tombstone": q_events_fold_tombstone,
         "events_fold_partial": q_events_fold_partial,
         "keyword_exact": q_keyword_exact,
+        "geo_distance": q_geo_distance,
+        "geo_bbox": q_geo_bbox,
         "bool_query": q_bool_query,
         "fuzzy": q_fuzzy,
         "wildcard": q_wildcard,
@@ -1825,6 +1864,32 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
             WHERE text IN (
               (SELECT text FROM documents ORDER BY doc_id ASC LIMIT 1),
               (SELECT text FROM documents ORDER BY doc_id DESC LIMIT 1))""",
+        # geo oracles mirror geo_coords + FieldStore._geo_mask op-for-op
+        # (same IEEE double sequence; 0.017453292519943295 = pi/180)
+        "geo_distance": f"""
+WITH g AS (
+  SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
+),
+h AS (
+  SELECT doc_id,
+         sin((lat - {GEO_CENTER[0]!r}) * 0.017453292519943295 / 2.0) AS sdlat,
+         sin((lon - {GEO_CENTER[1]!r}) * 0.017453292519943295 / 2.0) AS sdlon,
+         cos({GEO_CENTER[0]!r} * 0.017453292519943295)
+           * cos(lat * 0.017453292519943295) AS cc
+  FROM g
+)
+SELECT doc_id FROM h
+WHERE 2.0 * 6371000.0
+      * asin(sqrt(least(sdlat * sdlat + cc * sdlon * sdlon, 1.0)))
+      <= {GEO_RADIUS_M!r}
+ORDER BY doc_id""",
+        "geo_bbox": f"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
+)
+WHERE lat >= {GEO_BOX[2]!r} AND lat <= {GEO_BOX[0]!r}
+  AND lon >= {GEO_BOX[1]!r} AND lon <= {GEO_BOX[3]!r}
+ORDER BY doc_id""",
         "bool_chain": f"""
 WITH final AS (
   SELECT doc_id,

@@ -52,6 +52,62 @@ def documents_index(sf_dir: str, analyzer: str = "simple",
     return root
 
 
+def geo_coords(doc_id):
+    """Deterministic synthetic geo_point per doc (no geo column exists in
+    the test tables): lat ∈ [-60, 60], lon ∈ [-170, 170] derived from
+    doc_id by modular hashing.  The reduce-before-multiply form keeps the
+    intermediate < 2^31 so the identical expression runs overflow-free in
+    both numpy int64 and the DuckDB BIGINT oracle."""
+    import numpy as np
+    did = np.asarray(doc_id, dtype=np.int64)
+    lat = -60.0 + ((did % 120001) * 7919 % 120001) / 1000.0
+    lon = -170.0 + ((did % 340001) * 104729 % 340001) / 1000.0
+    return lat, lon
+
+
+# the same derivation as ANSI SQL (keep bit-identical to geo_coords)
+GEO_LAT_SQL = "(-60.0 + ((doc_id % 120001) * 7919 % 120001) / 1000.0)"
+GEO_LON_SQL = "(-170.0 + ((doc_id % 340001) * 104729 % 340001) / 1000.0)"
+
+
+def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
+    """Build (once, cached) a documents index whose docvalues carry the
+    synthetic geo_point pair (geo_lat, geo_lon) — the fixture behind the
+    geo_distance / geo_bounding_box filter queries."""
+    import glob
+
+    import numpy as np
+    import ray.data as rd
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{doc_path}:simple:v2-termdict-bin:geo-v1".encode()).hexdigest()[:16]
+    root = os.path.join(cache_base, f"documents-geo-{key}")
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+
+    src_dir = os.path.join(root, "geo_src")
+    os.makedirs(src_dir, exist_ok=True)
+
+    def add_geo(t: pa.Table) -> pa.Table:
+        lat, lon = geo_coords(t["doc_id"].to_numpy(zero_copy_only=False))
+        return (t.append_column("geo_lat", pa.array(lat, pa.float64()))
+                 .append_column("geo_lon", pa.array(lon, pa.float64())))
+
+    (rd.read_parquet(doc_path, columns=["doc_id", "text", "lang"])
+       .map_batches(add_geo, batch_format="pyarrow")
+       .write_parquet(src_dir))
+    build_index(sorted(glob.glob(os.path.join(src_dir, "*.parquet"))), root,
+                text_col="text", id_col="doc_id", id_is_int=True,
+                analyzer="simple", num_term_partitions=4, chunk_files=2,
+                store_fields=["geo_lat", "geo_lon", "lang"],
+                hot_df_threshold=10**9)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
 def events_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
     """Index over the sf events table: ``event_type`` is the (single-token)
     text field, ``ts``/``value``/``user_id`` are stored docvalues — the

@@ -193,6 +193,52 @@ class FieldStore:
             m = vals == spec
         return np.asarray(m, dtype=bool)
 
+    # exact double constants so the DuckDB oracle can reproduce the same
+    # IEEE op sequence (see __ray_entry__ geo oracles)
+    _R_EARTH_M = 6371000.0
+    _RAD = 0.017453292519943295  # math.pi / 180
+
+    @classmethod
+    def _geo_mask(cls, lat, lon, spec) -> np.ndarray:
+        """Typed `geo_point` semantics (the reference maps geo columns to
+        the ES geo types, schemas.cr:211-222): a logical geo field `f` is
+        stored as the physical docvalue pair (`f_lat`, `f_lon`).
+
+        - ``("geo_bbox", top, left, bottom, right)`` — ES geo_bounding_box
+          (no dateline wrap: left ≤ right assumed).
+        - ``("geo_distance", lat0, lon0, meters)`` — haversine arc distance
+          on a 6,371,000 m sphere ≤ meters.  The op order matches the SQL
+          oracle exactly; trig ulp skew is immaterial away from the radius
+          boundary (synthetic fixtures keep metres of margin).
+        Null coordinates (NaN) never match."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        valid = ~(np.isnan(lat) | np.isnan(lon))
+        if spec[0] == "geo_bbox":
+            _, top, left, bottom, right = spec
+            m = (lat >= bottom) & (lat <= top) & (lon >= left) & (lon <= right)
+            return np.asarray(m & valid, dtype=bool)
+        _, lat0, lon0, meters = spec
+        sdlat = np.sin((lat - lat0) * cls._RAD / 2.0)
+        sdlon = np.sin((lon - lon0) * cls._RAD / 2.0)
+        cc = np.cos(lat0 * cls._RAD) * np.cos(lat * cls._RAD)
+        h = sdlat * sdlat + cc * sdlon * sdlon
+        dist = 2.0 * cls._R_EARTH_M * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+        return np.asarray((dist <= meters) & valid, dtype=bool)
+
+    def _eval_filter(self, columns: dict, col: str, spec,
+                     idx=None) -> np.ndarray:
+        """Apply one filter spec; geo specs read the (col_lat, col_lon)
+        physical pair, everything else a single column."""
+        def cvals(name):
+            v = columns[name]
+            return v if idx is None else v[idx]
+        if (isinstance(spec, tuple) and spec
+                and spec[0] in ("geo_distance", "geo_bbox")):
+            return self._geo_mask(cvals(f"{col}_lat"), cvals(f"{col}_lon"),
+                                  spec)
+        return self._spec_mask(cvals(col), spec)
+
     def mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:
         """Vectorized predicate over candidate docids.
 
@@ -214,7 +260,7 @@ class FieldStore:
             for col, spec in filters.items():
                 if not ok.any():
                     break
-                ok &= self._spec_mask(store.columns[col][idx], spec)
+                ok &= self._eval_filter(store.columns, col, spec, idx)
             out[sel] = ok
         return out
 
@@ -257,7 +303,7 @@ class FieldStore:
             for col, spec in filters.items():
                 if not m.any():
                     break
-                m &= self._spec_mask(store.columns[col], spec)
+                m &= self._eval_filter(store.columns, col, spec)
             if m.any():
                 out.append(store.docids[m])
         return (np.sort(np.concatenate(out)) if out

@@ -339,3 +339,53 @@ def test_meta_change_rebuild_keeps_shard_meta(ray_session, tmp_path):
     d, _ = s.search_terms(["y"], k=5, filters={"lang": "de"})
     from search_ingest_ray.util import doc_id_hash
     assert d.tolist() == [doc_id_hash("b")]
+
+
+def test_geo_filters(ray_session, tmp_path):
+    """geo_point semantics: geo_distance (haversine) + geo_bounding_box
+    over the (geo_lat, geo_lon) docvalue pair, both via filtered search
+    and full-scan filter_docs; null coordinates never match."""
+    import numpy as np
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["near point", "far point", "inside box", "null point"],
+        "geo_lat": pa.array([37.8, -33.9, 48.85, None], pa.float64()),
+        "geo_lon": pa.array([-122.3, 151.2, 2.35, None], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "g.parquet"))
+    root = str(tmp_path / "gidx")
+    build_index([str(tmp_path / "g.parquet")], root, id_col="doc_id",
+                id_is_int=True, analyzer="simple", num_term_partitions=1,
+                store_fields=["geo_lat", "geo_lon"])
+    s = Searcher(root)
+    # ~13 km from (37.7749, -122.4194): doc 1 only; Sydney/Paris far away
+    near = s.filter_docs(
+        {"geo": ("geo_distance", 37.7749, -122.4194, 20_000.0)})
+    assert near.tolist() == [1]
+    # Paris bbox
+    box = s.filter_docs({"geo": ("geo_bbox", 49.0, 2.0, 48.0, 3.0)})
+    assert box.tolist() == [3]
+    # candidate-path mask (scored search with geo filter)
+    d, _ = s.search_terms(["point"], k=10,
+                          filters={"geo": ("geo_bbox", 90.0, -180.0,
+                                           -90.0, 180.0)})
+    assert sorted(d.tolist()) == [1, 2]   # doc 4 matches but has null coords
+    # haversine sanity: SF→Sydney ≈ 11,940 km
+    from search_ingest_ray.query.fields import FieldStore
+    m = FieldStore._geo_mask(np.array([-33.9]), np.array([151.2]),
+                             ("geo_distance", 37.7749, -122.4194,
+                              12_000_000.0))
+    assert m.tolist() == [True]
+    m2 = FieldStore._geo_mask(np.array([-33.9]), np.array([151.2]),
+                              ("geo_distance", 37.7749, -122.4194,
+                               11_800_000.0))
+    assert m2.tolist() == [False]
+
+
+def test_geo_sql_mirrors_match():
+    """__ray_entry__'s oracle constants must equal the engine's."""
+    import __ray_entry__ as e
+    from search_ingest_ray.pipelines.flagship import (GEO_LAT_SQL,
+                                                      GEO_LON_SQL)
+    assert e._GEO_LAT == GEO_LAT_SQL
+    assert e._GEO_LON == GEO_LON_SQL
