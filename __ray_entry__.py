@@ -1497,11 +1497,17 @@ def q_image_features(sf_dir: str):
     from search_ingest_ray.functions.multimodal import ImageFeatureStage
 
     def to_binary(t: pa.Table) -> pa.Table:
+        from search_ingest_ray.functions.jpegcodec import encode_jpeg
         imgs = []
         for i in t["doc_id"].to_pylist():
             rng = np.random.default_rng(int(i))
-            imgs.append(encode_png(rng.integers(0, 256, size=(16, 16, 3),
-                                                dtype=np.uint8)))
+            px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            if i % 3 == 0:       # real baseline JPEG, chroma-subsampled
+                imgs.append(encode_jpeg(px, quality=90, subsampling="4:2:0"))
+            elif i % 3 == 1:     # real PNG
+                imgs.append(encode_png(px))
+            else:                # real grayscale JPEG 4:4:4
+                imgs.append(encode_jpeg(px[:, :, 0], quality=85))
         return pa.table({"media_id": t["doc_id"].cast(pa.string()),
                          "data": pa.array(imgs, pa.binary())})
 
@@ -1509,6 +1515,52 @@ def q_image_features(sf_dir: str):
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=64, concurrency=_pool(2),
                           fn_constructor_kwargs={"strict": True})
+
+
+def q_jpeg_features(sf_dir: str):
+    """REAL JPEG decode, SQL-oracled end to end on an exactness anchor:
+    at quality=75 the scaled Annex-K luma quant[0] is exactly 8, so a
+    solid grayscale value v (chosen ≠ 0 mod 32, so histogram bins are
+    ulp-safe) round-trips through DCT→quant→Huffman→IDCT to EXACTLY v.
+    Every doc gets its own solid JPEG (varying dims exercise multi-MCU
+    grids; doc_id%5==0 adds restart markers); DuckDB re-derives gray and
+    the one-hot luminance bin analytically.  A wrong bit anywhere in the
+    codec breaks the identity."""
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.multimodal import ImageFeatureStage
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        imgs = []
+        for i in t["doc_id"].to_pylist():
+            v = 40 + (int(i) % 13) * 16
+            w = 8 + (int(i) % 3) * 8
+            h = 8 + ((int(i) // 3) % 2) * 8
+            imgs.append(encode_jpeg(
+                np.full((h, w), v, np.uint8), quality=75,
+                restart_interval=1 if i % 5 == 0 else 0))
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()),
+                         "data": pa.array(imgs, pa.binary())})
+
+    ds = (_docs(sf_dir).map_batches(to_jpeg, batch_format="pyarrow")
+          .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=_pool(2),
+                       fn_constructor_kwargs={"strict": True}))
+
+    def extract(t: pa.Table) -> pa.Table:
+        feats = np.asarray(t["feature"].combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(-1, 12)
+        return pa.table({
+            "doc_id": t["media_id"].cast(pa.int64()),
+            "width": t["width"].cast(pa.int64()),
+            "height": t["height"].cast(pa.int64()),
+            "decoded": t["decoded"],
+            "gray": pa.array(np.round(feats[:, 0] * 255).astype(np.int64)),
+            "lum_bin": pa.array(np.argmax(feats[:, 3:11], axis=1)
+                                .astype(np.int64)),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
 
 
 def q_webpage_build(sf_dir: str):
@@ -1646,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_features": q_image_features,
+        "jpeg_features": q_jpeg_features,
         "webpage_build": q_webpage_build,
     }
 
@@ -2311,6 +2364,15 @@ SELECT
                    cast(((n - 1) // {WAV_HALF}) * 1000000 // (n - 1)
                         AS bigint) AS zcr_micro
             FROM s ORDER BY doc_id""",
+        "jpeg_features": """
+            SELECT doc_id,
+                   cast(8 + (doc_id % 3) * 8 AS bigint) AS width,
+                   cast(8 + ((doc_id // 3) % 2) * 8 AS bigint) AS height,
+                   true AS decoded,
+                   cast(40 + (doc_id % 13) * 16 AS bigint) AS gray,
+                   cast((40 + (doc_id % 13) * 16) // 32 AS bigint)
+                     AS lum_bin
+            FROM documents ORDER BY doc_id""",
         "index_stats": f"""
             SELECT
               cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,

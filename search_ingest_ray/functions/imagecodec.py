@@ -14,10 +14,13 @@ formats need nothing beyond the standard library:
 - WAV  — stdlib ``wave`` + numpy: real PCM samples → RMS / zero-crossing
   / duration features.
 
-JPEG / MP4 / WebM remain honestly undecodable here: :func:`decode_image`
-raises ``NotImplementedError`` for them (sniffed by magic bytes) rather
-than faking pixels.  :func:`encode_png` exists so tests and synthetic
-pipelines can round-trip real pixel data.
+Baseline-sequential JPEG decodes for real via :mod:`.jpegcodec`
+(pure-numpy Huffman + batched IDCT; progressive/arithmetic variants raise
+``NotImplementedError``).  GIF / WebP / MP4 / WebM remain honestly
+undecodable here: :func:`decode_image` raises ``NotImplementedError`` for
+them (sniffed by magic bytes) rather than faking pixels.
+:func:`encode_png` exists so tests and synthetic pipelines can round-trip
+real pixel data.
 """
 
 from __future__ import annotations
@@ -183,9 +186,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte-sniffed decode → (h, w, channels) uint8.  JPEG/GIF/WebP
-    raise NotImplementedError (a real codec is required); unknown bytes
-    raise ValueError."""
+    """Magic-byte-sniffed decode → (h, w, channels) uint8.  PNG/PPM/BMP
+    decode here; baseline JPEG decodes via :mod:`.jpegcodec` (pure-numpy
+    Huffman + IDCT); GIF/WebP raise NotImplementedError (a real codec is
+    required); unknown bytes raise ValueError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):
@@ -193,7 +197,8 @@ def decode_image(data: bytes) -> np.ndarray:
     if data.startswith(b"BM"):
         return decode_bmp(data)
     if data.startswith(b"\xff\xd8\xff"):
-        raise NotImplementedError("JPEG needs libjpeg — not in this env")
+        from .jpegcodec import decode_jpeg   # baseline sequential, pure numpy
+        return decode_jpeg(data)
     if data.startswith((b"GIF87a", b"GIF89a", b"RIFF")):
         raise NotImplementedError("GIF/WebP codec not available")
     raise ValueError("unrecognized image format")

@@ -102,10 +102,79 @@ def test_bmp_decode_24bit_bottom_up():
 def test_decode_image_sniffs_and_rejects():
     img = _rng_img(2, 2, 3, seed=5)
     assert np.array_equal(decode_image(encode_png(img)), img)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):        # JPEG magic but garbage body
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a notreally")
     with pytest.raises(ValueError):
         decode_image(b"garbage")
+
+
+# -- baseline JPEG codec (jpegcodec.py) ---------------------------------------
+
+
+def test_jpeg_solid_gray_exact_identity():
+    """quality=75 scales Annex-K luma q[0][0] to exactly 8 → a solid
+    grayscale value round-trips EXACTLY (the q_jpeg_features oracle
+    anchor)."""
+    from search_ingest_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    for v in (40, 56, 104, 152, 232):
+        out = decode_jpeg(encode_jpeg(np.full((24, 16), v, np.uint8),
+                                      quality=75))
+        assert out.shape == (24, 16, 1)
+        assert (out == v).all()
+
+
+def test_jpeg_rgb_roundtrip_444_and_420():
+    from search_ingest_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([yy * 255 // h, xx * 255 // w,
+                    (yy + xx) * 255 // (h + w)], 2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 2 and err.max() < 16
+    out420 = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    err420 = np.abs(out420.astype(int) - img.astype(int))
+    assert err420.mean() < 6
+
+
+def test_jpeg_restart_intervals_identical_pixels():
+    from search_ingest_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    img = _rng_img(17, 31, 3, seed=11)      # odd dims → padded MCU grid
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:2:0"))
+    rst = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:2:0",
+                                  restart_interval=2))
+    assert np.array_equal(base, rst)
+
+
+def test_jpeg_unsupported_modes_raise():
+    from search_ingest_ray.functions.jpegcodec import decode_jpeg
+    prog = (b"\xff\xd8\xff\xc2"
+            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+            + b"\xff\xd9")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")    # no frame/scan
+
+
+def test_jpeg_decodes_through_image_stage_strict(ray_session):
+    import ray.data as rd
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    rows = []
+    for i in range(6):
+        px = _rng_img(16, 16, 3, seed=100 + i)
+        sub = "4:2:0" if i % 2 else "4:4:4"
+        rows.append({"media_id": f"j{i}",
+                     "data": encode_jpeg(px, quality=90, subsampling=sub)})
+    out = (rd.from_items(rows)
+           .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                        concurrency=1,
+                        fn_constructor_kwargs={"strict": True})
+           .to_pandas())
+    assert out["decoded"].all()
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
 
 
 def test_image_features_match_numpy():
