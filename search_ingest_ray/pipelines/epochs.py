@@ -51,6 +51,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -467,6 +468,15 @@ def watch_deltas(index_root: str, feed_dir: str, *, poll_sec: float = 1.0,
         if not os.path.exists(path):
             _time.sleep(poll_sec)
             continue
+        try:
+            # Footer barrier: a producer that renames atomically
+            # (publish_epoch) always passes; a non-atomic producer
+            # mid-write just makes the watcher wait one poll instead of
+            # crashing the daemon on a truncated file.
+            pq.read_metadata(path)
+        except Exception:
+            _time.sleep(poll_sec)
+            continue
         if nxt == 0:
             # epoch 0 in the feed is the backfill table itself
             applied.append(apply_delta_epoch(index_root, None, 0,
@@ -477,3 +487,27 @@ def watch_deltas(index_root: str, feed_dir: str, *, poll_sec: float = 1.0,
                                              mode=mode, **delta_kwargs))
         if max_epochs is not None and len(applied) >= max_epochs:
             return applied
+
+
+def publish_epoch(feed_dir: str, epoch: int, table: pa.Table) -> str:
+    """Producer-side durable atomic publish — the feed-contract barrier.
+
+    Write the epoch parquet under a temp name, fsync the FILE, rename to
+    its final ``delta-e{N:04d}.parquet`` name, then fsync the DIRECTORY:
+    after a producer crash at any point, watchers either see the complete
+    durable epoch or nothing — never a half-visible file.  (rename alone
+    is atomic in the namespace but not durable: without the two fsyncs a
+    power cut can surface a named file with missing tail pages.)"""
+    os.makedirs(feed_dir, exist_ok=True)
+    final = os.path.join(feed_dir, f"delta-e{epoch:04d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    dfd = os.open(feed_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return final

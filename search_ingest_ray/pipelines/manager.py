@@ -68,6 +68,27 @@ def warm_lazy_imports() -> None:
                 # module path moved between Ray versions — the ones that
                 # exist still cover the chain; missing ones are harmless
                 pass
+        # fsspec.implementations.http cannot import in this env (no
+        # aiohttp), and a FAILED import is evicted from sys.modules — so
+        # Ray's per-read `_is_http_filesystem` probe re-executes the module
+        # import every time, and two threads doing it concurrently can
+        # surface a partially-initialised module as a plain ImportError
+        # ("cannot import name HTTPFileSystem"), which Ray's
+        # ModuleNotFoundError handler does not catch.  Pin a stub with a
+        # never-instantiated HTTPFileSystem class so the probe import
+        # succeeds deterministically and its isinstance() is always False.
+        try:
+            importlib.import_module("fsspec.implementations.http")
+        except ImportError:
+            import sys
+            import types
+
+            class _NoHTTPFileSystem:   # never instantiated in-process
+                pass
+
+            stub = types.ModuleType("fsspec.implementations.http")
+            stub.HTTPFileSystem = _NoHTTPFileSystem
+            sys.modules["fsspec.implementations.http"] = stub
         _WARMED = True
 
 
@@ -138,6 +159,53 @@ class TableManager:
     def reindex_all(self, epoch: int = 0) -> None:
         for name in self.tables:
             reindex(self.index_root(name), epoch=epoch)
+
+    def watch_all(self, feed_base: str, *, poll_sec: float = 0.2,
+                  max_epochs: int | None = None, stop_when=None,
+                  mode: str = "delta",
+                  table_kwargs: dict | None = None) -> dict[str, list[dict]]:
+        """Tail one changefeed directory PER managed table, concurrently —
+        the engine analog of the reference's per-table watch fan-out
+        (table_manager.cr:31-61 spawns one watch fiber per Table over its
+        own RethinkDB changefeed).
+
+        Layout: ``feed_base/<table>/delta-eNNNN.parquet`` (producers
+        should publish via :func:`..pipelines.epochs.publish_epoch`, whose
+        fsync+rename barrier guarantees watchers never see a torn file).
+        Each table's epochs apply strictly in per-table order; cross-table
+        order is unconstrained (matching the reference, where feeds are
+        independent).  The fan-out is RESUMABLE per table: each watcher
+        resumes after its own committed chain head, so a restart — of one
+        table's watcher or the whole manager — continues exactly where it
+        stopped.  ``max_epochs``/``stop_when`` apply per table.
+
+        Returns {table: applied epoch manifests}; a failed table raises
+        after the others stop (all-success aggregation, as backfill_all)."""
+        from .epochs import watch_deltas
+        warm_lazy_imports()
+        table_kwargs = table_kwargs or {}
+        results: dict[str, list] = {}
+        errors: dict[str, Exception] = {}
+
+        def one(name: str):
+            try:
+                results[name] = watch_deltas(
+                    self.index_root(name), os.path.join(feed_base, name),
+                    poll_sec=poll_sec, max_epochs=max_epochs,
+                    stop_when=stop_when, mode=mode,
+                    **table_kwargs.get(name, {}))
+            except Exception as e:  # noqa: BLE001 — aggregated below
+                errors[name] = e
+
+        with ThreadPoolExecutor(
+                max_workers=max(len(self.tables), 1)) as ex:
+            list(ex.map(one, self.tables))
+        if errors:
+            raise RuntimeError(
+                f"watch failed for {sorted(errors)}: "
+                f"{ {k: repr(v)[:300] for k, v in errors.items()} }"
+            ) from next(iter(errors.values()))
+        return results
 
     def consistent_indices(self) -> bool:
         """True when every table has a committed epoch manifest — the

@@ -103,3 +103,94 @@ def test_cli_watch_drains_feed(ray_session, tmp_path, capsys):
                "--analyzer", "simple"])
     assert rc == 0
     assert '"applied": 2' in capsys.readouterr().out
+
+
+def test_manager_watch_all_three_tables_across_restart(ray_session, tmp_path):
+    """Verdict-r3 #9: one feed dir per managed table driven by
+    TableManager.watch_all, producers publishing through the
+    fsync+rename barrier (publish_epoch), epochs applied in per-table
+    order across a simulated restart of the whole watch fan-out."""
+    from search_ingest_ray.pipelines.epochs import publish_epoch
+    from search_ingest_ray.pipelines.manager import ManagedTable, TableManager
+
+    feed_base = str(tmp_path / "feeds")
+    tables = ["alpha", "beta", "gamma"]
+    # per-table distinct content so cross-table mixups would be caught
+    deltas = {
+        name: [(f"{name}-u1", f"fresh {name} one w{i}", "created"),
+               (f"{name}-u2", f"fresh {name} two w{i} w{i}", "created")]
+        for i, name in enumerate(tables)
+    }
+
+    def base_for(name):
+        t = _base_table()
+        return t.set_column(0, "url",
+                            pa.array([f"{name}-{u}" for u in
+                                      t["url"].to_pylist()]))
+
+    mgr = TableManager(str(tmp_path / "indices"),
+                       [ManagedTable(n, None) for n in tables])
+    kw = {n: KW for n in tables}
+
+    # --- first run: every producer publishes epochs 0..1, watchers drain
+    def produce_first():
+        for name in tables:
+            publish_epoch(os.path.join(feed_base, name), 0, base_for(name))
+        time.sleep(0.2)
+        for name in tables:
+            publish_epoch(os.path.join(feed_base, name), 1,
+                          _delta_table(deltas[name], 1))
+
+    t = threading.Thread(target=produce_first)
+    t.start()
+    applied = mgr.watch_all(feed_base, poll_sec=0.05, max_epochs=2,
+                            mode="delta", table_kwargs=kw)
+    t.join()
+    for name in tables:
+        assert [m["status"] for m in applied[name]] == ["done", "done"]
+        assert [m["epoch"] for m in applied[name]] == [0, 1]
+
+    # --- simulated restart: a FRESH manager resumes each table after its
+    # committed chain head and applies only the new epoch 2
+    for name in tables:
+        publish_epoch(os.path.join(feed_base, name), 2,
+                      _delta_table([(f"{name}-u1", "", "deleted")], 2))
+    mgr2 = TableManager(str(tmp_path / "indices"),
+                        [ManagedTable(n, None) for n in tables])
+    applied2 = mgr2.watch_all(feed_base, poll_sec=0.05, max_epochs=1,
+                              mode="delta", table_kwargs=kw)
+    for name in tables:
+        assert [m["epoch"] for m in applied2[name]] == [2]
+        # per-table results: u2 alive with its own table's tokens, u1 dead
+        s = MultiEpochSearcher(mgr2.index_root(name))
+        docs, _ = s.search_terms(["fresh", name], k=10)
+        assert len(docs) == 1
+
+
+def test_publish_epoch_is_torn_file_safe(ray_session, tmp_path):
+    """The watcher's footer barrier: a half-written (non-atomic) file in
+    the feed makes the watcher WAIT, not crash; once the producer finishes
+    (atomic rename), the epoch applies."""
+    from search_ingest_ray.pipelines.epochs import publish_epoch
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    root = str(tmp_path / "idx")
+
+    # torn file: valid parquet truncated to half — readable magic, broken
+    # footer, published non-atomically under the FINAL name
+    buf = pa.BufferOutputStream()
+    pq.write_table(_base_table(), buf)
+    raw = buf.getvalue().to_pybytes()
+    torn = os.path.join(feed, "delta-e0000.parquet")
+    with open(torn, "wb") as f:
+        f.write(raw[:len(raw) // 2])
+
+    def finish_producer():
+        time.sleep(0.4)
+        publish_epoch(feed, 0, _base_table())   # overwrites the torn file
+
+    t = threading.Thread(target=finish_producer)
+    t.start()
+    applied = watch_deltas(root, feed, poll_sec=0.05, max_epochs=1, **KW)
+    t.join()
+    assert [m["epoch"] for m in applied] == [0]
