@@ -184,7 +184,9 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "bm25_sharded",
                  # training-data hygiene (late round 3)
                  "decontaminate", "dup_ngrams", "repetition",
-                 "dedup_clusters", "corpus_filter"]:
+                 "dedup_clusters", "corpus_filter",
+                 # round 4: geo filters + real JPEG decode
+                 "geo_distance", "geo_bbox", "jpeg_features"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
