@@ -284,10 +284,13 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     tpart = int(group["tpart"][0].as_py())
 
     tcol = group.column("term").combine_chunks()
-    dic = pc.dictionary_encode(tcol)
+    # exchange spills arrive dictionary-encoded (payload diet);
+    # combine_chunks above already unified the per-file dictionaries, so
+    # the codes/uniq pair is free — no string dedup pass on the hot path
+    dic = tcol if pa.types.is_dictionary(tcol.type) else pc.dictionary_encode(tcol)
     codes = dic.indices.to_numpy().astype(np.int64)
     uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
-    salts = group["salt"].to_numpy()
+    salts = group["salt"].to_numpy().astype(np.int64)
     docids = group["docid"].to_numpy()
     tfs = group["tf"].to_numpy().astype(np.int64)
     dls = group["dl"].to_numpy().astype(np.int64)
@@ -494,6 +497,17 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
         # payload — IPC reads back as a zero-copy mmap (no string-column
         # decode pass), which halves the reduce task's memory traffic
         sl = sorted_block.slice(lo, hi - lo).combine_chunks()
+        # payload diet (~35% fewer exchange bytes — the build's only
+        # all-to-all): tpart is the directory name, constant per file —
+        # drop it and reconstruct at read; salt < hot_salt (single digit)
+        # fits int8; term dictionary-encodes (Zipf repeats inside a slice
+        # make codes+dict much smaller than repeated strings)
+        cols = {"term": pc.dictionary_encode(sl["term"].combine_chunks()),
+                "docid": sl["docid"], "tf": sl["tf"], "dl": sl["dl"],
+                "salt": pc.cast(sl["salt"], pa.int8())}
+        if "pos" in sl.column_names:
+            cols["pos"] = sl["pos"]
+        sl = pa.table(cols)
         with pa.OSFile(tmp, "wb") as sink:
             with pa.ipc.new_file(sink, sl.schema) as w:
                 w.write_table(sl)
@@ -535,11 +549,23 @@ def _build_group_ray(group: pa.Table, *, segments_dir: str,
 
 def _read_spill(path: str) -> pa.Table:
     """Zero-copy-mmap an IPC spill file (parquet fallback for pre-IPC
-    spills)."""
+    spills) and normalize legacy (pre-diet) schemas so one exchange dir
+    can mix spill generations across a resumed build: drop the redundant
+    tpart column, salt → int8, term → dictionary."""
     if path.endswith(".arrow"):
         with pa.memory_map(path) as src:
-            return pa.ipc.open_file(src).read_all()
-    return pq.read_table(path)
+            t = pa.ipc.open_file(src).read_all()
+    else:
+        t = pq.read_table(path)
+    if "tpart" in t.column_names:
+        t = t.drop_columns(["tpart"])
+    if not pa.types.is_int8(t.schema.field("salt").type):
+        t = t.set_column(t.schema.get_field_index("salt"), "salt",
+                         pc.cast(t["salt"], pa.int8()))
+    if not pa.types.is_dictionary(t.schema.field("term").type):
+        t = t.set_column(t.schema.get_field_index("term"), "term",
+                         pc.dictionary_encode(t["term"].combine_chunks()))
+    return t
 
 
 def _build_tpart_from_exchange(batch: pa.Table, *, exchange_dir: str,
@@ -558,6 +584,9 @@ def _build_tpart_from_exchange(batch: pa.Table, *, exchange_dir: str,
             continue
         t0 = time.monotonic()
         group = pa.concat_tables([_read_spill(f) for f in files])
+        # reconstruct the constant partition id dropped from the payload
+        group = group.append_column(
+            "tpart", pa.array(np.full(group.num_rows, int(tpart), np.int32)))
         read_s = time.monotonic() - t0
         out = build_segment_group(group, segments_dir=segments_dir,
                                   params=params, hot_df=hot_df)
