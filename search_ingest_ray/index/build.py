@@ -531,10 +531,19 @@ def _assign_pending_batch(batch: pa.Table, *, num_partitions: int,
         if len(_PENDING_CACHE) > 16:
             _PENDING_CACHE.clear()
         pending = _PENDING_CACHE[key] = ray.get(pending_ref)
-    if len(pending) == num_partitions:
-        return out
-    mask = np.isin(out["tpart"].to_numpy(), pending)
-    return out.filter(pa.array(mask))
+    if len(pending) != num_partitions:
+        mask = np.isin(out["tpart"].to_numpy(), pending)
+        out = out.filter(pa.array(mask))
+    # same payload diet as the fs spill (minus tpart, which the sort
+    # exchange keys on): dictionary-encode term, salt → int8 — shrinks the
+    # blocks the object-store sort moves; build_segment_group consumes the
+    # dictionary directly after Arrow unifies the per-block dictionaries
+    return out.set_column(
+        out.schema.get_field_index("term"), "term",
+        pc.dictionary_encode(out["term"].combine_chunks())
+    ).set_column(
+        out.schema.get_field_index("salt"), "salt",
+        pc.cast(out["salt"], pa.int8()))
 
 
 def _build_group_ray(group: pa.Table, *, segments_dir: str,
