@@ -213,6 +213,16 @@ def run_once() -> dict:
             while fh.read(1 << 24):
                 pass
 
+    # co-measure host state right before the build: this sandbox's memory
+    # bus swings 3-14 GB/s across the day and the build is its most
+    # bandwidth-bound stage, so a headline number is only interpretable
+    # next to the window it ran in (see BASELINE.md "Memory-bandwidth
+    # finding"; skipped inside scaling trials, which probe themselves)
+    host = (None if os.environ.get("SCALE_SKIP_SF") == "1" else {
+        "mem_bw_gbps": host_mem_bandwidth_gbps(reps=3),
+        "parallel_ceiling_x": host_parallel_ceiling(),
+    })
+
     build = bench_build(ncpu)
     query = bench_query(build["index_root"], ncpu)
     # scaling legs only need build/query throughput — the sf-dir query sweep
@@ -231,6 +241,8 @@ def run_once() -> dict:
         "build": {k: v for k, v in build.items() if k != "index_root"},
         "query": query,
     }
+    if host is not None:
+        result["host"] = host
     ray.shutdown()
     return result
 

@@ -1,0 +1,78 @@
+"""Exchange payload diet: spill files ship dictionary-encoded terms,
+int8 salts and no tpart column; `_read_spill` normalizes legacy
+(pre-diet) spills so one exchange directory can mix generations across a
+resumed build."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.ipc
+
+from search_ingest_ray.index.build import _read_spill
+
+
+def _write_ipc(path, table):
+    with pa.OSFile(path, "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+
+
+def test_read_spill_normalizes_legacy_and_new(tmp_path):
+    # legacy generation: plain string term, int32 salt, redundant tpart
+    legacy = pa.table({
+        "term": pa.array(["a", "b", "a"], pa.string()),
+        "docid": pa.array([1, 2, 3], pa.int64()),
+        "tf": pa.array([1, 1, 2], pa.int32()),
+        "dl": pa.array([5, 5, 5], pa.int32()),
+        "salt": pa.array([0, 0, 0], pa.int32()),
+        "tpart": pa.array([7, 7, 7], pa.int32()),
+    })
+    # diet generation: dictionary term, int8 salt, no tpart
+    diet = pa.table({
+        "term": pc.dictionary_encode(pa.array(["b", "c"], pa.string())),
+        "docid": pa.array([4, 5], pa.int64()),
+        "tf": pa.array([3, 1], pa.int32()),
+        "dl": pa.array([6, 6], pa.int32()),
+        "salt": pa.array([0, 0], pa.int8()),
+    })
+    p1 = str(tmp_path / "legacy.arrow")
+    p2 = str(tmp_path / "diet.arrow")
+    _write_ipc(p1, legacy)
+    _write_ipc(p2, diet)
+
+    t1, t2 = _read_spill(p1), _read_spill(p2)
+    # both normalize to the same schema, so the reduce-side concat works
+    assert t1.schema == t2.schema
+    assert "tpart" not in t1.column_names
+    assert pa.types.is_int8(t1.schema.field("salt").type)
+    assert pa.types.is_dictionary(t1.schema.field("term").type)
+
+    group = pa.concat_tables([t1, t2]).combine_chunks()
+    col = group.column("term").combine_chunks()
+    # unified dictionary is deduplicated — one code per distinct term
+    # (duplicate entries would split a term's posting list in two)
+    assert sorted(col.dictionary.to_pylist()) == ["a", "b", "c"]
+    assert len(col.dictionary) == len(set(col.dictionary.to_pylist()))
+    decoded = pc.cast(col, pa.string()).to_pylist()
+    assert decoded == ["a", "b", "a", "b", "c"]
+    assert group["docid"].to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_read_spill_parquet_fallback(tmp_path):
+    import pyarrow.parquet as pq
+    legacy = pa.table({
+        "term": pa.array(["x"], pa.string()),
+        "docid": pa.array([9], pa.int64()),
+        "tf": pa.array([1], pa.int32()),
+        "dl": pa.array([1], pa.int32()),
+        "salt": pa.array([2], pa.int32()),
+        "tpart": pa.array([0], pa.int32()),
+    })
+    p = str(tmp_path / "old.parquet")
+    pq.write_table(legacy, p)
+    t = _read_spill(p)
+    assert "tpart" not in t.column_names
+    assert pa.types.is_dictionary(t.schema.field("term").type)
+    assert t["salt"].to_pylist() == [2]
