@@ -503,7 +503,7 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
         # payload diet (~40% fewer exchange bytes — the build's only
         # all-to-all): tpart is the directory name, constant per file —
         # drop it and reconstruct at read; salt < hot_salt (single digit)
-        # fits int8; term dictionary-encodes (Zipf repeats inside a slice
+        # fits uint8; term dictionary-encodes (Zipf repeats inside a slice
         # make codes+dict much smaller than repeated strings); docid too
         # (a doc's distinct terms land ~uniformly over P partitions, so
         # each docid repeats ~len(doc)/P times per slice: int64 → int32
@@ -511,7 +511,7 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
         cols = {"term": pc.dictionary_encode(sl["term"].combine_chunks()),
                 "docid": pc.dictionary_encode(sl["docid"].combine_chunks()),
                 "tf": sl["tf"], "dl": sl["dl"],
-                "salt": pc.cast(sl["salt"], pa.int8())}
+                "salt": pc.cast(sl["salt"], pa.uint8())}
         if "pos" in sl.column_names:
             cols["pos"] = sl["pos"]
         sl = pa.table(cols)
@@ -542,7 +542,7 @@ def _assign_pending_batch(batch: pa.Table, *, num_partitions: int,
         mask = np.isin(out["tpart"].to_numpy(), pending)
         out = out.filter(pa.array(mask))
     # same payload diet as the fs spill (minus tpart, which the sort
-    # exchange keys on): dictionary-encode term, salt → int8 — shrinks the
+    # exchange keys on): dictionary-encode term, salt → uint8 — shrinks the
     # blocks the object-store sort moves; build_segment_group consumes the
     # dictionary directly after Arrow unifies the per-block dictionaries
     return out.set_column(
@@ -553,7 +553,7 @@ def _assign_pending_batch(batch: pa.Table, *, num_partitions: int,
         pc.dictionary_encode(out["docid"].combine_chunks())
     ).set_column(
         out.schema.get_field_index("salt"), "salt",
-        pc.cast(out["salt"], pa.int8()))
+        pc.cast(out["salt"], pa.uint8()))
 
 
 def _build_group_ray(group: pa.Table, *, segments_dir: str,
@@ -570,7 +570,7 @@ def _read_spill(path: str) -> pa.Table:
     """Zero-copy-mmap an IPC spill file (parquet fallback for pre-IPC
     spills) and normalize legacy (pre-diet) schemas so one exchange dir
     can mix spill generations across a resumed build: drop the redundant
-    tpart column, salt → int8, term → dictionary."""
+    tpart column, salt → uint8, term → dictionary."""
     if path.endswith(".arrow"):
         with pa.memory_map(path) as src:
             t = pa.ipc.open_file(src).read_all()
@@ -578,9 +578,9 @@ def _read_spill(path: str) -> pa.Table:
         t = pq.read_table(path)
     if "tpart" in t.column_names:
         t = t.drop_columns(["tpart"])
-    if not pa.types.is_int8(t.schema.field("salt").type):
+    if not pa.types.is_uint8(t.schema.field("salt").type):
         t = t.set_column(t.schema.get_field_index("salt"), "salt",
-                         pc.cast(t["salt"], pa.int8()))
+                         pc.cast(t["salt"], pa.uint8()))
     if not pa.types.is_dictionary(t.schema.field("term").type):
         t = t.set_column(t.schema.get_field_index("term"), "term",
                          pc.dictionary_encode(t["term"].combine_chunks()))

@@ -1,5 +1,5 @@
 """Exchange payload diet: spill files ship dictionary-encoded terms,
-int8 salts and no tpart column; `_read_spill` normalizes legacy
+uint8 salts and no tpart column; `_read_spill` normalizes legacy
 (pre-diet) spills so one exchange directory can mix generations across a
 resumed build."""
 
@@ -29,13 +29,13 @@ def test_read_spill_normalizes_legacy_and_new(tmp_path):
         "salt": pa.array([0, 0, 0], pa.int32()),
         "tpart": pa.array([7, 7, 7], pa.int32()),
     })
-    # diet generation: dictionary term, int8 salt, no tpart
+    # diet generation: dictionary term, uint8 salt, no tpart
     diet = pa.table({
         "term": pc.dictionary_encode(pa.array(["b", "c"], pa.string())),
         "docid": pa.array([4, 5], pa.int64()),
         "tf": pa.array([3, 1], pa.int32()),
         "dl": pa.array([6, 6], pa.int32()),
-        "salt": pa.array([0, 0], pa.int8()),
+        "salt": pa.array([0, 0], pa.uint8()),
     })
     p1 = str(tmp_path / "legacy.arrow")
     p2 = str(tmp_path / "diet.arrow")
@@ -46,7 +46,7 @@ def test_read_spill_normalizes_legacy_and_new(tmp_path):
     # both normalize to the same schema, so the reduce-side concat works
     assert t1.schema == t2.schema
     assert "tpart" not in t1.column_names
-    assert pa.types.is_int8(t1.schema.field("salt").type)
+    assert pa.types.is_uint8(t1.schema.field("salt").type)
     assert pa.types.is_dictionary(t1.schema.field("term").type)
 
     group = pa.concat_tables([t1, t2]).combine_chunks()
@@ -76,3 +76,27 @@ def test_read_spill_parquet_fallback(tmp_path):
     assert "tpart" not in t.column_names
     assert pa.types.is_dictionary(t.schema.field("term").type)
     assert t["salt"].to_pylist() == [2]
+
+
+def test_high_salt_survives_uint8_payload(ray_session, tmp_path):
+    """hot_salt may legally be up to 256; salts ≥ 128 must survive the
+    spill cast (uint8, not int8 — int8 would overflow at 128)."""
+    import pyarrow.parquet as pq
+    from search_ingest_ray.index.build import build_index
+    from search_ingest_ray.query.searcher import Searcher
+
+    n = 80
+    texts = [f"hot filler{i % 7}" for i in range(n)]  # 'hot' in every doc
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"url": [f"d{i}" for i in range(n)],
+                             "text": texts}), p)
+    kw = dict(analyzer="simple", num_term_partitions=4, chunk_files=1,
+              hot_df_threshold=20)
+    root_hi = str(tmp_path / "idx_hi")
+    root_lo = str(tmp_path / "idx_lo")
+    build_index([p], root_hi, hot_salt=200, **kw)   # salts span 0..199
+    build_index([p], root_lo, hot_salt=1, **kw)
+    d1, s1 = Searcher(root_hi).search_terms(["hot"], k=20)
+    d2, s2 = Searcher(root_lo).search_terms(["hot"], k=20)
+    assert d1.tolist() == d2.tolist()
+    assert np.allclose(s1, s2)
