@@ -223,9 +223,12 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
             _HOT_CACHE.clear()
             _TP_CACHE.clear()
         hot = _HOT_CACHE[key] = ray.get(hot_ref) if hot_ref is not None else {}
-    terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+    # distinct terms via Arrow hash dictionary-encode (C speed) — only the
+    # DISTINCT strings ever cross into Python, not one object per row
+    tdic = pc.dictionary_encode(batch["term"].combine_chunks())
+    codes = tdic.indices.to_numpy()
+    uniq = tdic.dictionary.to_pylist()
     docids = batch["docid"].to_numpy()
-    uniq, codes = np.unique(terms, return_inverse=True)
 
     base = np.empty(len(uniq), dtype=np.int32)
     # hot terms get a (S,) row of salted partitions; cold terms S× base
