@@ -54,12 +54,20 @@ def qualifies(trial: dict) -> str | None:
             and trial.get("host_ceiling_lo_x", 0) >= 0.9
             and trial.get("host_ceiling_hi_x", 0) >= 3.6):
         return None
-    if trial.get("docs_per_sec_lo", 0) >= 950:
-        return "strict"
     b0 = trial.get("mem_bw_gbps_before") or 0
     b1 = trial.get("mem_bw_gbps_after") or 0
-    if (trial.get("docs_per_sec_lo", 0) >= 420 and b0 > 0
-            and abs(b1 - b0) / b0 <= 0.10):
+    bw_stable = b0 > 0 and abs(b1 - b0) / b0 <= 0.10
+    # NOTE (round 4): the 950 docs/s "known full-speed" lo-rate was
+    # calibrated on pre-diet code; the exchange diet + Arrow-native
+    # assign stage raised per-leg rates, so a high lo rate alone no
+    # longer proves an unthrottled window.  Require bandwidth stability
+    # across the pair on BOTH paths; the lo-rate threshold now only
+    # separates the labels.
+    if not bw_stable:
+        return None
+    if trial.get("docs_per_sec_lo", 0) >= 950:
+        return "strict"
+    if trial.get("docs_per_sec_lo", 0) >= 420:
         return "stable"
     return None
 
