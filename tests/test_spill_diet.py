@@ -100,3 +100,34 @@ def test_high_salt_survives_uint8_payload(ray_session, tmp_path):
     d2, s2 = Searcher(root_lo).search_terms(["hot"], k=20)
     assert d1.tolist() == d2.tolist()
     assert np.allclose(s1, s2)
+
+
+def test_ray_exchange_multi_block_dictionaries(ray_session, tmp_path):
+    """The ray sort exchange concatenates blocks whose dictionary columns
+    carry DIFFERENT per-block dictionaries; identity vs the fs path on a
+    multi-file corpus proves Arrow unification through Ray's shuffle."""
+    import pyarrow.parquet as pq
+    from search_ingest_ray.index.build import build_index
+    from search_ingest_ray.query.searcher import Searcher
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    paths = []
+    for f in range(8):  # 8 files → several blocks through the sort
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(10, 60)))
+                 + " hot" for _ in range(150)]
+        p = str(tmp_path / f"d{f}.parquet")
+        pq.write_table(pa.table({
+            "url": [f"f{f}d{i}" for i in range(150)], "text": texts}), p)
+        paths.append(p)
+    kw = dict(analyzer="simple", num_term_partitions=6, chunk_files=4,
+              hot_df_threshold=300, hot_salt=4)
+    r1, r2 = str(tmp_path / "fs"), str(tmp_path / "ray")
+    build_index(paths, r1, shuffle="fs", **kw)
+    build_index(paths, r2, shuffle="ray", **kw)
+    s1, s2 = Searcher(r1), Searcher(r2)
+    for q in (["hot"], ["w1", "w2"], ["hot", "w3", "w17"]):
+        d1, sc1 = s1.search_terms(q, k=25)
+        d2, sc2 = s2.search_terms(q, k=25)
+        assert d1.tolist() == d2.tolist(), q
+        assert np.allclose(sc1, sc2)
