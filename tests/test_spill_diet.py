@@ -131,3 +131,32 @@ def test_ray_exchange_multi_block_dictionaries(ray_session, tmp_path):
         d2, sc2 = s2.search_terms(q, k=25)
         assert d1.tolist() == d2.tolist(), q
         assert np.allclose(sc1, sc2)
+
+
+def test_spill_bytes_per_posting_budget(ray_session, tmp_path):
+    """Plan-shape guard for the payload diet: exchange spill files must
+    stay under a per-posting byte budget (pre-diet payload measured
+    ~32.5 B/posting on the bench corpus; the diet ~17.6 B).  A
+    regression that re-ships strings, int64 docids or the tpart column
+    would blow straight past 24."""
+    import glob
+    import pyarrow.parquet as pq
+    from search_ingest_ray.index.build import _spill_exchange_block
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"term{i:04d}" for i in range(500)])
+    n = 120_000
+    tbl = pa.table({
+        "term": pa.array(rng.choice(vocab, size=n)),
+        "docid": pa.array(rng.integers(0, 4000, size=n, dtype=np.int64)
+                          * 982451653),
+        "tf": pa.array(rng.integers(1, 5, size=n, dtype=np.int32)),
+        "dl": pa.array(rng.integers(50, 500, size=n, dtype=np.int32)),
+    })
+    d = str(tmp_path / "ex")
+    _spill_exchange_block(tbl, exchange_dir=d, num_partitions=8,
+                          hot_salt=4, hot_ref=None)
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(d + "/**/*.arrow", recursive=True))
+    per_posting = total / n
+    assert per_posting < 24.0, f"{per_posting:.1f} B/posting — diet regressed?"
