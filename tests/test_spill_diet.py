@@ -159,4 +159,9 @@ def test_spill_bytes_per_posting_budget(ray_session, tmp_path):
     total = sum(os.path.getsize(p)
                 for p in glob.glob(d + "/**/*.arrow", recursive=True))
     per_posting = total / n
-    assert per_posting < 24.0, f"{per_posting:.1f} B/posting — diet regressed?"
+    # this uniform-random batch measures 19.2 B/posting with the diet
+    # alone and 13.2 with the default lz4 buffer compression (pre-diet
+    # payload was ~32.5; real Zipf corpora compress further).  16
+    # catches a regression of either the diet or the compression
+    # default.
+    assert per_posting < 16.0, f"{per_posting:.1f} B/posting — diet regressed?"
