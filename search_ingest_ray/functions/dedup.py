@@ -596,7 +596,20 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
                      batch_format="pyarrow")
         .materialize())
 
-    prev_sum = labels.sum("label")
+    def _exact_label_sum(lbl_ds) -> int:
+        """Fixpoint detector: Σlabel with PYTHON-INT precision.  Labels are
+        63-bit doc-id hashes, so an int64 aggregate wraps after a handful
+        of rows — a wrapped sum could (at ~2^-64/round) collide across a
+        round and stop propagation early.  Per-block sums are computed as
+        arbitrary-precision ints inside map_batches and shipped as strings;
+        the driver adds the (tiny, one-per-block) partials exactly."""
+        parts = lbl_ds.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [str(sum(t["label"].to_pylist()))], pa.string())}),
+            batch_format="pyarrow").take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    prev_sum = _exact_label_sum(labels)
     for _ in range(max_iters):
         msgs = (directed.join(labels, "inner", num_partitions,
                               on=("src",), right_on=("node",))
@@ -609,7 +622,7 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
                        "label": t["min(label)"]}),
                       batch_format="pyarrow")
                   .materialize())
-        cur_sum = labels.sum("label")
+        cur_sum = _exact_label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
