@@ -1563,6 +1563,70 @@ def q_jpeg_features(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def q_gif_features(sf_dir: str):
+    """REAL GIF decode (pure-numpy LZW, gifcodec.py), SQL-oracled end to
+    end.  GIF is LOSSLESS, so the oracle is stronger than the JPEG
+    anchor: each doc gets a two-tone gray GIF (first k row-major pixels
+    gray a = 40+(id%13)·16, rest gray b = 255−a; k = 1+(7·id mod (n−1)))
+    — even ids INTERLACED (the decoder's four-pass reorder must be
+    bit-perfect), ids %5==0 ANIMATED two-frame (first-frame semantics of
+    decode_image over the GCE/animation parse).  The stage's luminance
+    histogram is converted back to exact per-bin COUNTS, which DuckDB
+    re-derives analytically; a and b always land in distinct 32-wide bins
+    (a ≡ 8/24 mod 32 keeps ulp margin).  A wrong bit anywhere in LZW,
+    palette mapping, interlace or compositing breaks the counts."""
+    from search_ingest_ray.functions.gifcodec import encode_gif
+    from search_ingest_ray.functions.multimodal import ImageFeatureStage
+
+    def to_gif(t: pa.Table) -> pa.Table:
+        imgs = []
+        for i in t["doc_id"].to_pylist():
+            i = int(i)
+            w = 8 + (i % 3) * 4
+            h = 6 + (i % 2) * 4
+            n = w * h
+            a = 40 + (i % 13) * 16
+            k = 1 + (7 * i) % (n - 1)
+            flat = np.full(n, 255 - a, np.uint8)
+            flat[:k] = a
+            img = np.repeat(flat, 3).reshape(h, w, 3)
+            frames = [img, 255 - img] if i % 5 == 0 else img
+            imgs.append(encode_gif(frames, interlace=(i % 2 == 0)))
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()),
+                         "data": pa.array(imgs, pa.binary())})
+
+    ds = (_docs(sf_dir).map_batches(to_gif, batch_format="pyarrow")
+          .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=_pool(2),
+                       fn_constructor_kwargs={"strict": True}))
+
+    def extract(t: pa.Table) -> pa.Table:
+        feats = np.asarray(t["feature"].combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(-1, 12)
+        w = t["width"].to_numpy().astype(np.int64)
+        h = t["height"].to_numpy().astype(np.int64)
+        counts = np.round(feats[:, 3:11] * (w * h)[:, None]).astype(np.int64)
+        # exactly two occupied bins per doc by construction
+        occ = counts > 0
+        bins = np.tile(np.arange(8), (len(counts), 1))
+        lo = np.where(occ, bins, 99).min(axis=1)
+        hi = np.where(occ, bins, -1).max(axis=1)
+        rows = np.arange(len(counts))
+        return pa.table({
+            "doc_id": t["media_id"].cast(pa.int64()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "decoded": t["decoded"],
+            "bin_lo": pa.array(lo.astype(np.int64)),
+            "cnt_lo": pa.array(counts[rows, lo]),
+            "bin_hi": pa.array(hi.astype(np.int64)),
+            "cnt_hi": pa.array(counts[rows, hi]),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 def q_webpage_build(sf_dir: str):
     """F0 corpus: extract html→text (byte-identity) + index build smoke on
     a small deterministic synthetic corpus (rows-only; the real assertions
@@ -1699,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "image_features": q_image_features,
         "jpeg_features": q_jpeg_features,
+        "gif_features": q_gif_features,
         "webpage_build": q_webpage_build,
     }
 
@@ -2373,6 +2438,29 @@ SELECT
                    cast((40 + (doc_id % 13) * 16) // 32 AS bigint)
                      AS lum_bin
             FROM documents ORDER BY doc_id""",
+        "gif_features": """
+            WITH s AS (
+              SELECT doc_id,
+                     8 + (doc_id % 3) * 4 AS w,
+                     6 + (doc_id % 2) * 4 AS h,
+                     40 + (doc_id % 13) * 16 AS a
+              FROM documents),
+            t AS (
+              SELECT doc_id, w, h, a, 255 - a AS b,
+                     1 + (7 * doc_id) % (w * h - 1) AS k,
+                     w * h AS n
+              FROM s)
+            SELECT doc_id,
+                   cast(w AS bigint) AS width,
+                   cast(h AS bigint) AS height,
+                   true AS decoded,
+                   cast(least(a // 32, b // 32) AS bigint) AS bin_lo,
+                   cast(CASE WHEN a // 32 < b // 32 THEN k ELSE n - k END
+                        AS bigint) AS cnt_lo,
+                   cast(greatest(a // 32, b // 32) AS bigint) AS bin_hi,
+                   cast(CASE WHEN a // 32 < b // 32 THEN n - k ELSE k END
+                        AS bigint) AS cnt_hi
+            FROM t ORDER BY doc_id""",
         "index_stats": f"""
             SELECT
               cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,

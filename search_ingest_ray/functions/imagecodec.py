@@ -188,8 +188,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-byte-sniffed decode → (h, w, channels) uint8.  PNG/PPM/BMP
     decode here; baseline JPEG decodes via :mod:`.jpegcodec` (pure-numpy
-    Huffman + IDCT); GIF/WebP raise NotImplementedError (a real codec is
-    required); unknown bytes raise ValueError."""
+    Huffman + IDCT); GIF via :mod:`.gifcodec` (pure-numpy LZW, first
+    frame); WebP raises NotImplementedError (VP8 needs a real codec);
+    unknown bytes raise ValueError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):
@@ -199,8 +200,11 @@ def decode_image(data: bytes) -> np.ndarray:
     if data.startswith(b"\xff\xd8\xff"):
         from .jpegcodec import decode_jpeg   # baseline sequential, pure numpy
         return decode_jpeg(data)
-    if data.startswith((b"GIF87a", b"GIF89a", b"RIFF")):
-        raise NotImplementedError("GIF/WebP codec not available")
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        from .gifcodec import decode_gif     # pure-numpy LZW
+        return decode_gif(data)
+    if data.startswith(b"RIFF"):
+        raise NotImplementedError("WebP codec not available")
     raise ValueError("unrecognized image format")
 
 

@@ -167,9 +167,10 @@ class FrameSampleStage:
     per sampled frame — a flat_map-shaped explosion).
 
     A concatenated-PNG clip (our deterministic stdlib-expressible video
-    container: PNG frames back-to-back) decodes FOR REAL — frames are
-    sampled evenly and featurized from actual pixels.  Real codecs
-    (MP4/WebM) need ffmpeg, absent here: those rows emit ``decoded=False``
+    container: PNG frames back-to-back) and an ANIMATED GIF (composited
+    via :mod:`.gifcodec`) both decode FOR REAL — frames are sampled
+    evenly and featurized from actual pixels.  Real codecs (MP4/WebM)
+    need ffmpeg, absent here: those rows emit ``decoded=False``
     content-hash frame features (or raise when ``strict=True``)."""
 
     def __init__(self, data_col: str = "data", id_col: str = "media_id",
@@ -184,18 +185,24 @@ class FrameSampleStage:
         for mid, data in zip(batch[self.id_col].to_pylist(),
                              batch[self.data_col].to_pylist()):
             data = data or b""
-            if data.startswith(_PNG_MAGIC):
-                # A corrupt/truncated payload behind a valid PNG magic
-                # must degrade to decoded=False rows when strict=False
-                # (same contract as ImageFeatureStage/AudioFeatureStage),
-                # not crash the batch.
+            if data.startswith((_PNG_MAGIC, b"GIF87a", b"GIF89a")):
+                # A corrupt/truncated payload behind a valid magic must
+                # degrade to decoded=False rows when strict=False (same
+                # contract as ImageFeatureStage/AudioFeatureStage), not
+                # crash the batch.
                 try:
-                    clip = _split_png_stream(data)
+                    if data.startswith(_PNG_MAGIC):
+                        clip = _split_png_stream(data)
+                        dec = decode_png
+                    else:
+                        from .gifcodec import decode_gif_frames
+                        clip = decode_gif_frames(data)
+                        dec = lambda px: px  # noqa: E731 — already pixels
                     picks = np.unique(
                         np.linspace(0, len(clip) - 1, self.frames)
                         .astype(np.int64))
-                    rows = [(int(fr), image_features(
-                        decode_png(clip[int(fr)]))) for fr in picks]
+                    rows = [(int(fr), image_features(dec(clip[int(fr)])))
+                            for fr in picks]
                 except Exception:
                     if self.strict:
                         raise

@@ -104,8 +104,10 @@ def test_decode_image_sniffs_and_rejects():
     assert np.array_equal(decode_image(encode_png(img)), img)
     with pytest.raises(ValueError):        # JPEG magic but garbage body
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):       # GIF magic but truncated body
         decode_image(b"GIF89a notreally")
+    with pytest.raises(NotImplementedError):   # WebP: VP8 needs a real codec
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError):
         decode_image(b"garbage")
 
@@ -243,3 +245,87 @@ def test_frame_sample_concat_png_clip(ray_session):
     assert out["frame"].tolist() == [0, 2, 4]
     for row, fr in zip(out.itertuples(), (0, 2, 4)):
         assert np.allclose(row.feature, image_features(frames[fr]))
+
+
+# -- GIF codec (gifcodec.py) ---------------------------------------------------
+
+
+def _paletted_img(h, w, ncolors, seed):
+    """Random image drawn from a fixed ncolors-entry palette (GIF-exact)."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=(h, w))
+    return pal[idx]
+
+
+@pytest.mark.parametrize("ncolors", [1, 2, 17, 256])
+def test_gif_roundtrip_exact(ncolors):
+    from search_ingest_ray.functions.gifcodec import decode_gif, encode_gif
+    img = _paletted_img(11, 9, ncolors, seed=ncolors)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_grayscale_and_sniffed_dispatch():
+    from search_ingest_ray.functions.gifcodec import encode_gif
+    gray = _rng_img(6, 5, 1, seed=61)
+    out = decode_image(encode_gif(gray))
+    assert out.shape == (6, 5, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], out[:, :, 2])
+
+
+def test_gif_interlaced_roundtrip_exact():
+    from search_ingest_ray.functions.gifcodec import decode_gif, encode_gif
+    # h=13 exercises all four interlace passes with ragged pass lengths
+    img = _paletted_img(13, 6, 31, seed=7)
+    plain = encode_gif(img)
+    inter = encode_gif(img, interlace=True)
+    assert inter != plain
+    assert np.array_equal(decode_gif(inter), img)
+
+
+def test_gif_lzw_table_reset_roundtrip():
+    """Enough high-entropy pixels to fill the 4096-entry LZW table and
+    force the encoder's CLEAR/reset path (and the decoder's deferred-
+    clear handling) — round-trip must stay byte-exact."""
+    from search_ingest_ray.functions.gifcodec import decode_gif, encode_gif
+    img = _paletted_img(96, 96, 256, seed=3)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_animation_composites_transparency():
+    from search_ingest_ray.functions.gifcodec import (
+        decode_gif_frames, encode_gif)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f1 = np.broadcast_to(pal[0], (8, 8, 3)).copy()        # solid red
+    f2 = f1.copy()
+    f2[2:5, 2:5] = pal[1]                                  # green patch
+    hole = np.broadcast_to(pal[2], (8, 8, 3)).copy()       # blue = hole
+    hole[0:3, 0:3] = pal[1]                                # green corner
+    gif = encode_gif([f1, f2, hole], transparent_rgb=(0, 0, 255))
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], f1)
+    assert np.array_equal(frames[1], f2)
+    # frame 3: blue pixels are transparent -> previous canvas shows through
+    exp = f2.copy()
+    exp[0:3, 0:3] = pal[1]
+    assert np.array_equal(frames[2], exp)
+
+
+def test_frame_sample_animated_gif(ray_session):
+    import ray.data as rd
+    from search_ingest_ray.functions.gifcodec import (
+        decode_gif_frames, encode_gif)
+    frames = [_paletted_img(4, 4, 8, seed=50 + i) for i in range(5)]
+    gif = encode_gif(frames)
+    composited = decode_gif_frames(gif)
+    ds = rd.from_items([{"media_id": "g", "data": gif}])
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"frames": 3,
+                                                "strict": True}).to_pandas()
+    assert out["decoded"].all()
+    assert out["frame"].tolist() == [0, 2, 4]
+    for row, fr in zip(out.itertuples(), (0, 2, 4)):
+        assert np.allclose(row.feature, image_features(composited[fr]))
