@@ -301,6 +301,26 @@ def q_geo_bbox(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+# non-convex "dart" ring (lat, lon) — the concave vertex (10, 0) makes
+# even-odd ray casting observable (a convex hull test would disagree);
+# vertices sit on .0005 off-grid offsets so no synthetic point (grid step
+# 0.001°) ever lies ON an edge → the PNPOLY division is ulp-safe
+GEO_POLY = ((40.0005, -50.0005), (45.0005, 0.0005), (40.0005, 50.0005),
+            (10.0005, 0.0005), (-20.0005, 0.0005))
+
+
+def q_geo_polygon(sf_dir: str):
+    """ES geo_polygon filter: planar even-odd ray casting over a
+    NON-CONVEX ring, served from the (geo_lat, geo_lon) docvalue pair.
+    The per-edge crossing expression in FieldStore._geo_mask mirrors the
+    unrolled SQL oracle op-for-op."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    d = s.filter_docs({"geo": ("geo_polygon", GEO_POLY)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_bool_query(sf_dir: str):
     """ES bool query: must=[merge, scan] (conjunction, both scored),
     should=[window] (scores when present), must_not=[spark] (excludes).
@@ -1681,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_exact": q_keyword_exact,
         "geo_distance": q_geo_distance,
         "geo_bbox": q_geo_bbox,
+        "geo_polygon": q_geo_polygon,
         "bool_query": q_bool_query,
         "fuzzy": q_fuzzy,
         "wildcard": q_wildcard,
@@ -2007,6 +2028,22 @@ SELECT doc_id FROM (
 )
 WHERE lat >= {GEO_BOX[2]!r} AND lat <= {GEO_BOX[0]!r}
   AND lon >= {GEO_BOX[1]!r} AND lon <= {GEO_BOX[3]!r}
+ORDER BY doc_id""",
+        # even-odd ray casting, one unrolled PNPOLY crossing term per edge
+        # (edge k: verts[k] -> verts[k-1]), mirroring FieldStore._geo_mask
+        "geo_polygon": f"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
+)
+WHERE (""" + " + ".join(
+            f"""CASE WHEN (lat > {GEO_POLY[k][0]!r})
+                       <> (lat > {GEO_POLY[k - 1][0]!r})
+                      AND lon < ({GEO_POLY[k - 1][1]!r} - {GEO_POLY[k][1]!r})
+                          * (lat - {GEO_POLY[k][0]!r})
+                          / ({GEO_POLY[k - 1][0]!r} - {GEO_POLY[k][0]!r})
+                          + {GEO_POLY[k][1]!r}
+                 THEN 1 ELSE 0 END"""
+            for k in range(len(GEO_POLY))) + """) % 2 = 1
 ORDER BY doc_id""",
         "bool_chain": f"""
 WITH final AS (

@@ -210,6 +210,11 @@ class FieldStore:
           on a 6,371,000 m sphere ≤ meters.  The op order matches the SQL
           oracle exactly; trig ulp skew is immaterial away from the radius
           boundary (synthetic fixtures keep metres of margin).
+        - ``("geo_polygon", [(lat, lon), ...])`` — ES geo_polygon: planar
+          even-odd ray casting (PNPOLY crossing test, edges in vertex
+          order with implicit closure).  Supports non-convex rings; no
+          dateline wrap.  The per-edge expression mirrors the SQL oracle
+          op-for-op, so points with margin from every edge are bit-exact.
         Null coordinates (NaN) never match."""
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
@@ -218,6 +223,19 @@ class FieldStore:
             _, top, left, bottom, right = spec
             m = (lat >= bottom) & (lat <= top) & (lon >= left) & (lon <= right)
             return np.asarray(m & valid, dtype=bool)
+        if spec[0] == "geo_polygon":
+            verts = list(spec[1])
+            inside = np.zeros(lat.shape, dtype=bool)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for k in range(len(verts)):
+                    (yi, xi) = verts[k]
+                    (yj, xj) = verts[k - 1]      # previous vertex closes ring
+                    # horizontal edges: the straddle test is False, and the
+                    # eager inf/nan from the division never compares True
+                    crosses = ((lat > yi) != (lat > yj)) & (
+                        lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+                    inside ^= crosses
+            return np.asarray(inside & valid, dtype=bool)
         _, lat0, lon0, meters = spec
         sdlat = np.sin((lat - lat0) * cls._RAD / 2.0)
         sdlon = np.sin((lon - lon0) * cls._RAD / 2.0)
@@ -234,7 +252,7 @@ class FieldStore:
             v = columns[name]
             return v if idx is None else v[idx]
         if (isinstance(spec, tuple) and spec
-                and spec[0] in ("geo_distance", "geo_bbox")):
+                and spec[0] in ("geo_distance", "geo_bbox", "geo_polygon")):
             return self._geo_mask(cvals(f"{col}_lat"), cvals(f"{col}_lon"),
                                   spec)
         return self._spec_mask(cvals(col), spec)

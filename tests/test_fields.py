@@ -389,3 +389,26 @@ def test_geo_sql_mirrors_match():
                                                       GEO_LON_SQL)
     assert e._GEO_LAT == GEO_LAT_SQL
     assert e._GEO_LON == GEO_LON_SQL
+
+
+def test_geo_polygon_nonconvex():
+    """geo_polygon even-odd ray casting: a U-shaped (non-convex) ring must
+    EXCLUDE points in the notch that its convex hull contains, include
+    points in both prongs, treat nulls as non-matching, and handle
+    horizontal edges without spurious crossings."""
+    import numpy as np
+
+    from search_ingest_ray.query.fields import FieldStore
+    # U shape: prongs at lon [0,2] and [8,10], notch lon (2,8) above lat 2
+    ring = [(10.0, 0.0), (10.0, 2.0), (2.0, 2.0), (2.0, 8.0), (10.0, 8.0),
+            (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    lat = np.array([5.0, 5.0, 5.0, 1.0, 11.0, np.nan])
+    lon = np.array([1.0, 5.0, 9.0, 5.0, 5.0, 5.0])
+    m = FieldStore._geo_mask(lat, lon, ("geo_polygon", ring))
+    #                 left prong, NOTCH, right prong, base, outside, null
+    assert m.tolist() == [True, False, True, True, False, False]
+    # same points through the generic filter-spec path
+    cols = {"geo_lat": lat, "geo_lon": lon}
+    fs = FieldStore.__new__(FieldStore)
+    m2 = fs._eval_filter(cols, "geo", ("geo_polygon", ring))
+    assert m2.tolist() == m.tolist()
