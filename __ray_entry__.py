@@ -321,6 +321,29 @@ def q_geo_polygon(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+# geo_shape probe rect (top, left, bottom, right): sized so intersects /
+# within / contains are all non-empty against the synthetic envelopes
+GEO_SHAPE_RECT = (30.0, -40.0, 5.0, 10.0)
+
+
+def q_geo_shape(sf_dir: str):
+    """ES geo_shape query over ENVELOPE shapes (the ES `envelope` type):
+    each doc stores a deterministic envelope quad (shape_lat_min/max,
+    shape_lon_min/max); all four ES spatial relations run against one
+    probe rectangle — pure interval algebra, bit-exact vs the SQL
+    oracle.  Returns (relation, doc_id) rows."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    rels, ids = [], []
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        d = s.filter_docs({"shape": (f"geo_shape_{rel}", *GEO_SHAPE_RECT)})
+        rels.extend([rel] * len(d))
+        ids.extend(d.tolist())
+    return pa.table({"relation": pa.array(rels, pa.string()),
+                     "doc_id": pa.array(ids, pa.int64())})
+
+
 def q_bool_query(sf_dir: str):
     """ES bool query: must=[merge, scan] (conjunction, both scored),
     should=[window] (scores when present), must_not=[spark] (excludes).
@@ -1702,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": q_geo_distance,
         "geo_bbox": q_geo_bbox,
         "geo_polygon": q_geo_polygon,
+        "geo_shape": q_geo_shape,
         "bool_query": q_bool_query,
         "fuzzy": q_fuzzy,
         "wildcard": q_wildcard,
@@ -2045,6 +2069,36 @@ WHERE (""" + " + ".join(
                  THEN 1 ELSE 0 END"""
             for k in range(len(GEO_POLY))) + """) % 2 = 1
 ORDER BY doc_id""",
+        # envelope interval algebra per ES relation; env CTE mirrors
+        # pipelines/flagship.py geo_envelope op-for-op
+        "geo_shape": f"""
+WITH env AS (
+  SELECT doc_id,
+         ({_GEO_LAT} - (0.5 + (doc_id % 7) / 2.0)) AS lat_min,
+         ({_GEO_LAT} + (0.5 + (doc_id % 7) / 2.0)) AS lat_max,
+         ({_GEO_LON} - (0.5 + (doc_id % 11) / 2.0)) AS lon_min,
+         ({_GEO_LON} + (0.5 + (doc_id % 11) / 2.0)) AS lon_max
+  FROM documents
+),
+rect AS (SELECT {GEO_SHAPE_RECT[0]!r} AS top, {GEO_SHAPE_RECT[1]!r} AS lft,
+                {GEO_SHAPE_RECT[2]!r} AS bot, {GEO_SHAPE_RECT[3]!r} AS rgt)
+SELECT relation, doc_id FROM (
+  SELECT 'intersects' AS relation, doc_id FROM env, rect
+  WHERE lat_min <= top AND lat_max >= bot
+    AND lon_min <= rgt AND lon_max >= lft
+  UNION ALL
+  SELECT 'within', doc_id FROM env, rect
+  WHERE lat_min >= bot AND lat_max <= top
+    AND lon_min >= lft AND lon_max <= rgt
+  UNION ALL
+  SELECT 'contains', doc_id FROM env, rect
+  WHERE lat_min <= bot AND lat_max >= top
+    AND lon_min <= lft AND lon_max >= rgt
+  UNION ALL
+  SELECT 'disjoint', doc_id FROM env, rect
+  WHERE NOT (lat_min <= top AND lat_max >= bot
+             AND lon_min <= rgt AND lon_max >= lft)
+) ORDER BY relation, doc_id""",
         "bool_chain": f"""
 WITH final AS (
   SELECT doc_id,

@@ -70,6 +70,27 @@ GEO_LAT_SQL = "(-60.0 + ((doc_id % 120001) * 7919 % 120001) / 1000.0)"
 GEO_LON_SQL = "(-170.0 + ((doc_id % 340001) * 104729 % 340001) / 1000.0)"
 
 
+def geo_envelope(doc_id):
+    """Deterministic synthetic geo_shape ENVELOPE per doc: centered on
+    geo_coords with half-extents 0.5 + (id%7)/2 lat, 0.5 + (id%11)/2 lon
+    degrees.  Two additions/subtractions on the point derivation — keep
+    bit-identical to GEO_ENV_SQL."""
+    import numpy as np
+    did = np.asarray(doc_id, dtype=np.int64)
+    lat, lon = geo_coords(did)
+    dlat = 0.5 + (did % 7) / 2.0
+    dlon = 0.5 + (did % 11) / 2.0
+    return lat - dlat, lat + dlat, lon - dlon, lon + dlon
+
+
+GEO_ENV_SQL = {
+    "lat_min": f"({GEO_LAT_SQL} - (0.5 + (doc_id % 7) / 2.0))",
+    "lat_max": f"({GEO_LAT_SQL} + (0.5 + (doc_id % 7) / 2.0))",
+    "lon_min": f"({GEO_LON_SQL} - (0.5 + (doc_id % 11) / 2.0))",
+    "lon_max": f"({GEO_LON_SQL} + (0.5 + (doc_id % 11) / 2.0))",
+}
+
+
 def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
     """Build (once, cached) a documents index whose docvalues carry the
     synthetic geo_point pair (geo_lat, geo_lon) — the fixture behind the
@@ -81,7 +102,7 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{doc_path}:simple:v2-termdict-bin:geo-v1".encode()).hexdigest()[:16]
+        f"{doc_path}:simple:v2-termdict-bin:geo-v2".encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-geo-{key}")
     marker = os.path.join(root, "_BUILT")
     if os.path.exists(marker):
@@ -91,9 +112,15 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
     os.makedirs(src_dir, exist_ok=True)
 
     def add_geo(t: pa.Table) -> pa.Table:
-        lat, lon = geo_coords(t["doc_id"].to_numpy(zero_copy_only=False))
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = geo_coords(did)
+        a, b, c, d = geo_envelope(did)
         return (t.append_column("geo_lat", pa.array(lat, pa.float64()))
-                 .append_column("geo_lon", pa.array(lon, pa.float64())))
+                 .append_column("geo_lon", pa.array(lon, pa.float64()))
+                 .append_column("shape_lat_min", pa.array(a, pa.float64()))
+                 .append_column("shape_lat_max", pa.array(b, pa.float64()))
+                 .append_column("shape_lon_min", pa.array(c, pa.float64()))
+                 .append_column("shape_lon_max", pa.array(d, pa.float64())))
 
     (rd.read_parquet(doc_path, columns=["doc_id", "text", "lang"])
        .map_batches(add_geo, batch_format="pyarrow")
@@ -101,7 +128,9 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
     build_index(sorted(glob.glob(os.path.join(src_dir, "*.parquet"))), root,
                 text_col="text", id_col="doc_id", id_is_int=True,
                 analyzer="simple", num_term_partitions=4, chunk_files=2,
-                store_fields=["geo_lat", "geo_lon", "lang"],
+                store_fields=["geo_lat", "geo_lon", "lang",
+                              "shape_lat_min", "shape_lat_max",
+                              "shape_lon_min", "shape_lon_max"],
                 hot_df_threshold=10**9)
     with open(marker, "w") as f:
         f.write("ok")

@@ -244,10 +244,47 @@ class FieldStore:
         dist = 2.0 * cls._R_EARTH_M * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
         return np.asarray((dist <= meters) & valid, dtype=bool)
 
+    @staticmethod
+    def _geo_shape_mask(lat_min, lat_max, lon_min, lon_max,
+                        spec) -> np.ndarray:
+        """Typed ``geo_shape`` semantics for ENVELOPE shapes (the ES
+        ``envelope`` shape type; the reference maps geo_shape columns at
+        schemas.cr:211-222).  A logical shape field `f` is stored as the
+        physical envelope quad (`f_lat_min`, `f_lat_max`, `f_lon_min`,
+        `f_lon_max`); general polygon shapes would be indexed by their
+        envelope too (documented approximation — exact for envelopes,
+        recall-complete for polygons).  Spec:
+        ``("geo_shape_<relation>", top, left, bottom, right)`` with the ES
+        relations intersects / within / contains / disjoint against the
+        probe rectangle.  Null envelopes never match (even disjoint)."""
+        rel = spec[0].removeprefix("geo_shape_")
+        _, top, left, bottom, right = spec
+        a = np.asarray(lat_min, dtype=np.float64)
+        b = np.asarray(lat_max, dtype=np.float64)
+        c = np.asarray(lon_min, dtype=np.float64)
+        d = np.asarray(lon_max, dtype=np.float64)
+        valid = ~(np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d))
+        inter = (a <= top) & (b >= bottom) & (c <= right) & (d >= left)
+        if rel == "intersects":
+            m = inter
+        elif rel == "disjoint":
+            m = ~inter
+        elif rel == "within":       # envelope within the probe rect
+            m = (a >= bottom) & (b <= top) & (c >= left) & (d <= right)
+        elif rel == "contains":     # envelope contains the probe rect
+            m = (a <= bottom) & (b >= top) & (c <= left) & (d >= right)
+        else:
+            raise ValueError(f"unknown geo_shape relation {rel!r}")
+        return np.asarray(m & valid, dtype=bool)
+
+    _GEO_SHAPE_SPECS = ("geo_shape_intersects", "geo_shape_within",
+                        "geo_shape_contains", "geo_shape_disjoint")
+
     def _eval_filter(self, columns: dict, col: str, spec,
                      idx=None) -> np.ndarray:
-        """Apply one filter spec; geo specs read the (col_lat, col_lon)
-        physical pair, everything else a single column."""
+        """Apply one filter spec; geo point specs read the (col_lat,
+        col_lon) physical pair, geo shape specs the envelope quad,
+        everything else a single column."""
         def cvals(name):
             v = columns[name]
             return v if idx is None else v[idx]
@@ -255,6 +292,11 @@ class FieldStore:
                 and spec[0] in ("geo_distance", "geo_bbox", "geo_polygon")):
             return self._geo_mask(cvals(f"{col}_lat"), cvals(f"{col}_lon"),
                                   spec)
+        if (isinstance(spec, tuple) and spec
+                and spec[0] in self._GEO_SHAPE_SPECS):
+            return self._geo_shape_mask(
+                cvals(f"{col}_lat_min"), cvals(f"{col}_lat_max"),
+                cvals(f"{col}_lon_min"), cvals(f"{col}_lon_max"), spec)
         return self._spec_mask(cvals(col), spec)
 
     def mask(self, docids: np.ndarray, filters: dict) -> np.ndarray:

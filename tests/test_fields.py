@@ -412,3 +412,29 @@ def test_geo_polygon_nonconvex():
     fs = FieldStore.__new__(FieldStore)
     m2 = fs._eval_filter(cols, "geo", ("geo_polygon", ring))
     assert m2.tolist() == m.tolist()
+
+
+def test_geo_shape_envelope_relations():
+    """geo_shape envelope semantics: all four ES relations against a probe
+    rect, null envelopes never match (not even disjoint)."""
+    import numpy as np
+
+    from search_ingest_ray.query.fields import FieldStore
+    # probe rect: top=10, left=0, bottom=0, right=10
+    rect = (10.0, 0.0, 0.0, 10.0)
+    #          within, contains, overlap, disjoint, touch-edge, null
+    a = np.array([2.0, -5.0, 5.0, 20.0, 10.0, np.nan])   # lat_min
+    b = np.array([8.0, 15.0, 15.0, 25.0, 12.0, 5.0])     # lat_max
+    c = np.array([2.0, -5.0, 5.0, 20.0, 5.0, 5.0])       # lon_min
+    d = np.array([8.0, 15.0, 15.0, 25.0, 8.0, 5.0])      # lon_max
+    cols = {"s_lat_min": a, "s_lat_max": b, "s_lon_min": c, "s_lon_max": d}
+    fs = FieldStore.__new__(FieldStore)
+
+    def rel(name):
+        return fs._eval_filter(cols, "s", (f"geo_shape_{name}", *rect)) \
+            .tolist()
+
+    assert rel("intersects") == [True, True, True, False, True, False]
+    assert rel("within") == [True, False, False, False, False, False]
+    assert rel("contains") == [False, True, False, False, False, False]
+    assert rel("disjoint") == [False, False, False, True, False, False]
