@@ -344,6 +344,18 @@ def q_geo_shape(sf_dir: str):
                      "doc_id": pa.array(ids, pa.int64())})
 
 
+def q_exists(sf_dir: str):
+    """ES `exists` query (constant_score filter context): docs with a
+    non-null value for the nullable alt_m docvalue (null when id%5==0 —
+    stored as float64+NaN per the FieldStore nulled-int convention, which
+    the exists spec must see through)."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    d = s.filter_docs({"alt_m": ("exists",)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_bool_query(sf_dir: str):
     """ES bool query: must=[merge, scan] (conjunction, both scored),
     should=[window] (scores when present), must_not=[spark] (excludes).
@@ -1726,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": q_geo_bbox,
         "geo_polygon": q_geo_polygon,
         "geo_shape": q_geo_shape,
+        "exists": q_exists,
         "bool_query": q_bool_query,
         "fuzzy": q_fuzzy,
         "wildcard": q_wildcard,
@@ -2099,6 +2112,8 @@ SELECT relation, doc_id FROM (
   WHERE NOT (lat_min <= top AND lat_max >= bot
              AND lon_min <= rgt AND lon_max >= lft)
 ) ORDER BY relation, doc_id""",
+        "exists": """
+SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 ORDER BY doc_id""",
         "bool_chain": f"""
 WITH final AS (
   SELECT doc_id,
