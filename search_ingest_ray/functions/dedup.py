@@ -431,6 +431,7 @@ def _cluster_driver_cc(ds, pairs_ds, *, text_col: str, id_col: str,
 
 
 _TOKS_T = pa.list_(pa.string())
+_TOKH_T = pa.list_(pa.uint64())   # distributed-CC token-hash sets
 
 
 def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
@@ -445,7 +446,15 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
       (attach A's tokens to each pair), then keyed by ``b`` (attach B's
       tokens and verify inline).  Acero joins reject list payloads, so
       the attach uses the same ``_tag_partition`` exchange as the pair
-      emitter rather than ``Dataset.join``.
+      emitter rather than ``Dataset.join``.  Token sets travel as sorted
+      UNIQUE uint64 md5-low64 hashes (``tok_hash_sql``, the minhash-oracle
+      hash) instead of strings — the per-partition attach is a
+      searchsorted gather and the Jaccard verify is ONE lexsort +
+      adjacent-equality count over all pairs at once, no per-pair Python.
+      (Exactness caveat vs the string-set driver path: a 64-bit token
+      collision inside one doc pair could flip a verdict — ~n²/2⁶⁵ per
+      pair, immaterial at any real corpus size; the bounded driver path
+      keeps exact strings for the SQL oracle.)
     - Connected components: iterative MIN-LABEL PROPAGATION — each round
       is one int64 hash join (directed edges ⋈ labels) plus one
       groupby-min; labels are monotone non-increasing, so Σlabel is a
@@ -455,6 +464,7 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
     import ray  # noqa: F401 — Dataset ops only
 
     from ..analyzer import tokenize_simple
+    from ..util import tok_hash_sql
 
     # --- candidate nodes (distinct pair endpoints), as a Dataset --------
     def _endpoints(batch: pa.Table) -> pa.Table:
@@ -471,14 +481,54 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
         on=(id_col,), right_on=("node",))
 
     def _toks(batch: pa.Table) -> pa.Table:
-        toks = [sorted(set(tokenize_simple(x or "")))
+        cache: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = cache[tok] = tok_hash_sql(tok)
+            return h
+
+        toks = [np.unique(np.fromiter(
+                    (th(t) for t in set(tokenize_simple(x or ""))),
+                    dtype=np.uint64))
                 for x in batch[text_col].to_pylist()]
         return pa.table({"node": batch[id_col].cast(pa.int64()),
-                         "toks": pa.array(toks, _TOKS_T)})
+                         "toks": pa.array([t for t in toks], _TOKH_T)})
 
     # materialized once (object store): consumed by BOTH attach stages
     toksets = cand_docs.map_batches(_toks,
                                     batch_format="pyarrow").materialize()
+
+    def _node_runs(tok_rows: pa.Table):
+        """(sorted node ids, run starts, run lens, flat hash buffer) for a
+        partition's token-set rows — the searchsorted gather side."""
+        nodes = tok_rows["k"].to_numpy().astype(np.int64)
+        lists = tok_rows["toks"].combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        buf = lists.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.argsort(nodes, kind="stable")
+        return (nodes[order], offs[:-1][order],
+                (offs[1:] - offs[:-1])[order], buf)
+
+    def _gather_runs(buf, starts, lens):
+        """buf slices [starts[r], starts[r]+lens[r]) concatenated."""
+        total = int(lens.sum())
+        if total == 0:
+            return buf[:0]
+        cum0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(cum0, lens) + np.repeat(starts, lens))
+        return buf[idx]
+
+    def _lookup(nodes_sorted, keys):
+        """searchsorted membership: (position, found-mask)."""
+        pos = np.searchsorted(nodes_sorted, keys)
+        pos_c = np.minimum(pos, max(len(nodes_sorted) - 1, 0))
+        found = (nodes_sorted[pos_c] == keys) if len(nodes_sorted) \
+            else np.zeros(len(keys), dtype=bool)
+        return pos_c, found
 
     # --- stage A: attach toks(a) to every pair, co-partitioned by a -----
     def _pairs_keyed_a(batch: pa.Table) -> pa.Table:
@@ -486,7 +536,7 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
         return pa.table({"k": batch["a"].cast(pa.int64()),
                          "a": batch["a"].cast(pa.int64()),
                          "b": batch["b"].cast(pa.int64()),
-                         "toks": pa.nulls(n, _TOKS_T)})
+                         "toks": pa.nulls(n, _TOKH_T)})
 
     def _toksets_keyed(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -506,17 +556,20 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
 
     def _attach_a(g: pa.Table) -> pa.Table:
         is_tok = pc.is_null(g["a"])
-        tok_rows = g.filter(is_tok)
-        lut = dict(zip(tok_rows["k"].to_pylist(),
-                       tok_rows["toks"].to_pylist()))
+        nodes, starts, lens, buf = _node_runs(g.filter(is_tok))
         p = g.filter(pc.invert(is_tok))
-        a = p["a"].to_pylist()
-        b = p["b"].to_pylist()
+        a = p["a"].to_numpy().astype(np.int64)
+        b = p["b"].to_numpy().astype(np.int64)
+        pos, found = _lookup(nodes, a)
+        ga_lens = np.where(found, lens[pos], 0)
+        flat = _gather_runs(buf, starts[pos], ga_lens)
+        toks_a = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ga_lens)]), pa.int32()),
+            pa.array(flat, pa.uint64()))
         return pa.table({"k": pa.array(b, pa.int64()),
                          "a": pa.array(a, pa.int64()),
                          "b": pa.array(b, pa.int64()),
-                         "toks_a": pa.array([lut.get(x) for x in a],
-                                            _TOKS_T)})
+                         "toks_a": toks_a})
 
     with_toks_a = stage_a_in.groupby(_PART_COL).map_groups(
         _attach_a, batch_format="pyarrow")
@@ -527,14 +580,14 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
         return pa.table({"k": batch["node"],
                          "a": pa.nulls(n, pa.int64()),
                          "b": pa.nulls(n, pa.int64()),
-                         "toks_a": pa.nulls(n, _TOKS_T),
+                         "toks_a": pa.nulls(n, _TOKH_T),
                          "toks": batch["toks"]})
 
     def _pairs_keyed_b(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({"k": batch["k"], "a": batch["a"],
                          "b": batch["b"], "toks_a": batch["toks_a"],
-                         "toks": pa.nulls(n, _TOKS_T)})
+                         "toks": pa.nulls(n, _TOKH_T)})
 
     stage_b_in = (with_toks_a.map_batches(_pairs_keyed_b,
                                           batch_format="pyarrow")
@@ -547,22 +600,33 @@ def _cluster_distributed_cc(ds, pairs_ds, *, text_col: str, id_col: str,
 
     def _verify_b(g: pa.Table) -> pa.Table:
         is_tok = pc.is_null(g["a"])
-        tok_rows = g.filter(is_tok)
-        lut = dict(zip(tok_rows["k"].to_pylist(),
-                       tok_rows["toks"].to_pylist()))
+        nodes, starts, lens, buf = _node_runs(g.filter(is_tok))
         p = g.filter(pc.invert(is_tok))
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for a, b, ta in zip(p["a"].to_pylist(), p["b"].to_pylist(),
-                            p["toks_a"].to_pylist()):
-            sa = set(ta or ())
-            sb = set(lut.get(b) or ())
-            u = len(sa | sb)
-            if u == 0 or 1_000_000 * len(sa & sb) >= thr * u:
-                out_a.append(a)
-                out_b.append(b)
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64())})
+        a = p["a"].to_numpy().astype(np.int64)
+        b = p["b"].to_numpy().astype(np.int64)
+        alists = p["toks_a"].combine_chunks()
+        aoffs = alists.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        abuf = alists.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        la = aoffs[1:] - aoffs[:-1]
+        pos, found = _lookup(nodes, b)
+        lb = np.where(found, lens[pos], 0)
+        bflat = _gather_runs(buf, starts[pos], lb)
+        npairs = len(a)
+        # one lexsort over (pair, token) of BOTH sides; tokens are unique
+        # per side, so an adjacent duplicate == one common token
+        pid = np.concatenate([np.repeat(np.arange(npairs), la),
+                              np.repeat(np.arange(npairs), lb)])
+        tok = np.concatenate([abuf, bflat])
+        order = np.lexsort((tok, pid))
+        pid_s, tok_s = pid[order], tok[order]
+        dup = (np.diff(pid_s) == 0) & (np.diff(tok_s) == 0)
+        inter = np.bincount(pid_s[1:][dup], minlength=npairs)
+        union = la + lb - inter
+        keep = (union == 0) | (1_000_000 * inter >= thr * union)
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
 
     verified = stage_b_in.groupby(_PART_COL).map_groups(
         _verify_b, batch_format="pyarrow").materialize()
