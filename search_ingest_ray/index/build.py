@@ -209,10 +209,13 @@ _TP_CACHE: dict = {}
 
 
 def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
-                  hot_ref) -> pa.Table:
+                  hot_ref, emit_hot: bool = False) -> pa.Table:
     """Add (tpart, salt) columns.  Hot terms get salt = docid % S and a
     partition derived from (term, salt) so their postings spread over up to
-    S distinct partitions (E12).
+    S distinct partitions (E12).  ``hot_ref``: the SALTED-TERM set (any
+    container supporting ``in``); ``emit_hot`` appends the per-row hotness
+    as a bool column (free — row_hot is already computed) so the fs spill
+    can count exact salted-term df without a second membership pass.
 
     Vectorized: crc32 is computed once per DISTINCT term (cached across
     batches per worker), then gathered to rows with numpy take."""
@@ -265,6 +268,8 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
     }
     if "pos" in batch.column_names:
         cols["pos"] = batch["pos"]
+    if emit_hot:
+        cols["hot"] = pa.array(row_hot)
     return pa.table(cols)
 
 
@@ -483,10 +488,24 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
     tpart and append a spill file per touched partition (atomic rename;
     file names are unique per task attempt, so retries can only add
     duplicate data for blocks whose task failed AFTER writing — guarded by
-    the duplicate-row fold in build_segment_group)."""
+    the duplicate-row fold in build_segment_group).
+
+    Returns per-block EXACT COUNT partials for the salted (candidate)
+    terms — the spill already reads every posting row, so the old
+    separate exact-stats pass over the full term column is fused into it
+    (one fewer full read of the postings' largest column)."""
     import uuid
     block = _assign_tpart(block, num_partitions=num_partitions,
-                          hot_salt=hot_salt, hot_ref=hot_ref)
+                          hot_salt=hot_salt, hot_ref=hot_ref, emit_hot=True)
+    hotmask = block["hot"]
+    if pc.any(hotmask).as_py():
+        vc = pc.value_counts(block["term"].filter(hotmask).combine_chunks())
+        partials = pa.table({"term": vc.field("values"),
+                             "cnt": vc.field("counts").cast(pa.int64())})
+    else:
+        partials = pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+    block = block.drop_columns(["hot"])
     tp = block["tpart"].to_numpy()
     order = np.argsort(tp, kind="stable")
     sorted_block = block.take(pa.array(order))
@@ -532,7 +551,8 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
                 w.write_table(sl)
         os.replace(tmp, os.path.join(d, f"{uid}.arrow"))
         written += 1
-    return pa.table({"files": pa.array([written], pa.int64())})
+    del written
+    return partials
 
 
 _PENDING_CACHE: dict = {}
@@ -935,18 +955,52 @@ def build_index(input_paths, index_root: str, *,
     if hot_df_threshold is None:
         hot_df_threshold = max(10_000, n_docs // 10)
 
-    # --- stage 2a: hot-term detection + exact stats (E12) ------------------
-    # A full groupby(term).count() would shuffle every posting row.  Instead:
-    # (a) CANDIDATE pass over a file sample: per-batch value_counts keeps
-    #     terms whose in-batch count could plausibly extrapolate to the hot
-    #     threshold (4x safety margin).  Mis-detection only shifts skew
-    #     handling, never correctness (cold terms compute exact df locally
-    #     in their single partition).
-    # (b) EXACT pass over all postings, projected to (term, tf): exact
-    #     global df for candidates only + the global token sum, emitted as
-    #     tiny per-batch partials summed on the driver.
+    # --- stage 2a: hot-term detection (E12) ---------------------------------
+    # A full groupby(term).count() would shuffle every posting row.  Instead
+    # a CANDIDATE pass over a file sample: per-batch value_counts keeps
+    # terms whose in-batch count could plausibly extrapolate to the hot
+    # threshold (4x safety margin).  Every candidate gets SALTED; its exact
+    # global df (needed for the scores baked into its salted sub-lists) is
+    # counted during the exchange itself — the fs spill pass reads every
+    # posting row anyway, so the old separate full term-column scan is
+    # fused away.  Mis-detection only shifts skew handling, never
+    # correctness: cold terms compute exact df locally in their single
+    # partition, and sub-threshold candidates just carry (exact) df on more
+    # sub-lists than strictly needed.
+    #
+    # SALT-SET RESUME SIDECAR: the candidate sample is not
+    # block-deterministic across runs, and completed segments bake the salt
+    # layout — a resumed build must salt EXACTLY the set its done segments
+    # used.  The salted-set df map is persisted to hot_df.json as soon as
+    # it is known and reloaded on resume (this also fixes the latent
+    # pre-fusion risk of a re-sampled candidate set diverging from done
+    # segments).
+    hot_sidecar = os.path.join(ed, "hot_df.json")
+    if chunks_changed and os.path.exists(hot_sidecar):
+        os.unlink(hot_sidecar)
+
     candidates: set = set()
-    if n_postings:
+    hot_df: dict = {}
+    sidecar_loaded = False
+    if resume and os.path.exists(hot_sidecar):
+        rec = read_json(hot_sidecar)
+        if (rec.get("num_term_partitions") == P
+                and rec.get("hot_salt") == hot_salt):
+            hot_df = {t: int(c) for t, c in rec["hot_terms"].items()}
+            candidates = set(hot_df)
+            sidecar_loaded = True
+    if (not sidecar_loaded and resume and not chunks_changed
+            and manifest["segments"] and (manifest.get("stats") or {})
+            .get("num_term_partitions") == P
+            and manifest["stats"].get("hot_salt") == hot_salt):
+        # pre-sidecar index with committed stats (e.g. a completed legacy
+        # build re-entered): its recorded salted set is authoritative —
+        # recomputing could diverge from the done segments' layout
+        hot_df = {t: int(c)
+                  for t, c in manifest["stats"]["hot_terms"].items()}
+        candidates = set(hot_df)
+        sidecar_loaded = True
+    if n_postings and not sidecar_loaded:
         sample_files, sampled_rows = _sample_files(post_files, 2_000_000)
         cand_ds = rd.read_parquet(sample_files, columns=["term"]).map_batches(
             _hot_candidates_batch, batch_format="pyarrow", batch_size=131072,
@@ -972,10 +1026,15 @@ def build_index(input_paths, index_root: str, *,
         total_tokens = int(rd.read_parquet(postings_dir, columns=["tf"])
                            .sum("tf") or 0) if n_postings else 0
 
-    hot_df: dict = {}
-    if n_postings and candidates:
-        # exact df for candidate terms only — a term-column-only scan with
-        # tiny per-batch partials
+    def _persist_hot(df_map: dict) -> None:
+        atomic_write_json(hot_sidecar, {
+            "num_term_partitions": P, "hot_salt": hot_salt,
+            "hot_terms": df_map})
+
+    if n_postings and candidates and not sidecar_loaded and shuffle == "ray":
+        # ray mode runs assign+shuffle+build as ONE pipeline, so the exact
+        # salted-term df must exist before it starts: keep the projected
+        # term-column pass here (fs mode fuses it into the spill pass)
         cand_ref = ray.put(sorted(candidates))
         partials = rd.read_parquet(postings_dir, columns=["term"]).map_batches(
             _exact_stats_batch, batch_format="pyarrow", batch_size=131072,
@@ -984,10 +1043,13 @@ def build_index(input_paths, index_root: str, *,
         for r in partials:
             sums[r["term"]] = sums.get(r["term"], 0) + int(r["cnt"])
         sums.pop(_TOTAL_SENTINEL, None)
-        hot_df = {t: c for t, c in sums.items() if c >= hot_df_threshold}
+        hot_df = sums          # every SALTED term carries its exact df
+        _persist_hot(hot_df)
+        sidecar_loaded = True
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
     params = BM25Params(k1=k1, b=b, n_docs=n_docs, avgdl=avgdl)
-    hot_ref = ray.put(hot_df)
+    # assignment needs only the salted SET; df values flow to the reduce
+    salt_ref = ray.put(frozenset(candidates))
     # --- stage 2b: the term exchange -------------------------------------
     # A filesystem-based two-phase exchange (the classic external shuffle):
     # map tasks split each postings block by tpart and append partitioned
@@ -1038,11 +1100,20 @@ def build_index(input_paths, index_root: str, *,
         _shutil.rmtree(exchange_dir, ignore_errors=True)
         os.makedirs(exchange_dir, exist_ok=True)
         postings = rd.read_parquet(postings_dir)
-        spill_summary = postings.map_batches(
+        spill_partials = postings.map_batches(
             _spill_exchange_block, batch_size=None, batch_format="pyarrow",
             fn_kwargs=dict(exchange_dir=exchange_dir, num_partitions=P,
-                           hot_salt=hot_salt, hot_ref=hot_ref)).take_all()
-        del spill_summary
+                           hot_salt=hot_salt, hot_ref=salt_ref)).take_all()
+        if not sidecar_loaded:
+            # fused exact stats: the spill pass counted every salted
+            # (candidate) term's postings while it split the blocks
+            sums: dict = {}
+            for r in spill_partials:
+                sums[r["term"]] = sums.get(r["term"], 0) + int(r["cnt"])
+            hot_df = sums
+            _persist_hot(hot_df)
+            sidecar_loaded = True
+        del spill_partials
 
         builder = functools.partial(
             _build_tpart_from_exchange, exchange_dir=exchange_dir,
@@ -1065,7 +1136,7 @@ def build_index(input_paths, index_root: str, *,
         assigned = postings.map_batches(
             _assign_pending_batch, batch_format="pyarrow",
             fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt,
-                           hot_ref=hot_ref, pending_ref=pending_ref))
+                           hot_ref=salt_ref, pending_ref=pending_ref))
         builder = functools.partial(_build_group_ray, segments_dir=segments_dir,
                                     params=params, hot_df=hot_df)
         summaries = assigned.groupby("tpart").map_groups(

@@ -150,3 +150,57 @@ def test_reindex_empties_epoch_keeps_meta(ray_session, corpus_dir, tmp_path):
     reindex(root)
     assert os.path.exists(os.path.join(root, "index_meta.json"))
     assert not os.path.exists(os.path.join(root, "epochs", "e0000"))
+
+
+def test_hot_df_sidecar_resume_identity(built, tmp_path):
+    """The salted-set df sidecar (hot_df.json): written by the build,
+    values = exact global df counted during the spill pass, and a resumed
+    build (one segment invalidated) reuses the recorded set instead of
+    re-sampling — hot_terms and the rebuilt segment stay identical."""
+    root, manifest, corpus_dir = built
+    from search_ingest_ray.index.build import epoch_dir
+    ed = epoch_dir(root, 0)
+    sidecar = json.load(open(os.path.join(ed, "hot_df.json")))
+    assert sidecar["hot_terms"] == manifest["stats"]["hot_terms"]
+    assert sidecar["hot_terms"], "fixture must salt something"
+
+    # exact-df invariant: every salted term's recorded df == true df
+    texts, _ = _load_corpus(corpus_dir)
+    from search_ingest_ray.analyzer import get_analyzer
+    an = get_analyzer(manifest["stats"]["analyzer"])
+    true_df: dict = {}
+    for tx in texts:
+        for t in set(an(tx)):
+            true_df[t] = true_df.get(t, 0) + 1
+    for t, c in sidecar["hot_terms"].items():
+        assert true_df[t] == c, t
+
+    # invalidate one completed segment, resume, compare logically: the
+    # salt layout and per-term metadata must be identical (postings.bin
+    # BYTE order may differ — it follows spill concatenation order)
+    m2 = json.load(open(os.path.join(ed, "manifest.json")))
+    tp = sorted(m2["segments"])[0]
+    seg_dir = os.path.join(ed, "segments", f"tpart={int(tp):05d}")
+    meta_cols = ["term", "salt", "df", "n", "max_score"]
+    before = pq.read_table(os.path.join(seg_dir, "segment.parquet"),
+                           columns=meta_cols)
+    del m2["segments"][tp]
+    with open(os.path.join(ed, "manifest.json"), "w") as f:
+        json.dump(m2, f)
+    shutil.rmtree(seg_dir)
+    m3 = build_index(corpus_dir, root, html_col="html",
+                     chunk_files=2, num_term_partitions=4,
+                     hot_df_threshold=150, hot_salt=2)
+    assert m3["stats"]["hot_terms"] == manifest["stats"]["hot_terms"]
+    after = pq.read_table(os.path.join(seg_dir, "segment.parquet"),
+                          columns=meta_cols)
+    assert after.equals(before)
+    # and the resumed index answers queries identically to brute force
+    texts2, ids2 = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    for terms in query_set(seed=11, n=6):
+        d, sc = s.search_terms(terms, k=10)
+        od, osc = oracle_topk(texts2, ids2, terms, k=10,
+                              analyzer=manifest["stats"]["analyzer"])
+        assert d.tolist() == od.tolist()
+        assert np.allclose(sc, osc, rtol=1e-6)
