@@ -1364,6 +1364,38 @@ def q_quality(sf_dir: str):
                               "stopword_ratio_micro", "mean_token_len_micro"])
 
 
+GOPHER_MIN_WORDS = 20   # Gopher's 50 would fail every synthetic doc
+GOPHER_MIN_REQUIRED = 1  # the synthetic vocab carries only "the"
+
+
+def q_gopher_rules(sf_dir: str):
+    """Full Gopher quality-rule filter (Rae et al. 2021 §A1.1): word-count
+    /mean-word-length bounds, symbol + bullet + ellipsis ratios, alpha-word
+    fraction, required-word hits — all exact integers/floor-micro, one
+    vectorized map_batches pass, zero shuffle."""
+    from search_ingest_ray.functions.textstats import gopher_rules_batch
+    ds = _docs(sf_dir).map_batches(
+        gopher_rules_batch, batch_format="pyarrow",
+        fn_kwargs={"min_words": GOPHER_MIN_WORDS,
+                   "min_required": GOPHER_MIN_REQUIRED})
+    return ds.select_columns([
+        "doc_id", "n_words", "mean_word_len_micro", "alpha_word_micro",
+        "n_required_hits", "symbol_word_micro", "bullet_line_micro",
+        "ellipsis_line_micro", "pass_gopher"])
+
+
+SPAN_TOKENS = 3  # C4's unit is the three-sentence span; here 3 tokens
+
+
+def q_span_dedup(sf_dir: str):
+    """C4-style duplicate-span removal (Raffel et al. 2020): every repeated
+    3-token span keeps only its first global occurrence and documents are
+    reassembled from surviving spans.  Two partition-keyed exchanges
+    (span-hash election, doc-id reassembly), vectorized throughout."""
+    from search_ingest_ray.functions.dedup import span_dedup
+    return span_dedup(_docs(sf_dir), span_tokens=SPAN_TOKENS)
+
+
 PHRASE_TERMS = ("scan", "merge")
 
 
@@ -1804,6 +1836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": q_ann_cosine,
         "knn_filtered": q_knn_filtered,
         "quality": q_quality,
+        "gopher_rules": q_gopher_rules,
+        "span_dedup": q_span_dedup,
         "token_jaccard": q_token_jaccard,
         "phrase_match": q_phrase_match,
         "phrase_common": q_phrase_common,
@@ -3308,6 +3342,75 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
                         / greatest(len(toks), 1) * 1e6) AS bigint)
                      AS mean_token_len_micro
             FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+        "gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                len(toks) AS n_words,
+                cast(floor(coalesce(list_sum(list_transform(toks,
+                     x -> length(x))), 0)::double
+                     / greatest(len(toks), 1) * 1e6) AS bigint)
+                  AS mean_word_len_micro,
+                cast(floor(len(list_filter(toks,
+                     x -> regexp_matches(x, '[a-z]')))::double
+                     / greatest(len(toks), 1) * 1e6) AS bigint)
+                  AS alpha_word_micro,
+                cast(len(list_filter(['the','be','to','of','and','that',
+                                      'have','with'],
+                     w -> list_contains(toks, w))) AS bigint)
+                  AS n_required_hits,
+                cast(floor(((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                     + (length(text) - length(replace(text, '…', ''))))::double
+                     / greatest(len(toks), 1) * 1e6) AS bigint)
+                  AS symbol_word_micro,
+                cast(floor(len(list_filter(lines,
+                     l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))::double
+                     / greatest(len(lines), 1) * 1e6) AS bigint)
+                  AS bullet_line_micro,
+                cast(floor(len(list_filter(lines,
+                     l -> l LIKE '%...' OR l LIKE '%…'))::double
+                     / greatest(len(lines), 1) * 1e6) AS bigint)
+                  AS ellipsis_line_micro
+              FROM base)
+            SELECT *,
+              cast((n_words BETWEEN {GOPHER_MIN_WORDS} AND 100000)
+                AND (mean_word_len_micro BETWEEN 3000000 AND 10000000)
+                AND symbol_word_micro < 100000
+                AND bullet_line_micro < 900000
+                AND ellipsis_line_micro < 300000
+                AND alpha_word_micro >= 800000
+                AND n_required_hits >= {GOPHER_MIN_REQUIRED} AS bigint)
+                AS pass_gopher
+            FROM sig""",
+        "span_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents),
+            spans AS (
+              SELECT doc_id, i AS span_no,
+                     array_to_string(
+                       tk[i*{SPAN_TOKENS}+1 : i*{SPAN_TOKENS}+{SPAN_TOKENS}],
+                       ' ') AS span
+              FROM toks,
+                   UNNEST(range(CAST(ceil(len(tk)/{SPAN_TOKENS}.0) AS BIGINT)))
+                     AS t(i)),
+            marked AS (
+              SELECT doc_id, span_no, span,
+                     (row_number() OVER (PARTITION BY span
+                        ORDER BY doc_id, span_no) = 1) AS keep
+              FROM spans)
+            SELECT d.doc_id, coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(s.n_kept, 0) AS n_kept,
+                   coalesce(s.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, count(*) AS n_spans,
+                     count(*) FILTER (WHERE keep) AS n_kept,
+                     coalesce(string_agg(span, ' ' ORDER BY span_no)
+                              FILTER (WHERE keep), '') AS text_clean
+              FROM marked GROUP BY doc_id) s USING (doc_id)""",
         "langid": f"""
             WITH dt AS (
               SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -73,6 +73,142 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.select_columns(ds.schema().names)
 
 
+# -- C4-style duplicate-span removal -----------------------------------------
+#
+# Raffel et al. 2020 (C4): "we discarded all but one of any three-sentence
+# span occurring more than once in the data set".  Here the unit is a
+# consecutive non-overlapping ``span_tokens``-token span of the simple
+# analyzer's output (the synthetic corpus has no sentence punctuation); the
+# FIRST global occurrence (min (doc_id, span_no)) survives, every other
+# occurrence is cut from its document, and documents are reassembled from
+# their surviving spans.
+
+
+def _span_rows_batch(batch: pa.Table, *, text_col: str, id_col: str,
+                     span_tokens: int, num_partitions: int) -> pa.Table:
+    """Explode docs into span rows (doc_id, span_no, span, hash-partition)
+    plus ONE sentinel row per doc (span_no = -1, a per-doc negative 'hash'
+    that can never collide with md5-low64's non-negative values) so
+    zero-token docs — and docs that lose every span — still reach
+    reassembly and emit an output row."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids: list[np.ndarray] = []
+    span_nos: list[np.ndarray] = []
+    spans: list[str] = []
+    for i, t in enumerate(texts):
+        toks = tokenize_simple(t or "")
+        ns = (len(toks) + span_tokens - 1) // span_tokens
+        doc_ids.append(np.full(ns + 1, ids[i], dtype=np.int64))
+        span_nos.append(np.arange(-1, ns, dtype=np.int64))
+        spans.append("")  # sentinel
+        spans.extend(" ".join(toks[j * span_tokens:(j + 1) * span_tokens])
+                     for j in range(ns))
+    did = np.concatenate(doc_ids) if doc_ids else np.empty(0, np.int64)
+    sno = np.concatenate(span_nos) if span_nos else np.empty(0, np.int64)
+    span_arr = pa.array(spans, pa.string())
+    # vectorized md5-low64 of the span text (DuckDB C++ kernel, same hash
+    # family as content_hash_batch); sentinels overwritten with -(doc_id+1)
+    con = _hash_con()
+    con.register("_spn_src", pa.table({"t": span_arr}))
+    try:
+        h = con.execute(
+            "SELECT (md5_number_lower(t) % 9223372036854775808)::BIGINT AS h"
+            " FROM _spn_src").arrow()["h"].combine_chunks()
+    finally:
+        con.unregister("_spn_src")
+    h = h.to_numpy(zero_copy_only=False).copy()
+    sent = sno < 0
+    h[sent] = -(did[sent] + 1)
+    part = (h % num_partitions).astype(np.int32)  # numpy %: result in [0, P)
+    return pa.table({"doc_id": pa.array(did), "span_no": pa.array(sno),
+                     "span": span_arr, "h": pa.array(h),
+                     _PART_COL: pa.array(part)})
+
+
+def _span_mark_partition(group: pa.Table) -> pa.Table:
+    """Winner marking for one span-hash partition: sort by (h, span,
+    doc_id, span_no); the first row of each distinct (h, span) run keeps —
+    grouping on the span TEXT as well makes the result exact even under a
+    64-bit hash collision.  Sentinel rows have unique negative hashes, so
+    they form singleton runs and always keep."""
+    from ..stages.fold import _run_firsts_mask
+    group = group.combine_chunks()
+    if group.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "span_no": pa.array([], pa.int64()),
+                         "span": pa.array([], pa.string()),
+                         "keep": pa.array([], pa.bool_())})
+    group = group.take(pc.sort_indices(
+        group, sort_keys=[("h", "ascending"), ("span", "ascending"),
+                          ("doc_id", "ascending"), ("span_no", "ascending")]))
+    keep = _run_firsts_mask(group, ["h", "span"])
+    return pa.table({"doc_id": group["doc_id"], "span_no": group["span_no"],
+                     "span": group["span"], "keep": pa.array(keep)})
+
+
+def _span_reassemble_partition(group: pa.Table) -> pa.Table:
+    """Reassemble one doc-partition: per doc, concat surviving spans in
+    span order (one vectorized ListArray + binary_join — no per-doc
+    Python).  Emits (doc_id, n_spans, n_kept, text_clean)."""
+    group = group.combine_chunks()
+    if group.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_spans": pa.array([], pa.int64()),
+                         "n_kept": pa.array([], pa.int64()),
+                         "text_clean": pa.array([], pa.string())})
+    group = group.take(pc.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("span_no", "ascending")]))
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    sno = group["span_no"].to_numpy(zero_copy_only=False)
+    keep = group["keep"].to_numpy(zero_copy_only=False)
+    docs = np.unique(ids)  # sorted; every doc present via its sentinel
+    real = sno >= 0
+    n_spans = np.bincount(np.searchsorted(docs, ids[real]),
+                          minlength=len(docs))
+    kept = keep & real
+    kept_idx = np.flatnonzero(kept)
+    n_kept = np.bincount(np.searchsorted(docs, ids[kept_idx]),
+                         minlength=len(docs))
+    offsets = np.zeros(len(docs) + 1, dtype=np.int32)
+    np.cumsum(n_kept, out=offsets[1:])
+    kept_spans = group["span"].take(pa.array(kept_idx)).combine_chunks()
+    lists = pa.ListArray.from_arrays(pa.array(offsets), kept_spans)
+    text_clean = pc.binary_join(lists, " ")
+    return pa.table({"doc_id": pa.array(docs),
+                     "n_spans": pa.array(n_spans.astype(np.int64)),
+                     "n_kept": pa.array(n_kept.astype(np.int64)),
+                     "text_clean": text_clean})
+
+
+def span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               span_tokens: int = 3, num_partitions: int = 32):
+    """C4-style duplicate-span removal over a document Dataset.
+
+    Two partition-keyed exchanges, both carrying ~corpus-sized span text
+    (inherent: winner election needs span co-location, reassembly needs
+    doc co-location); every per-partition step is one vectorized
+    sort/mask/join call.  At 100 TB prefer emitting the (doc_id, span_no,
+    keep) decision stream (skip reassembly) when downstream can consume
+    masks — reassembly is provided because the C4 contract is cleaned
+    text.  Returns (doc_id, n_spans, n_kept, text_clean), one row per
+    input doc (zero-token docs emit n_spans=0, text_clean='')."""
+    rows = ds.map_batches(
+        functools.partial(_span_rows_batch, text_col=text_col, id_col=id_col,
+                          span_tokens=span_tokens,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    marked = rows.groupby(_PART_COL).map_groups(_span_mark_partition,
+                                                batch_format="pyarrow")
+    tagged = marked.map_batches(
+        functools.partial(_tag_partition, key_cols=["doc_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(
+        lambda g: _span_reassemble_partition(g.drop_columns([_PART_COL])),
+        batch_format="pyarrow")
+
+
 # -- shared vectorized pair emission ----------------------------------------
 
 

@@ -95,6 +95,76 @@ class LangId:
         return batch.append_column(self.out_col, pa.array(preds, pa.string()))
 
 
+# Gopher rule 7's required words (Rae et al. 2021, table A1): a doc must
+# contain at least 2 of these to pass.
+GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLETS = ("-", "*", "•")
+
+
+def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_required: int = 2) -> pa.Table:
+    """Full Gopher quality-rule signals (Rae et al. 2021 §A1.1) per doc,
+    in exact integers / floor-micro ratios so the DuckDB oracle reproduces
+    values bit-exactly:
+
+    - ``n_words`` in [min_words, max_words]   (rule: word count 50..100k)
+    - ``mean_word_len_micro`` in [3e6, 10e6]  (mean word length 3..10)
+    - ``symbol_word_micro`` < 1e5             (#/ellipsis-to-word < 0.1)
+    - ``bullet_line_micro`` < 9e5             (<90% lines bullet-started)
+    - ``ellipsis_line_micro`` < 3e5           (<30% lines ellipsis-ended)
+    - ``alpha_word_micro`` >= 8e5             (>=80% words have a letter)
+    - ``n_required_hits`` >= 2                (>=2 of GOPHER_REQUIRED)
+
+    ``pass_gopher`` is the conjunction (int64 0/1).  Words are the simple
+    analyzer's tokens (SQL parity: ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')``); symbol/line stats come from the RAW text."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.empty(n, np.int64)
+    mean_micro = np.empty(n, np.int64)
+    alpha_micro = np.empty(n, np.int64)
+    req_hits = np.empty(n, np.int64)
+    sym_micro = np.empty(n, np.int64)
+    bullet_micro = np.empty(n, np.int64)
+    ellipsis_micro = np.empty(n, np.int64)
+    required = set(GOPHER_REQUIRED)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = tokenize_simple(t)
+        nw = len(toks)
+        denom = max(1, nw)
+        n_words[i] = nw
+        mean_micro[i] = int(np.floor(sum(map(len, toks)) / denom * 1e6))
+        alpha_micro[i] = int(np.floor(
+            sum(1 for x in toks if any(c.isalpha() for c in x))
+            / denom * 1e6))
+        req_hits[i] = len(set(toks) & required)
+        syms = t.count("#") + t.count("...") + t.count("…")
+        sym_micro[i] = int(np.floor(syms / denom * 1e6))
+        lines = t.split("\n")
+        nl = max(1, len(lines))
+        bullet_micro[i] = int(np.floor(
+            sum(1 for ln in lines if ln.startswith(_BULLETS)) / nl * 1e6))
+        ellipsis_micro[i] = int(np.floor(
+            sum(1 for ln in lines
+                if ln.endswith("...") or ln.endswith("…")) / nl * 1e6))
+    ok = ((n_words >= min_words) & (n_words <= max_words)
+          & (mean_micro >= 3_000_000) & (mean_micro <= 10_000_000)
+          & (sym_micro < 100_000) & (bullet_micro < 900_000)
+          & (ellipsis_micro < 300_000) & (alpha_micro >= 800_000)
+          & (req_hits >= min_required))
+    return (batch.append_column("n_words", pa.array(n_words))
+                 .append_column("mean_word_len_micro", pa.array(mean_micro))
+                 .append_column("alpha_word_micro", pa.array(alpha_micro))
+                 .append_column("n_required_hits", pa.array(req_hits))
+                 .append_column("symbol_word_micro", pa.array(sym_micro))
+                 .append_column("bullet_line_micro", pa.array(bullet_micro))
+                 .append_column("ellipsis_line_micro", pa.array(ellipsis_micro))
+                 .append_column("pass_gopher",
+                                pa.array(ok.astype(np.int64))))
+
+
 _FP_BASE = np.uint64(1099511628211)   # odd → invertible mod 2^64
 _FP_SEED = np.uint64(14695981039346656037)
 

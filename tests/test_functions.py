@@ -490,3 +490,102 @@ def test_ivf_fit_uniform_sample_on_sorted_corpus(rd):
 
     cent = ivf_fit(rd.from_arrow(tbl), nlist=4, sample=sample)
     assert (coverage(cent) > 0.9).all()  # uniform sample covers all four
+
+
+# -- C4-style span dedup ------------------------------------------------------
+
+
+def _span_dedup_brute(rows, k=3):
+    """Brute-force C4 span dedup: first global occurrence of each span
+    (ordered by (doc_id, span_no)) survives."""
+    from search_ingest_ray.analyzer import tokenize_simple
+    spans = []  # (doc_id, span_no, span)
+    for doc_id, text in rows:
+        toks = tokenize_simple(text or "")
+        ns = (len(toks) + k - 1) // k
+        for j in range(ns):
+            spans.append((doc_id, j, " ".join(toks[j * k:(j + 1) * k])))
+    seen = {}
+    for d, s, sp in sorted(spans):
+        seen.setdefault(sp, (d, s))
+    out = {}
+    for doc_id, text in rows:
+        out[doc_id] = {"n_spans": 0, "kept": []}
+    for d, s, sp in sorted(spans):
+        out[d]["n_spans"] += 1
+        if seen[sp] == (d, s):
+            out[d]["kept"].append(sp)
+    return {d: (v["n_spans"], len(v["kept"]), " ".join(v["kept"]))
+            for d, v in out.items()}
+
+
+def test_span_dedup_matches_bruteforce(rd):
+    from search_ingest_ray.functions.dedup import span_dedup
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # 2 full spans
+        (1, "alpha beta gamma other words here tail"),  # span 0 dups doc 0
+        (2, "alpha beta gamma delta epsilon zeta"),   # loses ALL spans
+        (3, ""),                                       # zero tokens
+        (4, "delta epsilon zeta alpha beta gamma x"),  # both spans dup + tail
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows])
+    got = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_clean"])
+           for r in span_dedup(ds, span_tokens=3, num_partitions=4)
+           .take_all()}
+    assert got == _span_dedup_brute(rows, 3)
+    # doc 2 is an exact duplicate of doc 0 → fully emptied
+    assert got[2] == (2, 0, "")
+    # zero-token doc still emits a row
+    assert got[3] == (0, 0, "")
+
+
+def test_span_dedup_within_doc_repeat(rd):
+    """A span repeated WITHIN one doc keeps only its first occurrence."""
+    from search_ingest_ray.functions.dedup import span_dedup
+    rows = [(7, "a b c a b c a b c")]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows])
+    (r,) = span_dedup(ds, span_tokens=3, num_partitions=2).take_all()
+    assert (r["n_spans"], r["n_kept"], r["text_clean"]) == (3, 1, "a b c")
+
+
+# -- Gopher rules -------------------------------------------------------------
+
+
+def test_gopher_rules_signals():
+    from search_ingest_ray.functions.textstats import gopher_rules_batch
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat with all of that and have been fine here today",
+            "- bullet one\n- bullet two\nplain line ends here...",
+            "## ### x...y...z...",
+            "",
+        ]),
+    })
+    out = gopher_rules_batch(batch, min_words=5, min_required=2)
+    r = {i: {c: out[c][i].as_py() for c in out.column_names}
+         for i in range(4)}
+    # doc 0: clean English-ish, required hits: the/with/of/that/and/have = 6
+    assert r[0]["n_required_hits"] == 6
+    assert r[0]["pass_gopher"] == 1
+    assert r[0]["symbol_word_micro"] == 0
+    # doc 1: 2 of 3 lines bullet-started, 1 of 3 ellipsis-ended
+    assert r[1]["bullet_line_micro"] == 666_666
+    assert r[1]["ellipsis_line_micro"] == 333_333
+    # doc 2: 5 '#' + 3 '...' over 3 words → ratio 8/3 → fails symbol rule
+    assert r[2]["symbol_word_micro"] == 2_666_666
+    assert r[2]["pass_gopher"] == 0
+    # doc 3: empty → everything 0, fails word count
+    assert r[3]["n_words"] == 0 and r[3]["pass_gopher"] == 0
+
+
+def test_gopher_rules_alpha_ratio():
+    from search_ingest_ray.functions.textstats import gopher_rules_batch
+    batch = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        # 2 alpha words of 8 → 25% < 80% → fail
+        "text": pa.array(["the 12 34 56 78 90 11 with"]),
+    })
+    out = gopher_rules_batch(batch, min_words=2, min_required=2)
+    assert out["alpha_word_micro"][0].as_py() == 250_000
+    assert out["pass_gopher"][0].as_py() == 0
