@@ -164,6 +164,38 @@ def bench_query(index_root: str, ncpu: int) -> dict:
     }
 
 
+def warm_aux_indexes(sf_dir: str) -> dict:
+    """Build (or cache-hit) the derived sf-dir indexes ONCE before the
+    per-query timing loop, reporting each warm cost separately.
+
+    A first-touch query otherwise pays a whole index build inside its
+    timing window (round 4: geo_distance 28.0 s = geo-index build + 0.06 s
+    of actual filtering; bm25_chain 22.1 s = epoch0+delta chain build),
+    which makes per-query numbers incomparable across rounds whenever a
+    code change rotates a cache fingerprint.  The builds are still real,
+    still measured — just attributed to `aux_build_sec` where they belong,
+    matching how a serving deployment amortizes index construction."""
+    import __ray_entry__ as e  # noqa: F401  (registers the pipelines)
+    from search_ingest_ray.pipelines import flagship
+    aux = {}
+    for name, fn in [
+        ("documents", lambda: flagship.documents_index(
+            sf_dir, analyzer="simple")),
+        ("fields", lambda: flagship.documents_index(
+            sf_dir, analyzer="simple", store_fields=e.DOC_FIELDS)),
+        ("positional", lambda: flagship.documents_index(
+            sf_dir, analyzer="simple", with_positions=True)),
+        ("chain", lambda: flagship.documents_chain_index(
+            sf_dir, analyzer="simple")),
+        ("geo", lambda: flagship.documents_geo_index(sf_dir)),
+        ("events", lambda: flagship.events_index(sf_dir)),
+    ]:
+        t0 = time.monotonic()
+        fn()
+        aux[name] = round(time.monotonic() - t0, 3)
+    return aux
+
+
 def bench_sf_queries(sf_dir: str) -> dict:
     """Time the driver-facing queries over the sf dir (seconds each)."""
     import __ray_entry__ as e
@@ -227,8 +259,11 @@ def run_once() -> dict:
     query = bench_query(build["index_root"], ncpu)
     # scaling legs only need build/query throughput — the sf-dir query sweep
     # is wall-clock dead time inside a trial (SCALE_SKIP_SF=1 skips it)
-    qtimes = ({} if os.environ.get("SCALE_SKIP_SF") == "1"
-              else bench_sf_queries(sf_dir))
+    if os.environ.get("SCALE_SKIP_SF") == "1":
+        aux, qtimes = None, {}
+    else:
+        aux = warm_aux_indexes(sf_dir)
+        qtimes = bench_sf_queries(sf_dir)
 
     result = {
         "metric": "index_build_plus_query_sec",
@@ -241,6 +276,8 @@ def run_once() -> dict:
         "build": {k: v for k, v in build.items() if k != "index_root"},
         "query": query,
     }
+    if aux is not None:
+        result["aux_build_sec"] = aux
     if host is not None:
         result["host"] = host
     ray.shutdown()
