@@ -127,6 +127,42 @@ def _int_docvals_aligned(vals) -> tuple[np.ndarray, np.ndarray]:
     return arr, valid
 
 
+def _renull_int(vals: pa.Array) -> pa.Array:
+    """Restore proper Arrow nulls on an int docvalue column: a FieldStore
+    shard holds a nulled int64 column as float64+NaN (invisible to
+    ``null_count``), which poisons Arrow group aggregates — min/inf, NaN
+    sums, NaN group keys.  Non-float columns pass through unchanged;
+    float columns are the nulled-int encoding by FieldStore's contract
+    (genuine float docvalues don't exist in the stored-field schema)."""
+    if not pa.types.is_floating(vals.type):
+        return vals
+    arr = vals.to_numpy(zero_copy_only=False)
+    miss = np.isnan(arr)
+    if vals.null_count:
+        miss |= vals.is_null().to_numpy(zero_copy_only=False)
+    return pa.array(np.where(miss, 0, arr).astype(np.int64), mask=miss)
+
+
+def _drop_null_key_rows(tbl: pa.Table, sources: list[str]) -> pa.Table:
+    """Drop rows where ANY bucket-key source is missing — ES terms /
+    multi_terms / composite (missing_bucket=false) all skip docs missing
+    a source field.  Missing shows up as Arrow nulls AND as NaN in a
+    float64-ified nulled int column (see :func:`_renull_int`), so the
+    columns are re-nulled first; the returned table carries the re-nulled
+    (int64) columns so group keys come out typed, not float."""
+    cols, keep = {}, np.ones(tbl.num_rows, dtype=bool)
+    for f in sources:
+        col = _renull_int(tbl[f].combine_chunks()
+                          if isinstance(tbl[f], pa.ChunkedArray) else tbl[f])
+        cols[f] = col
+        if col.null_count:
+            keep &= col.is_valid().to_numpy(zero_copy_only=False)
+    out = pa.table(cols)
+    if keep.all():
+        return out
+    return out.take(pa.array(np.flatnonzero(keep)))
+
+
 def expansion_pairs(terms: np.ndarray, dfs: np.ndarray, kind: str, arg):
     """(term, df) pairs of ONE term-sorted dictionary column matching an
     expansion probe — the single implementation of the prefix / fuzzy /
@@ -613,12 +649,16 @@ class Searcher:
         if docids.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              field: pa.array([], pa.int64())})
-        vals = self.fields.get(docids, [field])[field]
+        # re-null so missing values are Arrow nulls (not float NaN) and
+        # sort with nulls LAST regardless of direction — ES's default
+        # ``missing: _last`` docvalue-sort semantics
+        vals = _renull_int(self.fields.get(docids, [field])[field])
         tbl = pa.table({"doc_id": pa.array(docids, pa.int64()),
                         field: vals})
         order = "descending" if descending else "ascending"
         idx = pc.sort_indices(
-            tbl, sort_keys=[(field, order), ("doc_id", "ascending")])[:k]
+            tbl, sort_keys=[(field, order), ("doc_id", "ascending")],
+            null_placement="at_end")[:k]
         return tbl.take(idx)
 
     def search_after(self, terms: list[str], k: int = 10,
@@ -898,20 +938,37 @@ class Searcher:
                              "sum": pa.array([], pa.int64()),
                              "avg_micro": pa.array([], pa.int64())})
         cols = self.fields.get(docids, [group_field, stat_field])
-        t = pa.table({group_field: cols[group_field],
-                      "_v": cols[stat_field]})
+        # re-null both columns (nulled ints arrive float64+NaN from the
+        # shard — see _renull_int) and drop docs missing the GROUP key
+        # (ES terms buckets skip them); docs missing only the STAT field
+        # stay in their bucket but contribute nothing to its stats, which
+        # Arrow's null-skipping aggregates give for free
+        gcol = _renull_int(cols[group_field])
+        vcol = _renull_int(cols[stat_field])
+        t = pa.table({group_field: gcol, "_v": vcol})
+        if gcol.null_count:
+            t = t.filter(gcol.is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_field: gcol.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             "min": pa.array([], pa.int64()),
+                             "max": pa.array([], pa.int64()),
+                             "sum": pa.array([], pa.int64()),
+                             "avg_micro": pa.array([], pa.int64())})
         g = (t.group_by(group_field)
              .aggregate([("_v", "count"), ("_v", "min"), ("_v", "max"),
                          ("_v", "sum")]))
         n = g["_v_count"].to_numpy().astype(np.int64)
-        s = g["_v_sum"].to_numpy().astype(np.int64)
+        s = pc.fill_null(g["_v_sum"], 0).cast(pa.int64()).to_numpy()
         out = pa.table({
             group_field: g[group_field],
             "n": pa.array(n, pa.int64()),
             "min": g["_v_min"].cast(pa.int64()),
             "max": g["_v_max"].cast(pa.int64()),
             "sum": pa.array(s, pa.int64()),
-            "avg_micro": pa.array((s * 1_000_000) // n, pa.int64()),
+            "avg_micro": pa.array(
+                [int(sv) * 1_000_000 // int(nv) if nv else None
+                 for sv, nv in zip(s, n)], pa.int64()),
         })
         return out.sort_by([(group_field, "ascending")])
 
@@ -925,7 +982,7 @@ class Searcher:
         docids = self._match_docids(terms)
         nd = 0
         if docids.size:
-            vals = self.fields.get(docids, [field])[field]
+            vals = _renull_int(self.fields.get(docids, [field])[field])
             nd = len(vals.unique().drop_null())
         return pa.table({"cardinality": pa.array([nd], pa.int64())})
 
@@ -978,21 +1035,13 @@ class Searcher:
             cols["n"] = pa.array([], pa.int64())
             return pa.table(cols)
         got = self.fields.get(docids, sources)
-        tbl = pa.table({f: got[f] for f in sources})
         # ES composite with missing_bucket=false (the default) drops docs
         # missing ANY source — and a null key would break the typed
-        # cursor compare below, so filter before grouping.  Missing shows
-        # up as Arrow nulls AND as NaN in a float64-ified nulled int
-        # column (see _int_docvals), so mask both.
-        keep = np.ones(tbl.num_rows, dtype=bool)
-        for f in sources:
-            col = tbl[f]
-            if col.null_count:
-                keep &= ~col.is_null().to_numpy(zero_copy_only=False)
-            if pa.types.is_floating(col.type):
-                keep &= ~np.isnan(col.to_numpy(zero_copy_only=False))
-        if not keep.all():
-            tbl = tbl.take(pa.array(np.flatnonzero(keep)))
+        # cursor compare below, so filter before grouping (shared with
+        # multi_terms via _drop_null_key_rows, which also restores int64
+        # keys from the float64-ified nulled-int shard encoding).
+        tbl = _drop_null_key_rows(
+            pa.table({f: got[f] for f in sources}), sources)
         g = tbl.group_by(sources).aggregate([([], "count_all")])
         g = g.rename_columns(sources + ["n"])
         g = g.take(pc.sort_indices(
@@ -1324,7 +1373,10 @@ class Searcher:
             cols["n"] = pa.array([], pa.int64())
             return pa.table(cols)
         got = self.fields.get(docids, sources)
-        tbl = pa.table({f: got[f] for f in sources})
+        # ES multi_terms skips docs missing ANY source field; NaN keys
+        # from float64-ified nulled ints would otherwise become buckets
+        tbl = _drop_null_key_rows(
+            pa.table({f: got[f] for f in sources}), sources)
         g = tbl.group_by(sources).aggregate([([], "count_all")])
         g = g.rename_columns(sources + ["n"])
         g = g.take(pc.sort_indices(
@@ -1344,11 +1396,11 @@ class Searcher:
         counts = np.zeros(edges_a.size + 1, dtype=np.int64)
         if docids.size:
             vals = self.fields.get(docids, [field])[field]
-            arr = vals.to_numpy(zero_copy_only=False)
-            if vals.null_count:
-                arr = arr[~vals.is_null().to_numpy(zero_copy_only=False)]
-            idx = np.searchsorted(edges_a, arr.astype(np.int64),
-                                  side="right")
+            # _int_docvals drops BOTH Arrow nulls and float64 NaN (a
+            # nulled int shard column) — a raw astype would send NaN to
+            # INT64_MIN and inflate the open low bucket
+            arr = _int_docvals(vals)
+            idx = np.searchsorted(edges_a, arr, side="right")
             np.add.at(counts, idx, 1)
         lo = [None, *edges_a.tolist()]
         hi = [*edges_a.tolist(), None]
