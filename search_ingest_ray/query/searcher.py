@@ -520,7 +520,9 @@ class Searcher:
             "score": pa.array(sc, pa.float64()),
         }
         for name, vals in self.fields.get(d, return_fields or []).items():
-            cols[name] = vals  # Arrow arrays (missing docids → null)
+            # re-null: missing int docvalues arrive float64+NaN from the
+            # shard; downstream JSON encoders need real Arrow nulls
+            cols[name] = _renull_int(vals)
         return pa.table(cols)
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:

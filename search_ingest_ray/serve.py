@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import time
 
-from .query.searcher import Searcher
+from .query.searcher import Searcher, _renull_int
 
 
 def _norm_filters(filters: dict | None) -> dict | None:
@@ -113,7 +113,10 @@ class ServeSession:
                         for i, (x, s) in enumerate(zip(d, sc))]
                 fields = req.get("fields")
                 if fields and len(d):
-                    fv = self.multi.get_fields(d, fields)
+                    # re-null: a missing int docvalue arrives float64+NaN
+                    # from the shard, and json.dumps(NaN) is invalid JSON
+                    fv = {c: _renull_int(v)
+                          for c, v in self.multi.get_fields(d, fields).items()}
                     for i, h in enumerate(hits):
                         for c in fields:
                             h[c] = fv[c][i].as_py()
@@ -142,7 +145,8 @@ class ServeSession:
                         for i, (x, s) in enumerate(zip(d, sc))]
                 fields = req.get("fields")
                 if fields and len(d):
-                    fv = self.searcher.fields.get(d, fields)
+                    fv = {c: _renull_int(v) for c, v in
+                          self.searcher.fields.get(d, fields).items()}
                     for i, h in enumerate(hits):
                         for c in fields:
                             h[c] = fv[c][i].as_py()

@@ -174,6 +174,23 @@ def test_multi_terms_drops_missing_key_docs(sweep_searcher):
     assert sorted(keys) == [1, 5, 7]
 
 
+def test_serve_returns_json_null_for_missing_docvalue(sweep_searcher):
+    # json.dumps(float('nan')) emits bare NaN — invalid JSON a strict
+    # client rejects; a hit decorated with a missing int field must come
+    # back as JSON null instead
+    import json
+    from search_ingest_ray.serve import ServeSession
+    sess = ServeSession(sweep_searcher.index_root)
+    resp = sess.handle({"op": "query", "id": 1, "query": "alpha beta",
+                        "k": 10, "fields": ["stars"]})
+    assert resp["ok"], resp
+    wire = json.dumps(resp)  # must not raise / emit NaN
+    back = json.loads(wire)
+    stars = [h["stars"] for h in back["hits"]]
+    assert None in stars and all(
+        v is None or isinstance(v, int) for v in stars)
+
+
 def test_partial_null_sort_places_every_matched_doc(sweep_searcher):
     # sort-by-field must not LOSE docs whose field is null (ES sorts
     # missing last by default); we assert the full match set is returned
