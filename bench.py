@@ -218,7 +218,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "decontaminate", "dup_ngrams", "repetition",
                  "dedup_clusters", "corpus_filter",
                  # round 4: geo filters + real JPEG decode
-                 "geo_distance", "geo_bbox", "jpeg_features"]:
+                 "geo_distance", "geo_bbox", "jpeg_features",
+                 # late round 4: remaining typed filters + text hygiene
+                 "geo_polygon", "geo_shape", "exists", "gif_features",
+                 "gopher_rules", "span_dedup", "pii_scrub", "langid",
+                 "ann_ivf", "window_sliding"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
@@ -360,6 +364,11 @@ def run_scaling() -> dict:
                 "mem_bw_gbps_before": bw0,
             })
             continue
+        # probe BETWEEN the legs too: windows flicker at sub-minute scale,
+        # so a pair can straddle two different windows (fast lo + starved
+        # hi deflates eff; the reverse inflates it) invisibly to
+        # before/after probes alone
+        bw_mid = host_mem_bandwidth_gbps(reps=3)
         r_hi = run(hi)
         tput_lo = r_lo["build"]["docs_per_sec"]
         tput_hi = r_hi["build"]["docs_per_sec"]
@@ -381,6 +390,7 @@ def run_scaling() -> dict:
             "p50_ms_hi": r_hi["query"]["query_p50_ms"],
             "p99_ms_hi": r_hi["query"]["query_p99_ms"],
             "mem_bw_gbps_before": bw0,
+            "mem_bw_gbps_mid": bw_mid,
             "mem_bw_gbps_after": host_mem_bandwidth_gbps(),
         })
     best = max(runs, key=lambda r: r["eff"])  # least-noise trial

@@ -56,7 +56,9 @@ def qualifies(trial: dict) -> str | None:
         return None
     b0 = trial.get("mem_bw_gbps_before") or 0
     b1 = trial.get("mem_bw_gbps_after") or 0
-    bw_stable = b0 > 0 and abs(b1 - b0) / b0 <= 0.10
+    probes = [b for b in (b0, trial.get("mem_bw_gbps_mid"), b1) if b]
+    bw_stable = (b0 > 0
+                 and (max(probes) - min(probes)) / b0 <= 0.10)
     # NOTE (round 4): the 950 docs/s "known full-speed" lo-rate was
     # calibrated on pre-diet code; the exchange diet + Arrow-native
     # assign stage raised per-leg rates, so a high lo rate alone no
