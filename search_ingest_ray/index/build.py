@@ -96,6 +96,39 @@ def _emit(batch: pa.Table, *, text_col, id_col, id_is_int, analyzer,
     return em(batch)
 
 
+def _sum_int_column(out_dir: str, col: str,
+                    ray_threshold_bytes: int = 256 << 20) -> int:
+    """Σ of one int column over a chunk's parquet output.
+
+    A Ray aggregate job costs ~2 s of fixed launch/drain overhead per
+    call — per CHUNK, so it's pure serial time on the build's critical
+    path.  The column's compressed footprint is known from the footers,
+    so small columns (the common case: tf of one chunk is a few MB) are
+    summed with a driver-side pyarrow read (~0.1 s), and only columns
+    over ``ray_threshold_bytes`` go through a distributed Ray job — the
+    driver never materializes an unbounded column at 100-TB scale."""
+    files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(out_dir)
+        for f in fs if f.endswith(".parquet"))
+    if not files:
+        return 0
+    import pyarrow.parquet as pq
+    nbytes = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            nbytes += md.row_group(rg).column(ci).total_compressed_size
+    if nbytes > ray_threshold_bytes:
+        import ray.data as rd
+        return int(rd.read_parquet(files, columns=[col]).sum(col) or 0)
+    tot = 0
+    for f in files:
+        v = pc.sum(pq.read_table(f, columns=[col])[col]).as_py()
+        tot += int(v or 0)
+    return tot
+
+
 def _link_tree(src: str, dst: str, suffixes: tuple[str, ...] | None = None
                ) -> None:
     """RECURSIVELY hard-link every file of ``src`` into ``dst`` (preserving
@@ -217,45 +250,60 @@ def _assign_tpart(batch: pa.Table, *, num_partitions: int, hot_salt: int,
     as a bool column (free — row_hot is already computed) so the fs spill
     can count exact salted-term df without a second membership pass.
 
-    Vectorized: crc32 is computed once per DISTINCT term (cached across
-    batches per worker), then gathered to rows with numpy take."""
+    Vectorized: distinct terms come from an Arrow dictionary-encode, their
+    base partitions from a tight crc32 C-call loop over the distinct BYTES
+    (zlib.crc32 is ~0.25 µs/term; the previous per-term python cache with
+    its dict probe + numpy row copy measured ~4 µs/term and dominated the
+    whole spill pass), hot membership from one ``pc.is_in`` kernel, and
+    only the HOT distinct terms (bounded by the salted-candidate cap) take
+    the per-term python path for their salted partition rows."""
+    import zlib as _zlib
     key = hot_ref.hex() if hasattr(hot_ref, "hex") else id(hot_ref)
-    hot = _HOT_CACHE.get(key)
-    if hot is None:
+    ent = _HOT_CACHE.get(key)
+    if ent is None:
         if len(_HOT_CACHE) > 16:  # ref-keyed caches must not grow unboundedly
             _HOT_CACHE.clear()
             _TP_CACHE.clear()
-        hot = _HOT_CACHE[key] = ray.get(hot_ref) if hot_ref is not None else {}
+        hot = ray.get(hot_ref) if hot_ref is not None else {}
+        hot_vs = pa.array(list(hot), pa.string()) if hot else None
+        ent = _HOT_CACHE[key] = (hot, hot_vs)
+    hot, hot_vs = ent
     # distinct terms via Arrow hash dictionary-encode (C speed) — only the
-    # DISTINCT strings ever cross into Python, not one object per row
+    # DISTINCT strings ever cross into Python, as bytes, once per block
     tdic = pc.dictionary_encode(batch["term"].combine_chunks())
     codes = tdic.indices.to_numpy()
-    uniq = tdic.dictionary.to_pylist()
+    uniq_bytes = tdic.dictionary.cast(pa.binary()).to_pylist()
     docids = batch["docid"].to_numpy()
 
-    base = np.empty(len(uniq), dtype=np.int32)
-    # hot terms get a (S,) row of salted partitions; cold terms S× base
-    salted = np.empty((len(uniq), hot_salt), dtype=np.int32)
-    is_hot = np.zeros(len(uniq), dtype=bool)
-    cache = _TP_CACHE.setdefault((key, num_partitions, hot_salt), {})
-    for i, t in enumerate(uniq):
-        ent = cache.get(t)
-        if ent is None:
-            if t in hot:
-                row = np.array([term_partition(t, num_partitions, salt=s)
-                                for s in range(hot_salt)], dtype=np.int32)
-                ent = (True, row)
-            else:
-                ent = (False, np.full(hot_salt, term_partition(t, num_partitions),
-                                      dtype=np.int32))
-            cache[t] = ent
-        is_hot[i] = ent[0]
-        salted[i] = ent[1]
-        base[i] = ent[1][0]
+    _crc = _zlib.crc32
+    base = np.fromiter((_crc(b) for b in uniq_bytes),
+                       dtype=np.uint32, count=len(uniq_bytes))
+    base = (base % num_partitions).astype(np.int32)
+    if hot_vs is not None:
+        is_hot = pc.is_in(tdic.dictionary, value_set=hot_vs) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        is_hot = np.zeros(len(uniq_bytes), dtype=bool)
 
     row_hot = is_hot[codes]
     salts = np.where(row_hot, (docids % hot_salt).astype(np.int32), np.int32(0))
-    tparts = salted[codes, salts]
+    tparts = base[codes]
+    hot_idx = np.flatnonzero(is_hot)
+    if hot_idx.size:
+        # salted partition rows only for the few hot distinct terms
+        cache = _TP_CACHE.setdefault((key, num_partitions, hot_salt), {})
+        salted = np.zeros((len(uniq_bytes), hot_salt), dtype=np.int32)
+        for i in hot_idx:
+            b = uniq_bytes[i]
+            row = cache.get(b)
+            if row is None:
+                h0 = _crc(b)
+                row = cache[b] = np.array(
+                    [h0 % num_partitions] +
+                    [_crc(s.to_bytes(4, "big"), h0) % num_partitions
+                     for s in range(1, hot_salt)], dtype=np.int32)
+            salted[i] = row
+        tparts = np.where(row_hot, salted[codes, salts], tparts)
     # project to exactly the shuffle payload — hive partition columns from
     # the postings read (e.g. "chunk") must not ride through the exchange
     cols = {
@@ -924,7 +972,7 @@ def build_index(input_paths, index_root: str, *,
         # per-chunk token sum: a cheap projected read-back of one int32
         # column, recorded in the lineage so corpus stats need no extra
         # full pass later
-        chunk_tokens = int(rd.read_parquet(out, columns=["tf"]).sum("tf") or 0)
+        chunk_tokens = _sum_int_column(out, "tf")
         try:  # per-stage Ray Data execution breakdown → lineage metrics
             ray_stats = ds.stats()[:1500]
         except Exception:  # noqa: BLE001 — stats are best-effort
@@ -1094,6 +1142,13 @@ def build_index(input_paths, index_root: str, *,
     # than 1-per-core (SI_BUILDER_CPUS overrides)
     builder_cpus = float(os.environ.get(
         "SI_BUILDER_CPUS", "2" if _cluster_cpus >= 8 else "1"))
+    # Exchange-read granularity: measured at bench scale (58 MB postings,
+    # this host), Ray's default ~240-way split is FASTER than fewer,
+    # larger blocks — 1 cpu: 20-25 s at 120-240 blocks vs 42-50 s at
+    # 4-48 blocks; 4 cpus: flat ~12 s — small per-slice term dictionaries
+    # hash/encode much faster than corpus-wide ones, outweighing the
+    # extra spill files.  So the read is NOT overridden here; Ray's
+    # target_max_block_size governs at real scale.
 
     if pending_tparts and n_postings and shuffle == "fs":
         import shutil as _shutil
