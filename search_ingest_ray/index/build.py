@@ -198,10 +198,22 @@ def _sample_files(files: list[str], target_rows: int) -> tuple[list[str], int]:
 
 def _hot_candidates_batch(batch: pa.Table, *, threshold: int,
                           total_rows: int) -> pa.Table:
-    """Per-batch candidate filter: keep terms whose in-batch count
-    extrapolates to ≥ threshold/4 globally."""
+    """Per-batch candidate filter: keep terms whose in-batch count could
+    plausibly extrapolate to ≥ threshold globally.
+
+    The cut is 4σ below the threshold's expected in-batch count
+    (Poisson: e = thr·r/total, σ = √e), so a genuinely-hot term is missed
+    with probability ≲1e-4 per batch — and the candidate union over many
+    batches drives that to ~0 — while terms materially below the
+    threshold are no longer swept in.  (A flat 0.25·e cut here salted
+    every df ≥ threshold/4 term: 9,903 salted terms at the 300k-doc bench
+    where only ~23 clear the threshold, costing 8× dictionary fan-out on
+    common query terms.  Over-salting is CORRECT — salted sub-lists carry
+    global df — just wasteful, so the margin is now set by sampling noise
+    rather than a blanket factor.)"""
     r = batch.num_rows
-    cut = max(2, int(0.25 * threshold * r / max(1, total_rows)))
+    e = threshold * r / max(1, total_rows)
+    cut = max(2, int(e - 4.0 * e ** 0.5))
     vc = pc.value_counts(batch.column("term"))
     terms = vc.field("values")
     counts = vc.field("counts")
