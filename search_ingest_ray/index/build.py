@@ -1075,8 +1075,18 @@ def build_index(input_paths, index_root: str, *,
         cand_rows = (cand_ds.groupby("term").sum("cnt")
                      .sort("sum(cnt)", descending=True)
                      .limit(hot_candidate_cap).take_all())
-        candidates = {r["term"] for r in cand_rows}
-        if len(candidates) >= hot_candidate_cap:
+        # the REAL noise-margin cut runs on the GLOBAL sampled sum, where
+        # batch geometry can't distort it: a df ≥ threshold term's
+        # expected sampled count is e_g = thr·sampled/total, so keep terms
+        # ≥ 4 Poisson σ below that.  (Per-batch extrapolation alone is
+        # batch-size-fragile: at 32 cpus the sampled read splits into
+        # ~200 small blocks, each batch ≈ one block, the per-batch cut
+        # floors at 2, and ~10k mid-tail terms were salted where ~100
+        # clear the threshold.)
+        e_g = hot_df_threshold * sampled_rows / max(1, n_postings)
+        cut_g = max(2.0, e_g - 4.0 * e_g ** 0.5)
+        candidates = {r["term"] for r in cand_rows if r["sum(cnt)"] >= cut_g}
+        if len(cand_rows) >= hot_candidate_cap:
             log.warning("hot-candidate set hit the cap (%d); kept the top "
                         "by partial count", hot_candidate_cap)
 
