@@ -67,9 +67,14 @@ def qualifies(trial: dict) -> str | None:
     # separates the labels.
     if not bw_stable:
         return None
-    if trial.get("docs_per_sec_lo", 0) >= 950:
+    # post-continuation calibration (assign vectorization + candidate
+    # cut, 2026-08-18 evening): 1-cpu rate measured ~2,000-2,200 docs/s
+    # in DEGRADED (~6 GB/s) windows, so the strict label demands clearly
+    # above that; bw stability across all three probes is already
+    # required on both paths.
+    if trial.get("docs_per_sec_lo", 0) >= 2300:
         return "strict"
-    if trial.get("docs_per_sec_lo", 0) >= 420:
+    if trial.get("docs_per_sec_lo", 0) >= 900:
         return "stable"
     return None
 
@@ -160,7 +165,8 @@ def main() -> int:
         open(LOCK, "w").write(str(os.getpid()))
         try:
             env = dict(os.environ, SCALE_LO="1", SCALE_HI="4",
-                       BENCH_DOCS="100000", SCALE_TRIALS="1",
+                       BENCH_DOCS=os.environ.get("HUNT_TRIAL_DOCS",
+                                                 "240000"), SCALE_TRIALS="1",
                        SCALE_ABORT_LO_BELOW=os.environ.get(
                            "HUNT_ABORT_LO", "420"))
             out = subprocess.run(
