@@ -398,7 +398,13 @@ def run_scaling() -> dict:
             "build_sec_hi": r_hi["build"]["build_sec"],
             "host_ceiling_lo_x": ceil_lo, "host_ceiling_hi_x": ceil_hi,
             "host_bound_efficiency": round(host_bound, 3),
+            # qps_lo/hi are apples-vs-oranges (1 cpu = inline warmed
+            # searcher; >=2 = cold Ray-Data pool incl. actor spawn);
+            # serve_qps_* is the steady-state warmed-pool number on BOTH
+            # legs and is the one to compare across levels
             "qps_lo": r_lo["query"]["qps"], "qps_hi": r_hi["query"]["qps"],
+            "serve_qps_lo": r_lo["query"]["serve_qps"],
+            "serve_qps_hi": r_hi["query"]["serve_qps"],
             "p50_ms_hi": r_hi["query"]["query_p50_ms"],
             "p99_ms_hi": r_hi["query"]["query_p99_ms"],
             "mem_bw_gbps_before": bw0,
