@@ -209,6 +209,11 @@ def range_join_broadcast(ds, intervals, *, value_col: str,
 def _window_partial(batch: pa.Table, *, ts_col: str, width_us: int,
                     key_col: str, value_col: str) -> pa.Table:
     batch = batch.combine_chunks()
+    if batch[ts_col].null_count:
+        # events missing the timestamp can't join any window (ES
+        # date_histogram skips docs without the field); an unguarded
+        # to_numpy would turn nulls into NaN and garbage int buckets
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
     tus = batch[ts_col].cast(pa.int64()).to_numpy()
     win = (tus // width_us) * width_us
     v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -257,6 +262,8 @@ def _sliding_partial(batch: pa.Table, *, ts_col: str, size_us: int,
     hopping-window cost and the ONLY blowup; the shuffle moves
     O(windows × keys) partial rows."""
     batch = batch.combine_chunks()
+    if batch[ts_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))  # see _window_partial
     tus = batch[ts_col].cast(pa.int64()).to_numpy()
     n = tus.size
     if n == 0:
@@ -313,6 +320,9 @@ def sliding_window(ds, *, ts_col: str, size_us: int, hop_us: int,
 def _session_kernel(g: pa.Table, *, user_col: str, ts_col: str,
                     gap_us: int) -> pa.Table:
     g = g.combine_chunks()
+    if g.num_rows and (g[ts_col].null_count or g[user_col].null_count):
+        g = g.filter(pc.and_(pc.is_valid(g[ts_col]),
+                             pc.is_valid(g[user_col])))  # see _window_partial
     out_schema = pa.schema([(user_col, pa.int64()),
                             ("session_start_us", pa.int64()),
                             ("session_end_us", pa.int64()),

@@ -162,3 +162,27 @@ def test_sessions_never_cross_users(ray_session):
                           gap_us=10**9, num_partitions=2).take_all()
     assert sorted(r["u"] for r in out) == [1, 2]
     assert all(r["n_events"] == 1 for r in out)
+
+
+def test_windows_skip_null_timestamps(ray_session):
+    """Events missing the timestamp can't join any window (ES
+    date_histogram filter-context semantics); an unguarded to_numpy
+    would NaN-garbage the bucket keys instead."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_ingest_ray.functions.relational import (session_windows,
+                                                        tumbling_window)
+    t = pa.table({
+        "ts": pa.array([1_000_000, None, 3_000_000, None, 5_000_000],
+                       pa.timestamp("us")),
+        "user": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "value": pa.array([1.5, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    })
+    w = tumbling_window(rd.from_arrow(t), ts_col="ts", width_us=2_000_000,
+                        key_col="user", value_col="value").take_all()
+    assert sorted((r["window_us"], r["user"], r["n_events"]) for r in w) == \
+        [(0, 1, 1), (2_000_000, 2, 1), (4_000_000, 2, 1)]
+    s = session_windows(rd.from_arrow(t), user_col="user", ts_col="ts",
+                        gap_us=10_000_000).take_all()
+    assert sorted((r["user"], r["n_events"]) for r in s) == [(1, 1), (2, 2)]
