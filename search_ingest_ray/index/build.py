@@ -157,6 +157,8 @@ def _fields_batch(batch: pa.Table, *, id_col: str, id_is_int: bool,
     in posting emission so the sidecar joins postings without any lookup.
     ``fshard`` range-partitions the sidecar by docid high bits so a query
     actor loads only the shards its candidate docids touch (FieldStore)."""
+    if batch[id_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[id_col]))  # keyless rows
     if id_is_int:
         docids = batch[id_col].cast(pa.int64())
     else:

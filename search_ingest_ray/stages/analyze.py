@@ -71,6 +71,12 @@ class PostingEmitter:
                                    for k, v in (lang_analyzers or {}).items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        idc = batch[self.id_col]
+        if idc.null_count:
+            # a row with no document key cannot be indexed (ES rejects
+            # docs without _id); drop rather than crash the whole build
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.is_valid(idc))
         texts = batch[self.text_col].to_pylist()
         if self.id_is_int:
             docids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
