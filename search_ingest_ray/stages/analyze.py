@@ -58,6 +58,7 @@ class PostingEmitter:
         self.text_col = text_col
         self.id_col = id_col
         self.id_is_int = id_is_int
+        self.analyzer_name = analyzer
         self.analyze = get_analyzer(analyzer)
         self.lang_col = lang_col if lang_analyzers else None
         self.lang_analyzers = {k: get_analyzer(v)
@@ -69,6 +70,92 @@ class PostingEmitter:
         self.pos_analyze = get_position_analyzer(analyzer)
         self.lang_pos_analyzers = {k: get_position_analyzer(v)
                                    for k, v in (lang_analyzers or {}).items()}
+
+
+    def _emit_vectorized(self, batch: pa.Table, docids: np.ndarray) -> pa.Table:
+        """Arrow-kernel emit for the two regex-class analyzers.
+
+        Both reduce to lowercase + "runs of a character class":
+        ``simple`` is ``[a-z0-9]+`` over the lowered text for ANY input,
+        and ``standard`` is ``[a-z0-9_]+`` over lowered text for ASCII
+        documents (\w on lowered ASCII).  Those run as two C kernels
+        (``utf8_lower`` + ``split_pattern_regex`` on the class
+        complement) plus one hash group_by for per-doc term counts —
+        replacing the per-document findall+Counter python loop on the
+        build's hottest stage.  Non-ASCII documents under ``standard``
+        (where \w is unicode-aware and folding stacks originals) fall
+        back to the exact per-doc path; outputs are row-order-permuted
+        but postings-identical (downstream sorts by (term, docid))."""
+        import pyarrow.compute as pc
+        tcol = batch[self.text_col].combine_chunks()
+        if tcol.null_count:
+            tcol = pc.fill_null(tcol, "")
+        # ASCII rows only on the vector path for BOTH analyzers:
+        # pc.utf8_lower is a SIMPLE case mapping while python str.lower is
+        # the full one-to-many mapping (e.g. 'İ' → 'i'+U+0307, which the
+        # combining dot then splits) — identical on ASCII, divergent off
+        # it, so non-ASCII rows take the exact per-doc path
+        is_ascii = pc.string_is_ascii(tcol).to_numpy(zero_copy_only=False)
+        vec_idx = np.flatnonzero(is_ascii)
+        loop_idx = np.flatnonzero(~is_ascii)
+        pattern = ("[^a-z0-9]+" if self.analyzer_name == "simple"
+                   else "[^a-z0-9_]+")
+
+        parts = []
+        if vec_idx.size:
+            vt = tcol.take(pa.array(vec_idx))
+            splits = pc.split_pattern_regex(pc.utf8_lower(vt), pattern)
+            if isinstance(splits, pa.ChunkedArray):
+                splits = splits.combine_chunks()
+            flat = splits.flatten()
+            offs = splits.offsets.to_numpy().astype(np.int64)
+            parent = np.repeat(np.arange(vec_idx.size, dtype=np.int64),
+                               np.diff(offs))
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            if not keep.all():
+                flat = flat.filter(pa.array(keep))
+                parent = parent[keep]
+            if len(flat):
+                dls = np.bincount(parent, minlength=vec_idx.size)
+                g = (pa.table({"i": pa.array(parent), "term": flat})
+                     .group_by(["i", "term"], use_threads=False)
+                     .aggregate([([], "count_all")]))
+                gi = g["i"].to_numpy()
+                parts.append(pa.table({
+                    "term": g["term"],
+                    "docid": pa.array(docids[vec_idx][gi]),
+                    "tf": g["count_all"].cast(pa.int32()),
+                    "dl": pa.array(dls[gi].astype(np.int32)),
+                }))
+
+        if loop_idx.size:
+            from collections import Counter
+            texts = tcol.take(pa.array(loop_idx)).to_pylist()
+            analyze = self.analyze
+            terms: list[str] = []
+            tfs: list[int] = []
+            ldocs: list[np.ndarray] = []
+            ldls: list[np.ndarray] = []
+            for j, text in enumerate(texts):
+                toks = analyze(text) if text else []
+                if not toks:
+                    continue
+                c = Counter(toks)
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                ldocs.append(np.full(len(c), docids[loop_idx[j]], np.int64))
+                ldls.append(np.full(len(c), len(toks), np.int32))
+            if terms:
+                parts.append(pa.table({
+                    "term": pa.array(terms, pa.string()),
+                    "docid": pa.array(np.concatenate(ldocs)),
+                    "tf": pa.array(np.array(tfs, np.int32)),
+                    "dl": pa.array(np.concatenate(ldls)),
+                }))
+        if not parts:
+            return POSTINGS_SCHEMA.empty_table()
+        out = pa.concat_tables(parts).combine_chunks()
+        return out.cast(POSTINGS_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idc = batch[self.id_col]
@@ -87,6 +174,9 @@ class PostingEmitter:
         else:
             langs = None
 
+        if (not self.with_positions and langs is None
+                and self.analyzer_name in ("standard", "simple")):
+            return self._emit_vectorized(batch, docids)
         default_analyze = self.analyze
         by_lang = self.lang_analyzers
         terms: list[str] = []

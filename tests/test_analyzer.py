@@ -101,3 +101,47 @@ def test_lowercase_after_tokenize_spec_order():
     # would re-split the token — the spec order is tokenize THEN lowercase
     assert tokenize_standard("İstanbul") == _slow_reference_tokenize("İstanbul")
     assert len(tokenize_standard("İstanbul")) == 2  # folded + original
+
+
+def test_vectorized_emit_parity_with_per_doc_loop():
+    """The Arrow-kernel emit path (utf8_lower + split_pattern_regex +
+    hash group_by) must produce the exact multiset of (term, docid, tf,
+    dl) rows as the per-document findall+Counter loop — including the
+    full-vs-simple case-mapping divergence rows ('İ' → 'i̇' under python
+    lower), which must route to the loop path."""
+    import random
+    import string
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from search_ingest_ray.analyzer import get_analyzer
+    from search_ingest_ray.stages.analyze import PostingEmitter
+    from search_ingest_ray.util import hash_ids
+
+    rng = random.Random(11)
+    texts = ["", None, "Hello WORLD_x9  foo", "ümlaut Straße İstanbul",
+             "a_b c-d e.f", "ALL CAPS 123", "中文 mixed ascii",
+             "x" * 5000, "  leading and trailing  ", "tab\tsep\nnewline"]
+    for _ in range(400):
+        n = rng.randint(0, 60)
+        texts.append("".join(
+            rng.choice(string.printable + "äöüßÉİλ中ΣK")
+            for _ in range(n)))
+    urls = [f"u{i}" for i in range(len(texts))]
+    batch = pa.table({"url": pa.array(urls),
+                      "text": pa.array(texts, pa.string())})
+    dids = hash_ids(urls)
+    for an in ("standard", "simple"):
+        out = PostingEmitter("text", "url", False, an)(batch)
+        analyze = get_analyzer(an)
+        expect = []
+        for i, t in enumerate(texts):
+            toks = analyze(t) if t else []
+            if not toks:
+                continue
+            for term, tf in Counter(toks).items():
+                expect.append((term, dids[i], tf, len(toks)))
+        got = sorted(zip(out["term"].to_pylist(), out["docid"].to_pylist(),
+                         out["tf"].to_pylist(), out["dl"].to_pylist()))
+        assert got == sorted(expect), an
