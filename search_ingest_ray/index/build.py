@@ -951,7 +951,16 @@ def build_index(input_paths, index_root: str, *,
             continue
         t0 = time.monotonic()
         n_rows = sum(pq.read_metadata(f).num_rows for f in files)
-        ds = rd.read_parquet(files, columns=read_cols)
+        # one block per ~64 MB of input, floored at the cluster CPU count:
+        # Ray's default split made 96 blocks / 56 tasks of ~200 ms work
+        # out of a 50 MB chunk, and the driver's ~100 ms/task dispatch —
+        # not the work — set the stage's wall clock.  Real-scale chunks
+        # (chunk_files × ~100 MB files) keep ~64 MB blocks either way.
+        chunk_bytes = sum(os.path.getsize(f) for f in files)
+        nblocks = int(max(int(ray.cluster_resources().get("CPU", 8)),
+                          chunk_bytes // (64 << 20) + 1))
+        ds = rd.read_parquet(files, columns=read_cols,
+                             override_num_blocks=nblocks)
         if html_col:
             ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                                 batch_size=batch_size)
@@ -974,7 +983,8 @@ def build_index(input_paths, index_root: str, *,
             # id_col may itself be a stored field (docstore returns the
             # source key, e.g. url) — dedupe the projection
             fcols = list(dict.fromkeys([id_col] + store_fields))
-            fds = rd.read_parquet(files, columns=fcols)
+            fds = rd.read_parquet(files, columns=fcols,
+                                  override_num_blocks=nblocks)
             fds = fds.map_batches(
                 _fields_batch, batch_format="pyarrow", batch_size=8192,
                 fn_kwargs=dict(id_col=id_col, id_is_int=id_is_int,
