@@ -1019,7 +1019,13 @@ def build_index(input_paths, index_root: str, *,
     post_files = sorted(
         os.path.join(r, f) for r, _, fs in os.walk(postings_dir)
         for f in fs if f.endswith(".parquet"))
-    n_postings = sum(pq.read_metadata(f).num_rows for f in post_files)
+    n_postings = 0
+    post_unc_bytes = 0  # uncompressed footprint, for exchange block sizing
+    for _pf in post_files:
+        _md = pq.read_metadata(_pf)
+        n_postings += _md.num_rows
+        post_unc_bytes += sum(_md.row_group(i).total_byte_size
+                              for i in range(_md.num_row_groups))
 
     if num_term_partitions is None:
         num_term_partitions = int(min(512, max(8, n_postings // 4_000_000)))
@@ -1176,19 +1182,22 @@ def build_index(input_paths, index_root: str, *,
     # than 1-per-core (SI_BUILDER_CPUS overrides)
     builder_cpus = float(os.environ.get(
         "SI_BUILDER_CPUS", "2" if _cluster_cpus >= 8 else "1"))
-    # Exchange-read granularity: measured at bench scale (58 MB postings,
-    # this host), Ray's default ~240-way split is FASTER than fewer,
-    # larger blocks — 1 cpu: 20-25 s at 120-240 blocks vs 42-50 s at
-    # 4-48 blocks; 4 cpus: flat ~12 s — small per-slice term dictionaries
-    # hash/encode much faster than corpus-wide ones, outweighing the
-    # extra spill files.  So the read is NOT overridden here; Ray's
-    # target_max_block_size governs at real scale.
+    # Exchange-read granularity, re-measured AFTER the assign-stage
+    # vectorization (the earlier small-block advantage was the python
+    # per-term cache loop, now gone): ~24 MB UNCOMPRESSED per block is
+    # the sweet spot with a sharp cliff above ~50 MB (58 MB-compressed
+    # postings: 16 blocks → 7.1 s at 1 cpu / 4.2 s at 4, but 8 blocks →
+    # 29.7 / 9.1 and Ray's default 240 → 12.8 / 7.4).  Floored at the
+    # CPU count so small inputs still use every core.
+    exchange_blocks = int(max(_cluster_cpus,
+                              post_unc_bytes // (24 << 20) + 1))
 
     if pending_tparts and n_postings and shuffle == "fs":
         import shutil as _shutil
         _shutil.rmtree(exchange_dir, ignore_errors=True)
         os.makedirs(exchange_dir, exist_ok=True)
-        postings = rd.read_parquet(postings_dir)
+        postings = rd.read_parquet(postings_dir,
+                                   override_num_blocks=exchange_blocks)
         spill_partials = postings.map_batches(
             _spill_exchange_block, batch_size=None, batch_format="pyarrow",
             fn_kwargs=dict(exchange_dir=exchange_dir, num_partitions=P,
@@ -1221,7 +1230,8 @@ def build_index(input_paths, index_root: str, *,
         # pending partition in its map_groups call.  No shared-filesystem
         # assumption — the correct mode for node-local-disk clusters.
         pending_ref = ray.put(np.array(sorted(pending_tparts), dtype=np.int32))
-        postings = rd.read_parquet(postings_dir)
+        postings = rd.read_parquet(postings_dir,
+                                   override_num_blocks=exchange_blocks)
         assigned = postings.map_batches(
             _assign_pending_batch, batch_format="pyarrow",
             fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt,
