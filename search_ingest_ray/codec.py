@@ -47,26 +47,27 @@ def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     nbytes = varint_lengths(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
-    starts = np.empty(v.size, dtype=np.int64)
-    starts[0] = 0
-    np.cumsum(nbytes[:-1], out=starts[1:])
+    wpos = 0
     for lo in range(0, v.size, _ENC_CHUNK):
         hi = min(lo + _ENC_CHUNK, v.size)
         nb = nbytes[lo:hi]
-        vv_sl = v[lo:hi]
-        st_sl = starts[lo:hi]
-        # process values grouped by encoded length: small dense matrices,
-        # no giant boolean masks
-        for k in np.unique(nb):
-            k = int(k)
-            sel = nb == k
-            vv = vv_sl[sel]
-            g = ((vv[:, None] >> _SHIFTS[None, :k])
-                 & np.uint64(0x7F)).astype(np.uint8)
-            if k > 1:
-                g[:, :k - 1] |= 0x80
-            pos = st_sl[sel][:, None] + np.arange(k, dtype=np.int64)[None, :]
-            out[pos.ravel()] = g.ravel()
+        vv = v[lo:hi]
+        kmax = int(nb.max())
+        if kmax == 1:
+            # single-byte fast path (tf streams are ~100% 1-byte): one cast
+            n1 = hi - lo
+            out[wpos:wpos + n1] = vv.astype(np.uint8)
+            wpos += n1
+            continue
+        # dense (n, kmax) byte matrix + one boolean-mask compaction pass —
+        # no per-length group selection, no int64 position scatter
+        g = ((vv[:, None] >> _SHIFTS[None, :kmax])
+             & np.uint64(0x7F)).astype(np.uint8)
+        cols = np.arange(kmax, dtype=np.int64)[None, :]
+        g |= (cols < (nb - 1)[:, None]).astype(np.uint8) << 7
+        chunk = g[cols < nb[:, None]]
+        out[wpos:wpos + chunk.size] = chunk
+        wpos += chunk.size
     return out.tobytes(), nbytes
 
 

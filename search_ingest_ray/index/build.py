@@ -347,11 +347,22 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     passes; the only per-list work is slicing the three encoded byte streams
     at precomputed offsets."""
     t0 = time.monotonic()
+    _ph: dict | None = {} if os.environ.get("SI_PROF_PHASES") else None
+    _pt = time.monotonic()
+
+    def _mark(name: str) -> None:
+        nonlocal _pt
+        if _ph is not None:
+            now = time.monotonic()
+            _ph[name] = round(_ph.get(name, 0.0) + (now - _pt), 3)
+            _pt = now
+
     # the group arrives as a zero-copy slice of the sort output — often
     # hundreds of tiny chunks backed by object-store memory; consolidate
     # once so every to_numpy below is a single contiguous zero-copy view
     group = group.combine_chunks()
     tpart = int(group["tpart"][0].as_py())
+    _mark("combine")
 
     tcol = group.column("term").combine_chunks()
     # exchange spills arrive dictionary-encoded (payload diet);
@@ -367,6 +378,7 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     docids = dcol.to_numpy()
     tfs = group["tf"].to_numpy().astype(np.int64)
     dls = group["dl"].to_numpy().astype(np.int64)
+    _mark("extract")
 
     has_pos = "pos" in group.column_names
     pos_sorted = None
@@ -374,11 +386,13 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     # pack (term-code, salt) into one int64 key — one fewer stable-sort
     # pass over the partition (salt < 256 always: hot_salt is single-digit)
     order = np.lexsort((docids, (codes << np.int64(8)) | salts))
+    _mark("lexsort")
     codes, salts, docids, tfs, dls = (codes[order], salts[order],
                                       docids[order], tfs[order], dls[order])
     if has_pos:
         pos_sorted = group.column("pos").combine_chunks().take(
             pa.array(order, pa.int64()))
+    _mark("gather")
 
     # duplicate (term, salt, docid) rows (docid hash collisions / duplicate
     # source keys): rare — keep the single row with the greatest tf (last on
@@ -416,8 +430,10 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
                          for i, t in enumerate(uniq)], dtype=np.int64)
     gdf_rows = gdf_uniq[codes]
 
+    _mark("runs_df")
     p = params
     scores = term_scores(tfs, dls, gdf_rows, p).astype(np.float64)
+    _mark("scores")
 
     # delta streams (restart at each list start; blocks slice the stream)
     deltas = np.empty(n, dtype=np.uint64)
@@ -430,6 +446,7 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     doc_cum = np.concatenate([[0], np.cumsum(doc_len)])
     tf_cum = np.concatenate([[0], np.cumsum(tf_len)])
     dl_cum = np.concatenate([[0], np.cumsum(dl_len)])
+    _mark("encode")
 
     # optional positions: a fourth stream of within-posting position deltas
     # (first position absolute per posting); per-run byte ranges derived
@@ -459,6 +476,7 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     skip_last_all = docids[block_ends - 1].astype(np.uint64)
     skip_max_all = np.maximum.reduceat(scores, block_starts).astype(np.float32)
     run_max = np.maximum.reduceat(scores, starts).astype(np.float32)
+    _mark("blocks")
     block_run_bounds = np.concatenate([[0], np.cumsum(nblocks)])
     run_of_block2 = run_of_block  # alias for clarity below
 
@@ -513,6 +531,7 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
                                  pa.array(run_pos_len.astype(np.int64))))
     seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
                                                    ("salt", "ascending")]))
+    _mark("segtable")
     out_dir = os.path.join(segments_dir, f"tpart={tpart:05d}")
     os.makedirs(out_dir, exist_ok=True)
     btmp = os.path.join(out_dir, "postings.bin.tmp")
@@ -526,6 +545,9 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     tmp = os.path.join(out_dir, "segment.parquet.tmp")
     pq.write_table(seg, tmp)
     os.replace(tmp, os.path.join(out_dir, "segment.parquet"))
+    _mark("write")
+    if _ph is not None:
+        globals()["_LAST_PHASES"] = dict(_ph, tpart=tpart)
     return pa.table({
         "tpart": pa.array([tpart], pa.int32()),
         "n_terms": pa.array([len(starts)], pa.int64()),
@@ -1223,7 +1245,8 @@ def build_index(input_paths, index_root: str, *,
         summaries = parts_ds.map_batches(
             builder, batch_size=1, batch_format="pyarrow",
             num_cpus=builder_cpus).take_all()
-        _shutil.rmtree(exchange_dir, ignore_errors=True)
+        if not os.environ.get("SI_KEEP_EXCHANGE"):  # debug: keep spills
+            _shutil.rmtree(exchange_dir, ignore_errors=True)
     elif pending_tparts and n_postings:  # shuffle == "ray"
         # Ray-native exchange: assign tparts in a map stage, move blocks
         # through the object store with a sort-based groupby, build each
