@@ -48,7 +48,7 @@ import ray.data as rd
 from ..analyzer import get_analyzer
 from ..codec import BLOCK, encode_varint_with_lengths
 from ..corpus import EXTRACTOR_VERSION
-from ..query.bm25 import B_DEFAULT, K1_DEFAULT, BM25Params, term_scores
+from ..query.bm25 import B_DEFAULT, K1_DEFAULT, BM25Params, idf, tf_norm
 from ..schemas import equivalent_schema
 from ..util import atomic_write_json, hash_ids, read_json, term_partition
 from ..stages.analyze import PostingEmitter, extract_batch
@@ -342,10 +342,17 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     retries are idempotent); returns a one-row summary — the per-partition
     lineage record (E11).
 
-    Fully vectorized: every numeric stream (deltas, tfs, dls, scores, block
-    maxes, byte offsets) is computed for the WHOLE partition in single numpy
-    passes; the only per-list work is slicing the three encoded byte streams
-    at precomputed offsets."""
+    Vectorized AND cache-blocked: the partition is radix-partitioned into
+    contiguous term-code ranges of ~``SI_BUCKET_ROWS`` rows each, and the
+    sort → dedup → score → varint-encode pipeline runs bucket by bucket on
+    L2/L3-resident slices, streaming each bucket's ``[doc|tf|dl|pos]`` byte
+    streams straight to ``postings.bin``.  Whole-partition processing put a
+    ~200 MB random-access working set in every concurrent builder and made
+    stage 2 the non-scaling phase of the build (1.28× at 4 cpus; BASELINE.md
+    "Contention diagnosis revised").  Consumers address ``postings.bin``
+    exclusively through the absolute ``(off, len)`` pairs in
+    ``segment.parquet``, so the bucket-major file layout is transparent to
+    queries, merge, and snapshots."""
     t0 = time.monotonic()
     _ph: dict | None = {} if os.environ.get("SI_PROF_PHASES") else None
     _pt = time.monotonic()
@@ -367,193 +374,280 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     tcol = group.column("term").combine_chunks()
     # exchange spills arrive dictionary-encoded (payload diet);
     # combine_chunks above already unified the per-file dictionaries, so
-    # the codes/uniq pair is free — no string dedup pass on the hot path
+    # the codes/dictionary pair is free — no string dedup pass on the hot
+    # path, and hot-term df lookups resolve to codes via ONE index_in call
     dic = tcol if pa.types.is_dictionary(tcol.type) else pc.dictionary_encode(tcol)
-    codes = dic.indices.to_numpy().astype(np.int64)
-    uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
-    salts = group["salt"].to_numpy().astype(np.int64)
+    codes32 = dic.indices.to_numpy()  # native index width, zero-copy
+    n_uniq = len(dic.dictionary)
+    salts_nat = group["salt"].to_numpy()  # uint8 under the payload diet
     dcol = group.column("docid").combine_chunks()
     if pa.types.is_dictionary(dcol.type):  # payload-diet spills
         dcol = pc.cast(dcol, dcol.type.value_type)
     docids = dcol.to_numpy()
-    tfs = group["tf"].to_numpy().astype(np.int64)
-    dls = group["dl"].to_numpy().astype(np.int64)
+    tf_nat = group["tf"].to_numpy()
+    dl_nat = group["dl"].to_numpy()
+    nrows = codes32.size
     _mark("extract")
 
     has_pos = "pos" in group.column_names
-    pos_sorted = None
+    pos_all = (group.column("pos").combine_chunks() if has_pos else None)
 
-    # pack (term-code, salt) into one int64 key — one fewer stable-sort
-    # pass over the partition (salt < 256 always: hot_salt is single-digit)
-    order = np.lexsort((docids, (codes << np.int64(8)) | salts))
-    _mark("lexsort")
-    codes, salts, docids, tfs, dls = (codes[order], salts[order],
-                                      docids[order], tfs[order], dls[order])
+    # hot-term global-df overrides, resolved to dictionary codes once per
+    # partition (vectorized index_in — no per-vocab Python loop)
+    hot_code_df: dict[int, int] = {}
+    if hot_df:
+        hidx = pc.index_in(pa.array(list(hot_df.keys()), pa.string()),
+                           value_set=pc.cast(dic.dictionary, pa.string()))
+        for t, i in zip(hot_df, hidx.to_pylist()):
+            if i is not None:
+                hot_code_df[int(i)] = int(hot_df[t])
+
+    # ---- bucket plan: contiguous code ranges with ~equal row counts ----
+    bucket_rows = int(os.environ.get("SI_BUCKET_ROWS", "131072"))
+    pre_counts = np.bincount(codes32, minlength=n_uniq)
+    S = int(min(65535, max(1, -(-nrows // bucket_rows))))
+    cum = np.cumsum(pre_counts)
+    targets = (np.arange(1, S, dtype=np.int64) * nrows) // S
+    bounds = np.unique(np.concatenate(
+        [[0], np.searchsorted(cum, targets, side="left") + 1, [n_uniq]]))
+    S = len(bounds) - 1
+    code_bucket = (np.searchsorted(bounds, np.arange(n_uniq),
+                                   side="right") - 1).astype(np.uint16)
+    bid = code_bucket[codes32]
+    ord0 = np.argsort(bid, kind="stable")  # radix sort on uint16: O(n)
+    sb = bid[ord0]
+    # bucket-major copies at NATIVE dtypes (int32 codes/tf/dl, uint8 salt):
+    # one random-read/sequential-write gather per column; the int64
+    # widening + (code<<8|salt) key pack happen per bucket on
+    # cache-resident slices, so the global passes move half the bytes
+    codes_p = codes32[ord0]
+    salts_p = salts_nat[ord0]
+    docids = docids[ord0]
+    tf_p = tf_nat[ord0]
+    dl_p = dl_nat[ord0]
     if has_pos:
-        pos_sorted = group.column("pos").combine_chunks().take(
-            pa.array(order, pa.int64()))
-    _mark("gather")
+        pos_all = pos_all.take(pa.array(ord0, pa.int64()))
+    bstart = np.searchsorted(sb, np.arange(S + 1))
+    del codes32, salts_nat, tf_nat, dl_nat, bid, sb, ord0
+    _mark("partition")
 
-    # duplicate (term, salt, docid) rows (docid hash collisions / duplicate
-    # source keys): rare — keep the single row with the greatest tf (last on
-    # ties) so tf, dl AND the position list stay mutually consistent (a
-    # mixed keep-max-tf with another row's positions would break the
-    # positions-count == sum(tf) invariant the phrase decoder relies on)
-    dup = ((np.diff(codes) == 0) & (np.diff(salts) == 0)
-           & (np.diff(docids) == 0))
-    if dup.any():
-        keep = np.ones(codes.size, dtype=bool)
-        run_bounds = np.concatenate(
-            [[0], np.flatnonzero(~dup) + 1, [codes.size]])
-        run_bounds = np.unique(run_bounds)
-        for a, b in zip(run_bounds[:-1], run_bounds[1:]):
-            if b - a > 1:
-                w = a + (b - a - 1) - int(np.argmax(tfs[a:b][::-1]))
-                keep[a:b] = False
-                keep[w] = True
-        codes, salts, docids, tfs, dls = (codes[keep], salts[keep],
-                                          docids[keep], tfs[keep], dls[keep])
-        if has_pos:
-            pos_sorted = pos_sorted.take(pa.array(np.flatnonzero(keep), pa.int64()))
-
-    n = codes.size
-    change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(salts) != 0))
-    starts = np.concatenate([[0], change + 1])
-    ends = np.concatenate([change + 1, [n]])
-    lens = ends - starts
-
-    # global df per row: hot terms use the exact global count (their
-    # postings are spread over salted partitions); cold terms are entirely
-    # local, so the local count IS the global df
-    local_df = np.bincount(codes, minlength=len(uniq))
-    gdf_uniq = np.array([hot_df.get(t, local_df[i])
-                         for i, t in enumerate(uniq)], dtype=np.int64)
-    gdf_rows = gdf_uniq[codes]
-
-    _mark("runs_df")
     p = params
-    scores = term_scores(tfs, dls, gdf_rows, p).astype(np.float64)
-    _mark("scores")
-
-    # delta streams (restart at each list start; blocks slice the stream)
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[1:] = (docids[1:] - docids[:-1]).astype(np.uint64)
-    deltas[starts] = docids[starts].astype(np.uint64)
-
-    doc_blob_all, doc_len = encode_varint_with_lengths(deltas)
-    tf_blob_all, tf_len = encode_varint_with_lengths(tfs.astype(np.uint64))
-    dl_blob_all, dl_len = encode_varint_with_lengths(dls.astype(np.uint64))
-    doc_cum = np.concatenate([[0], np.cumsum(doc_len)])
-    tf_cum = np.concatenate([[0], np.cumsum(tf_len)])
-    dl_cum = np.concatenate([[0], np.cumsum(dl_len)])
-    _mark("encode")
-
-    # optional positions: a fourth stream of within-posting position deltas
-    # (first position absolute per posting); per-run byte ranges derived
-    # from the flattened value counts (= tf per posting)
-    pos_blob_all = b""
-    run_pos_off = run_pos_len = None
-    if has_pos:
-        pvals = pos_sorted.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        poffsets = pos_sorted.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        pdeltas = pvals.copy()
-        firsts = poffsets[:-1]
-        pdeltas[1:] -= pvals[:-1]
-        pdeltas[firsts] = pvals[firsts]
-        pos_blob_all, pos_vlen = encode_varint_with_lengths(
-            pdeltas.astype(np.uint64))
-        pos_vcum = np.concatenate([[0], np.cumsum(pos_vlen)])
-        # run r covers flattened values poffsets[starts[r]] .. poffsets[ends[r]]
-        run_pos_off = pos_vcum[poffsets[starts]]
-        run_pos_len = pos_vcum[poffsets[ends]] - run_pos_off
-
-    # block structure (BLOCK postings per block, per list)
-    nblocks = (lens + BLOCK - 1) // BLOCK
-    block_starts = np.concatenate(
-        [np.arange(s, e, BLOCK) for s, e in zip(starts, ends)])
-    run_of_block = np.repeat(np.arange(len(starts)), nblocks)
-    block_ends = np.minimum(block_starts + BLOCK, ends[run_of_block])
-    skip_last_all = docids[block_ends - 1].astype(np.uint64)
-    skip_max_all = np.maximum.reduceat(scores, block_starts).astype(np.float32)
-    run_max = np.maximum.reduceat(scores, starts).astype(np.float32)
-    _mark("blocks")
-    block_run_bounds = np.concatenate([[0], np.cumsum(nblocks)])
-    run_of_block2 = run_of_block  # alias for clarity below
-
-    terms_out = uniq[codes[starts]]
-    salts_out = salts[starts].astype(np.int32)
-
-    # Lucene-style two-file layout per term partition:
-    #   postings.bin     [doc stream][tf stream][dl stream] — read at query
-    #                    time by byte range (mmap), no row-group scans
-    #   segment.parquet  term dictionary: per-(term,salt) metadata, absolute
-    #                    byte offsets into postings.bin, block-max skips
-    nruns = len(starts)
-    doc_base = 0
-    tf_base = len(doc_blob_all)
-    dl_base = tf_base + len(tf_blob_all)
-
-    def _list_col(values: np.ndarray, dtype) -> pa.Array:
-        return pa.ListArray.from_arrays(
-            pa.array(block_run_bounds.astype(np.int32)),
-            pa.array(values, dtype))
-
-    rel_doc = (doc_cum[block_starts] - doc_cum[starts][run_of_block2]).astype(np.int32)
-    rel_tf = (tf_cum[block_starts] - tf_cum[starts][run_of_block2]).astype(np.int32)
-    rel_dl = (dl_cum[block_starts] - dl_cum[starts][run_of_block2]).astype(np.int32)
-
-    run_doc_off = doc_base + doc_cum[starts]
-    run_tf_off = tf_base + tf_cum[starts]
-    run_dl_off = dl_base + dl_cum[starts]
-    seg = pa.table({
-        "term": pa.array(terms_out, pa.string()),
-        "salt": pa.array(salts_out),
-        "df": pa.array(gdf_uniq[codes[starts]], pa.int64()),
-        "n": pa.array(lens, pa.int64()),
-        "max_score": pa.array(run_max, pa.float32()),
-        "doc_off": pa.array(run_doc_off.astype(np.int64)),
-        "doc_len": pa.array(np.diff(doc_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
-        "tf_off": pa.array(run_tf_off.astype(np.int64)),
-        "tf_len": pa.array(np.diff(tf_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
-        "dl_off": pa.array(run_dl_off.astype(np.int64)),
-        "dl_len": pa.array(np.diff(dl_cum[np.concatenate([starts, [n]])]).astype(np.int64)),
-        "skip_last": _list_col(skip_last_all, pa.uint64()),
-        "skip_doc_off": _list_col(rel_doc, pa.int32()),
-        "skip_tf_off": _list_col(rel_tf, pa.int32()),
-        "skip_dl_off": _list_col(rel_dl, pa.int32()),
-        "skip_max": _list_col(skip_max_all, pa.float32()),
-    })
-    if has_pos:
-        pos_base = dl_base + len(dl_blob_all)
-        seg = (seg.append_column("pos_off",
-                                 pa.array((pos_base + run_pos_off).astype(np.int64)))
-                  .append_column("pos_len",
-                                 pa.array(run_pos_len.astype(np.int64))))
-    seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
-                                                   ("salt", "ascending")]))
-    _mark("segtable")
     out_dir = os.path.join(segments_dir, f"tpart={tpart:05d}")
     os.makedirs(out_dir, exist_ok=True)
     btmp = os.path.join(out_dir, "postings.bin.tmp")
-    with open(btmp, "wb") as f:
-        f.write(doc_blob_all)
-        f.write(tf_blob_all)
-        f.write(dl_blob_all)
-        if has_pos:
-            f.write(pos_blob_all)
+    seg_pieces: list[pa.Table] = []
+    n_total = 0
+    runs_total = 0
+    core_bytes = 0  # doc+tf+dl bytes (summary parity across layouts)
+    fpos = 0
+    f = open(btmp, "wb")
+    try:
+        for b in range(S):
+            lo, hi = int(bstart[b]), int(bstart[b + 1])
+            if hi == lo:  # a range of zero-count dictionary codes
+                continue
+            kb = ((codes_p[lo:hi].astype(np.int64) << np.int64(8))
+                  | salts_p[lo:hi])
+            db = docids[lo:hi]
+            ordb = np.lexsort((db, kb))
+            kb = kb[ordb]
+            db = db[ordb]
+            tfb = tf_p[lo:hi][ordb].astype(np.int64)
+            dlb = dl_p[lo:hi][ordb].astype(np.int64)
+            pos_b = None
+            if has_pos:
+                pos_b = pos_all.slice(lo, hi - lo).take(
+                    pa.array(ordb, pa.int64()))
+            _mark("sort")
+
+            # duplicate (term, salt, docid) rows (docid hash collisions /
+            # duplicate source keys): rare — keep the single row with the
+            # greatest tf (last on ties) so tf, dl AND the position list
+            # stay mutually consistent (a mixed keep-max-tf with another
+            # row's positions would break the positions-count == sum(tf)
+            # invariant the phrase decoder relies on)
+            dup = (np.diff(kb) == 0) & (np.diff(db) == 0)
+            if dup.any():
+                keep = np.ones(kb.size, dtype=bool)
+                run_bounds = np.unique(np.concatenate(
+                    [[0], np.flatnonzero(~dup) + 1, [kb.size]]))
+                for a, e in zip(run_bounds[:-1], run_bounds[1:]):
+                    if e - a > 1:
+                        w = a + (e - a - 1) - int(np.argmax(tfb[a:e][::-1]))
+                        keep[a:e] = False
+                        keep[w] = True
+                kb, db, tfb, dlb = kb[keep], db[keep], tfb[keep], dlb[keep]
+                if has_pos:
+                    pos_b = pos_b.take(
+                        pa.array(np.flatnonzero(keep), pa.int64()))
+
+            nb = kb.size
+            change = np.flatnonzero(np.diff(kb) != 0)
+            starts = np.concatenate([[0], change + 1])
+            ends = np.concatenate([change + 1, [nb]])
+            lens = ends - starts
+            codes_b = kb >> np.int64(8)
+            salts_b = kb & np.int64(0xFF)
+
+            # per-run global df: cold terms are bucket-local (a code lives
+            # in exactly one bucket, so the bucket count IS the global df);
+            # hot terms (postings spread over salted partitions) use the
+            # exact global count
+            clo, chi = int(bounds[b]), int(bounds[b + 1])
+            gdf_u = np.bincount(codes_b - clo, minlength=chi - clo) \
+                .astype(np.int64)
+            for c, v in hot_code_df.items():
+                if clo <= c < chi:
+                    gdf_u[c - clo] = v
+            run_df = gdf_u[codes_b[starts] - clo]
+
+            # exact per-posting scores: idf over the bucket's UNIQUE dfs,
+            # broadcast by code — bitwise-identical to per-row idf, log1p
+            # over |vocab slice| values instead of |rows|
+            idf_u = idf(gdf_u, p.n_docs)
+            scores = (idf_u[codes_b - clo]
+                      * tf_norm(tfb, dlb, p)).astype(np.float64)
+            _mark("scores")
+
+            # delta streams (restart at each list start; blocks slice the
+            # stream)
+            deltas = np.empty(nb, dtype=np.uint64)
+            deltas[1:] = (db[1:] - db[:-1]).astype(np.uint64)
+            deltas[starts] = db[starts].astype(np.uint64)
+            doc_blob, doc_len = encode_varint_with_lengths(deltas)
+            tf_blob, tf_len = encode_varint_with_lengths(
+                tfb.astype(np.uint64))
+            dl_blob, dl_len = encode_varint_with_lengths(
+                dlb.astype(np.uint64))
+            doc_cum = np.concatenate([[0], np.cumsum(doc_len)])
+            tf_cum = np.concatenate([[0], np.cumsum(tf_len)])
+            dl_cum = np.concatenate([[0], np.cumsum(dl_len)])
+
+            # optional positions: a fourth stream of within-posting position
+            # deltas (first position absolute per posting); per-run byte
+            # ranges derived from the flattened value counts (= tf/posting)
+            pos_blob = b""
+            run_pos_off = run_pos_len = None
+            if has_pos:
+                pvals = pos_b.flatten().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                poffsets = pos_b.offsets.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pdeltas = pvals.copy()
+                firsts = poffsets[:-1]
+                pdeltas[1:] -= pvals[:-1]
+                pdeltas[firsts] = pvals[firsts]
+                pos_blob, pos_vlen = encode_varint_with_lengths(
+                    pdeltas.astype(np.uint64))
+                pos_vcum = np.concatenate([[0], np.cumsum(pos_vlen)])
+                run_pos_off = pos_vcum[poffsets[starts]]
+                run_pos_len = pos_vcum[poffsets[ends]] - run_pos_off
+            _mark("encode")
+
+            # block structure (BLOCK postings per block, per list)
+            nblocks = (lens + BLOCK - 1) // BLOCK
+            block_starts = np.concatenate(
+                [np.arange(st, e, BLOCK) for st, e in zip(starts, ends)])
+            run_of_block = np.repeat(np.arange(len(starts)), nblocks)
+            block_ends = np.minimum(block_starts + BLOCK,
+                                    ends[run_of_block])
+            skip_last = db[block_ends - 1].astype(np.uint64)
+            skip_max = np.maximum.reduceat(
+                scores, block_starts).astype(np.float32)
+            run_max = np.maximum.reduceat(scores, starts).astype(np.float32)
+            block_run_bounds = np.concatenate([[0], np.cumsum(nblocks)])
+
+            # Lucene-style two-file layout per term partition:
+            #   postings.bin     bucket-major [doc|tf|dl|pos] regions —
+            #                    read at query time by byte range (mmap)
+            #   segment.parquet  term dictionary: per-(term,salt) metadata,
+            #                    absolute byte offsets, block-max skips
+            doc_base = fpos
+            tf_base = doc_base + len(doc_blob)
+            dl_base = tf_base + len(tf_blob)
+            pos_base = dl_base + len(dl_blob)
+
+            rel_doc = (doc_cum[block_starts]
+                       - doc_cum[starts][run_of_block]).astype(np.int32)
+            rel_tf = (tf_cum[block_starts]
+                      - tf_cum[starts][run_of_block]).astype(np.int32)
+            rel_dl = (dl_cum[block_starts]
+                      - dl_cum[starts][run_of_block]).astype(np.int32)
+
+            def _list_col(values: np.ndarray, dtype,
+                          _b=block_run_bounds) -> pa.Array:
+                return pa.ListArray.from_arrays(
+                    pa.array(_b.astype(np.int32)), pa.array(values, dtype))
+
+            seg_b = pa.table({
+                "term": pc.cast(dic.dictionary.take(
+                    pa.array(codes_b[starts], pa.int64())), pa.string()),
+                "salt": pa.array(salts_b[starts].astype(np.int32)),
+                "df": pa.array(run_df, pa.int64()),
+                "n": pa.array(lens, pa.int64()),
+                "max_score": pa.array(run_max, pa.float32()),
+                "doc_off": pa.array(
+                    (doc_base + doc_cum[starts]).astype(np.int64)),
+                "doc_len": pa.array(
+                    (doc_cum[ends] - doc_cum[starts]).astype(np.int64)),
+                "tf_off": pa.array(
+                    (tf_base + tf_cum[starts]).astype(np.int64)),
+                "tf_len": pa.array(
+                    (tf_cum[ends] - tf_cum[starts]).astype(np.int64)),
+                "dl_off": pa.array(
+                    (dl_base + dl_cum[starts]).astype(np.int64)),
+                "dl_len": pa.array(
+                    (dl_cum[ends] - dl_cum[starts]).astype(np.int64)),
+                "skip_last": _list_col(skip_last, pa.uint64()),
+                "skip_doc_off": _list_col(rel_doc, pa.int32()),
+                "skip_tf_off": _list_col(rel_tf, pa.int32()),
+                "skip_dl_off": _list_col(rel_dl, pa.int32()),
+                "skip_max": _list_col(skip_max, pa.float32()),
+            })
+            if has_pos:
+                seg_b = (seg_b.append_column(
+                    "pos_off",
+                    pa.array((pos_base + run_pos_off).astype(np.int64)))
+                    .append_column(
+                    "pos_len", pa.array(run_pos_len.astype(np.int64))))
+            seg_pieces.append(seg_b)
+
+            f.write(doc_blob)
+            f.write(tf_blob)
+            f.write(dl_blob)
+            if has_pos:
+                f.write(pos_blob)
+            fpos = pos_base + len(pos_blob)
+            n_total += int(nb)
+            runs_total += len(starts)
+            core_bytes += len(doc_blob) + len(tf_blob) + len(dl_blob)
+            _mark("blocks")
+    finally:
+        f.close()
+
+    seg = pa.concat_tables(seg_pieces).combine_chunks()
+    seg = seg.take(pc.sort_indices(seg, sort_keys=[("term", "ascending"),
+                                                   ("salt", "ascending")]))
+    _mark("segtable")
     os.replace(btmp, os.path.join(out_dir, "postings.bin"))
     tmp = os.path.join(out_dir, "segment.parquet.tmp")
     pq.write_table(seg, tmp)
     os.replace(tmp, os.path.join(out_dir, "segment.parquet"))
     _mark("write")
     if _ph is not None:
-        globals()["_LAST_PHASES"] = dict(_ph, tpart=tpart)
+        globals()["_LAST_PHASES"] = dict(_ph, tpart=tpart, n_buckets=S)
+        try:  # per-worker phase log (profiling only; see tools/)
+            import json as _json
+            with open(os.environ.get("SI_PROF_OUT",
+                                     "/tmp/si_phases.jsonl"), "a") as _pf:
+                _pf.write(_json.dumps(globals()["_LAST_PHASES"]) + "\n")
+        except OSError:
+            pass
     return pa.table({
         "tpart": pa.array([tpart], pa.int32()),
-        "n_terms": pa.array([len(starts)], pa.int64()),
-        "n_postings": pa.array([int(n)], pa.int64()),
-        "bytes": pa.array([len(doc_blob_all) + len(tf_blob_all)
-                           + len(dl_blob_all)], pa.int64()),
+        "n_terms": pa.array([runs_total], pa.int64()),
+        "n_postings": pa.array([n_total], pa.int64()),
+        "bytes": pa.array([core_bytes], pa.int64()),
         "wall_s": pa.array([time.monotonic() - t0], pa.float64()),
         "read_s": pa.array([0.0], pa.float64()),
     })
@@ -1213,6 +1307,14 @@ def build_index(input_paths, index_root: str, *,
     # CPU count so small inputs still use every core.
     exchange_blocks = int(max(_cluster_cpus,
                               post_unc_bytes // (24 << 20) + 1))
+    # Ray's parquet reader streams 10k-row record batches out of the read
+    # task, and a fused map_batches(batch_size=None) runs once PER RECORD
+    # BATCH — measured 5,244 spill calls (and 5,244 tiny files per tpart
+    # dir) on the 300k-doc bench where ~32 were intended.  An explicit
+    # rows-per-~24MB batch_size makes the map coalesce to the designed
+    # granularity; the tiny-file read storm on the reduce side goes away.
+    _bpr = max(1.0, post_unc_bytes / max(1, n_postings))
+    exchange_batch_rows = int(max(10_000, (24 << 20) / _bpr))
 
     if pending_tparts and n_postings and shuffle == "fs":
         import shutil as _shutil
@@ -1221,7 +1323,8 @@ def build_index(input_paths, index_root: str, *,
         postings = rd.read_parquet(postings_dir,
                                    override_num_blocks=exchange_blocks)
         spill_partials = postings.map_batches(
-            _spill_exchange_block, batch_size=None, batch_format="pyarrow",
+            _spill_exchange_block, batch_size=exchange_batch_rows,
+            batch_format="pyarrow",
             fn_kwargs=dict(exchange_dir=exchange_dir, num_partitions=P,
                            hot_salt=hot_salt, hot_ref=salt_ref)).take_all()
         if not sidecar_loaded:
@@ -1256,7 +1359,8 @@ def build_index(input_paths, index_root: str, *,
         postings = rd.read_parquet(postings_dir,
                                    override_num_blocks=exchange_blocks)
         assigned = postings.map_batches(
-            _assign_pending_batch, batch_format="pyarrow",
+            _assign_pending_batch, batch_size=exchange_batch_rows,
+            batch_format="pyarrow",
             fn_kwargs=dict(num_partitions=P, hot_salt=hot_salt,
                            hot_ref=salt_ref, pending_ref=pending_ref))
         builder = functools.partial(_build_group_ray, segments_dir=segments_dir,
