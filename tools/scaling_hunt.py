@@ -67,14 +67,14 @@ def qualifies(trial: dict) -> str | None:
     # separates the labels.
     if not bw_stable:
         return None
-    # post-continuation calibration (assign vectorization + candidate
-    # cut, 2026-08-18 evening): 1-cpu rate measured ~2,000-2,200 docs/s
-    # in DEGRADED (~6 GB/s) windows, so the strict label demands clearly
-    # above that; bw stability across all three probes is already
-    # required on both paths.
-    if trial.get("docs_per_sec_lo", 0) >= 2300:
+    # post-cache-blocking calibration (bucketed stage-2 + coalesced
+    # exchange batches, 2026-08-19): the 1-cpu leg measured 3,442 docs/s
+    # in a DEGRADED (~6.4 GB/s, ceiling 2.9x) window, so the strict
+    # label demands clearly above that; bw stability across all three
+    # probes is already required on both paths.
+    if trial.get("docs_per_sec_lo", 0) >= 3800:
         return "strict"
-    if trial.get("docs_per_sec_lo", 0) >= 900:
+    if trial.get("docs_per_sec_lo", 0) >= 1500:
         return "stable"
     return None
 
