@@ -544,18 +544,22 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
                 run_pos_len = pos_vcum[poffsets[ends]] - run_pos_off
             _mark("encode")
 
-            # block structure (BLOCK postings per block, per list)
+            # block structure (BLOCK postings per block, per list) — fully
+            # vectorized: a per-run Python listcomp of np.arange calls is
+            # O(|vocab|) interpreter work per bucket and dominates on
+            # real-web vocabularies (millions of 1-2 posting lists)
             nblocks = (lens + BLOCK - 1) // BLOCK
-            block_starts = np.concatenate(
-                [np.arange(st, e, BLOCK) for st, e in zip(starts, ends)])
             run_of_block = np.repeat(np.arange(len(starts)), nblocks)
+            nb_cum = np.concatenate([[0], np.cumsum(nblocks)])
+            within = np.arange(run_of_block.size) - nb_cum[run_of_block]
+            block_starts = starts[run_of_block] + within * BLOCK
             block_ends = np.minimum(block_starts + BLOCK,
                                     ends[run_of_block])
             skip_last = db[block_ends - 1].astype(np.uint64)
             skip_max = np.maximum.reduceat(
                 scores, block_starts).astype(np.float32)
             run_max = np.maximum.reduceat(scores, starts).astype(np.float32)
-            block_run_bounds = np.concatenate([[0], np.cumsum(nblocks)])
+            block_run_bounds = nb_cum
 
             # Lucene-style two-file layout per term partition:
             #   postings.bin     bucket-major [doc|tf|dl|pos] regions —

@@ -204,3 +204,45 @@ def test_hot_df_sidecar_resume_identity(built, tmp_path):
                               analyzer=manifest["stats"]["analyzer"])
         assert d.tolist() == od.tolist()
         assert np.allclose(sc, osc, rtol=1e-6)
+
+
+def test_bucketed_segment_build_identity(ray_session, corpus_dir, tmp_path,
+                                         monkeypatch):
+    """The cache-blocked segment builder (SI_BUCKET_ROWS term-range
+    buckets) must produce the same term dictionary (modulo byte offsets,
+    which are layout) and bit-identical query results at any bucket
+    size — including the degenerate 1-row-per-bucket and single-bucket
+    extremes."""
+    import pyarrow.parquet as pq_
+
+    from search_ingest_ray.corpus import query_set as qs
+
+    roots = {}
+    for label, rows in (("tiny", "1"), ("one", "1000000000")):
+        monkeypatch.setenv("SI_BUCKET_ROWS", rows)
+        root = str(tmp_path / f"idx_{label}")
+        build_index(corpus_dir, root, html_col="html", chunk_files=2,
+                    num_term_partitions=3, hot_df_threshold=150, hot_salt=2)
+        roots[label] = root
+    monkeypatch.delenv("SI_BUCKET_ROWS")
+
+    # seg tables agree on everything except file offsets (layout)
+    layout_cols = {"doc_off", "tf_off", "dl_off", "pos_off",
+                   "skip_doc_off", "skip_tf_off", "skip_dl_off"}
+    for tp in range(3):
+        a = pq_.read_table(os.path.join(
+            roots["tiny"], "epochs", "e0000", "segments",
+            f"tpart={tp:05d}", "segment.parquet"))
+        b = pq_.read_table(os.path.join(
+            roots["one"], "epochs", "e0000", "segments",
+            f"tpart={tp:05d}", "segment.parquet"))
+        keep = [c for c in a.column_names if c not in layout_cols]
+        assert a.select(keep).equals(b.select(keep))
+
+    # queries are bit-identical across layouts
+    s_a, s_b = Searcher(roots["tiny"]), Searcher(roots["one"])
+    for terms in qs():
+        da, sa = s_a.search_terms(terms, k=20)
+        db, sb = s_b.search_terms(terms, k=20)
+        assert list(da) == list(db)
+        assert list(sa) == list(sb)
