@@ -1327,6 +1327,7 @@ def build_index(input_paths, index_root: str, *,
     _bpr = max(1.0, post_unc_bytes / max(1, n_postings))
     exchange_batch_rows = int(max(10_000, (24 << 20) / _bpr))
 
+    _t_spill_done = None
     if pending_tparts and n_postings and shuffle == "fs":
         import shutil as _shutil
         _shutil.rmtree(exchange_dir, ignore_errors=True)
@@ -1348,6 +1349,7 @@ def build_index(input_paths, index_root: str, *,
             _persist_hot(hot_df)
             sidecar_loaded = True
         del spill_partials
+        _t_spill_done = time.monotonic()
 
         builder = functools.partial(
             _build_tpart_from_exchange, exchange_dir=exchange_dir,
@@ -1410,6 +1412,9 @@ def build_index(input_paths, index_root: str, *,
     manifest["stage_walls"] = {
         "stats_and_hot_s": round(_t_stats_done - _t_stage1_done, 3),
         "shuffle_and_segments_s": round(_t_build_done - _t_stats_done, 3),
+        **({"spill_s": round(_t_spill_done - _t_stats_done, 3),
+            "segments_s": round(_t_build_done - _t_spill_done, 3)}
+           if _t_spill_done is not None else {}),
     }
     manifest["stats"] = {
         "n_docs": int(n_docs), "n_postings": int(n_postings),

@@ -163,6 +163,28 @@ def _drop_null_key_rows(tbl: pa.Table, sources: list[str]) -> pa.Table:
     return out.take(pa.array(np.flatnonzero(keep)))
 
 
+def term_row_range(tcol, term: str) -> tuple[int, int]:
+    """Row range ``[lo, hi)`` of ``term`` in a (term, salt)-sorted
+    dictionary column — two bisects of O(log n) scalar accesses each.
+    Replaces the per-partition ``{term: [rows]}`` Python dict, which
+    enumerated the whole vocabulary at load time."""
+    lo, hi = 0, len(tcol)
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        if tcol[mid].as_py() < term:
+            lo = mid + 1
+        else:
+            hi = mid
+    start, hi = lo, len(tcol)
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        if tcol[mid].as_py() <= term:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
 def expansion_pairs(terms: np.ndarray, dfs: np.ndarray, kind: str, arg):
     """(term, df) pairs of ONE term-sorted dictionary column matching an
     expansion probe — the single implementation of the prefix / fuzzy /
@@ -244,12 +266,13 @@ class Searcher:
             self._parts[tpart] = None
             return None
         tbl = pq.read_table(meta_path)
-        index: dict[str, list[int]] = {}
-        for i, t in enumerate(tbl["term"].to_pylist()):
-            index.setdefault(t, []).append(i)
+        # term lookups bisect the (term, salt)-sorted dictionary column —
+        # no vocab-sized Python dict (enumerating a 1M-term partition
+        # costs seconds and ~100 MB of boxed strings per actor)
+        tcol = tbl["term"].combine_chunks()
         data = np.memmap(os.path.join(d, "postings.bin"), dtype=np.uint8,
                          mode="r")
-        ent = (tbl, index, data)
+        ent = (tbl, tcol, data)
         self._parts[tpart] = ent
         return ent
 
@@ -263,9 +286,9 @@ class Searcher:
         return n
 
     def _rows_for(self, ent, term: str) -> list[dict]:
-        tbl, index, data = ent
+        tbl, tcol, data = ent
         rows = []
-        for i in index.get(term, ()):
+        for i in range(*term_row_range(tcol, term)):
             r = tbl.slice(i, 1).to_pylist()[0]
             r["doc_blob"] = bytes(data[r["doc_off"]:r["doc_off"] + r["doc_len"]])
             r["tf_blob"] = bytes(data[r["tf_off"]:r["tf_off"] + r["tf_len"]])
@@ -312,8 +335,8 @@ class Searcher:
             ent = self._part(tp)
             if ent is None:
                 continue
-            tbl, index, _ = ent
-            for i in index.get(term, ()):
+            tbl, tcol, _ = ent
+            for i in range(*term_row_range(tcol, term)):
                 df = tbl["df"][i].as_py()
                 if df > best:
                     best = int(df)

@@ -96,11 +96,12 @@ def _shard_cls():
             ent = self._s._part(self.tpart)
             if ent is None:
                 return {}
-            tbl, index, _ = ent
+            tbl, tcol, _ = ent
             out = {}
+            from .searcher import term_row_range
             for t in terms:
                 best = 0
-                for i in index.get(t, ()):
+                for i in range(*term_row_range(tcol, t)):
                     d = tbl["df"][i].as_py()
                     if d > best:
                         best = int(d)
