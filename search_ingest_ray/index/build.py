@@ -1356,8 +1356,8 @@ def build_index(input_paths, index_root: str, *,
             segments_dir=segments_dir, params=params, hot_df=hot_df)
         # one block per tpart — from_items alone yields a single block and
         # would serialize every partition build into one task
-        parts_ds = rd.from_items([{"tpart": p} for p in pending_tparts]) \
-            .repartition(len(pending_tparts))
+        parts_ds = rd.from_items([{"tpart": p} for p in pending_tparts],
+                                 override_num_blocks=len(pending_tparts))
         summaries = parts_ds.map_batches(
             builder, batch_size=1, batch_format="pyarrow",
             num_cpus=builder_cpus).take_all()
