@@ -1325,7 +1325,13 @@ def build_index(input_paths, index_root: str, *,
     # rows-per-~24MB batch_size makes the map coalesce to the designed
     # granularity; the tiny-file read storm on the reduce side goes away.
     _bpr = max(1.0, post_unc_bytes / max(1, n_postings))
-    exchange_batch_rows = int(max(10_000, (24 << 20) / _bpr))
+    # scale the batch with P so each per-tpart spill file stays >= ~1.5 MB
+    # uncompressed (a 24 MB batch split 512 ways is a 47 KB-file storm),
+    # capped at 96 MB so batch x concurrency stays inside worker heaps;
+    # beyond P~64 prefer shuffle="ray" (object-store exchange) on real
+    # clusters — the fs-mode cap is recorded in the manifest contract
+    _batch_bytes = min(96 << 20, max(24 << 20, (3 << 19) * P))
+    exchange_batch_rows = int(max(10_000, _batch_bytes / _bpr))
 
     _t_spill_done = None
     if pending_tparts and n_postings and shuffle == "fs":
