@@ -855,22 +855,37 @@ def q_corpus_filter(sf_dir: str):
     """The canonical LLM training-data filter pipeline END TO END:
     quality thresholds + Gopher repetition cap + language-ID + exact
     dedup (first wins) + benchmark decontamination + duplicate-n-gram
-    cap, composed from the individually-oracled operators.
+    cap.
 
-    Shape: each signal family is an independent streaming pipeline
-    emitting (doc_id, ok) votes; ONE doc_id-keyed groupby-sum combines
-    them (a doc survives iff present with ok=1 in all four vote streams)
-    — no driver-side joins, no materialization beyond the per-doc vote
-    rows."""
+    Fused shape (round 4): ONE tokenize pass
+    (:class:`~search_ingest_ray.functions.decontam.CorpusSignalScorer`)
+    computes every per-doc scalar signal — quality, repetition, langid,
+    decontam probe, content hash — and the tiny scalar table (ids +
+    micro-ratios + hashes, ~50 B/doc, never text) is materialized as the
+    branch point of the vote streams; only the corpus-wide
+    duplicate-5-gram signal makes a second pass over text (its n-gram
+    shuffle needs one row per distinct 5-gram regardless).  Down from
+    four independent tokenize passes and three actor pools; values are
+    bit-identical to the unfused stages, so the SQL oracle is unchanged.
+
+    Votes: each signal family emits (doc_id, ok); ONE doc_id-keyed
+    groupby-sum combines them (a doc survives iff present with ok=1 in
+    all four vote streams) — no driver-side joins."""
+    import ray
     import pyarrow.compute as pc
 
-    from search_ingest_ray.functions.decontam import (decontaminate,
+    from search_ingest_ray.functions.decontam import (CorpusSignalScorer,
+                                                      benchmark_ngram_hashes,
                                                       dup_ngram_stats)
-    from search_ingest_ray.functions.dedup import exact_dedup
-    from search_ingest_ray.functions.textstats import (LangId,
-                                                       quality_batch,
-                                                       repetition_batch)
+    from search_ingest_ray.stages.fold import partitioned_fold
     docs = _docs(sf_dir)
+
+    bench_ref = ray.put(benchmark_ngram_hashes(docs, mod=DECONTAM_MOD, k=3))
+    sig = docs.map_batches(
+        CorpusSignalScorer, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, mod=DECONTAM_MOD,
+                                   k=3),
+        concurrency=_pool(2)).materialize()  # scalars only — see docstring
 
     def sig_quality(t: pa.Table) -> pa.Table:
         ok = ((t["n_tokens"].to_numpy(zero_copy_only=False)
@@ -883,19 +898,15 @@ def q_corpus_filter(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"],
                          "ok": pa.array(ok.astype(np.int64))})
 
-    # three actor-pool stages coexist in ONE streaming DAG — size each
-    # pool small (2) so their fixed reservations fit the smallest driver
-    # session (8 cpus) without starving task-based stages
-    s1 = (docs.map_batches(quality_batch, batch_format="pyarrow")
-              .map_batches(repetition_batch, batch_format="pyarrow")
-              .map_batches(LangId, batch_format="pyarrow",
-                           concurrency=_pool(2))
-              .map_batches(sig_quality, batch_format="pyarrow"))
-    s2 = decontaminate(docs, mod=DECONTAM_MOD, k=3,
-                       concurrency=_pool(2)).map_batches(
+    s1 = sig.map_batches(sig_quality, batch_format="pyarrow")
+    # benchmark docs emit NO decontam vote (the eval slice never enters
+    # the training corpus), exactly like the unfused decontaminate()
+    s2 = sig.map_batches(
         lambda t: pa.table({
-            "doc_id": t["doc_id"],
-            "ok": pc.subtract(pa.scalar(1, pa.int64()), t["contaminated"]),
+            "doc_id": t.filter(pc.equal(t["is_bench"], 0))["doc_id"],
+            "ok": pc.subtract(
+                pa.scalar(1, pa.int64()),
+                t.filter(pc.equal(t["is_bench"], 0))["contaminated"]),
         }), batch_format="pyarrow")
     s3 = dup_ngram_stats(docs, k=5, concurrency=_pool(2)).map_batches(
         lambda t: pa.table({
@@ -903,7 +914,9 @@ def q_corpus_filter(sf_dir: str):
             "ok": pc.cast(pc.less_equal(t["dup_micro"],
                                         FILTER_MAX_DUP_MICRO), pa.int64()),
         }), batch_format="pyarrow")
-    s4 = exact_dedup(docs).map_batches(
+    s4 = partitioned_fold(sig.select_columns(["doc_id", "content_hash"]),
+                          ["content_hash"], ["doc_id"],
+                          keep="first").map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
             "ok": pa.array(np.ones(t.num_rows, dtype=np.int64)),

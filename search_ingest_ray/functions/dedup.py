@@ -346,9 +346,13 @@ class ShingleHasher:
     def doc_shingles(self, text: str) -> np.ndarray:
         """All k-gram hashes of ``text`` (simple-analyzed, padded with ''
         tokens up to length k so every doc yields ≥1 shingle)."""
-        toks = tokenize_simple(text or "")
+        return self.shingles_from_tokens(tokenize_simple(text or ""))
+
+    def shingles_from_tokens(self, toks: list) -> np.ndarray:
+        """Same, from a precomputed token list (the fused corpus-filter
+        stage tokenizes once and feeds every signal family)."""
         if len(toks) < self.k:
-            toks = toks + [""] * (self.k - len(toks))
+            toks = list(toks) + [""] * (self.k - len(toks))
         th = self._tok_hash
         h = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
         # k-gram polynomial mix: position-weighted sum over the window

@@ -82,16 +82,21 @@ class LangId:
         self.out_col = out_col
         self.profiles = sorted(_LANG_PROFILES.items())  # deterministic order
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def predict(self, tok_lists: list) -> list[str]:
         preds = []
-        for t in batch[self.text_col].to_pylist():
-            toks = set(tokenize_simple(t or ""))
+        for tl in tok_lists:
+            toks = set(tl)
             best, best_score = "und", 0
             for lang, prof in self.profiles:
                 s = len(toks & prof)
                 if s > best_score:
                     best, best_score = lang, s
             preds.append(best)
+        return preds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = self.predict([tokenize_simple(t or "")
+                              for t in batch[self.text_col].to_pylist()])
         return batch.append_column(self.out_col, pa.array(preds, pa.string()))
 
 
@@ -235,20 +240,14 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
     return Fingerprinter(text_col=text_col, out_col=out_col)(batch)
 
 
-def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """Gopher-style repetitiveness signal: the fraction of a doc's token
-    bigrams taken by its single most frequent bigram, as exact integer
-    micro-units — ``top_bigram_micro = (max_count · 10⁶) // n_bigrams``
-    (0 when the doc has < 2 tokens).  High values flag boilerplate /
-    degenerate pages a training-data pipeline drops.
-
-    Fully vectorized: one batch-wide token factorize (np.unique), bigram
-    codes from adjacent code pairs (doc-boundary pairs masked), then a
-    single lexsort + run-length count + per-doc max — no per-doc Python
-    in the hot path.  Appends (n_bigrams, top_bigram_micro)."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    tok_lists = [tokenize_simple(t or "") for t in texts]
+def top_bigram_stats(tok_lists: list) -> tuple[np.ndarray, np.ndarray]:
+    """(n_bigrams, top_bigram_micro) for pre-tokenized docs — the
+    vectorized Gopher repetitiveness core, shared by
+    :func:`repetition_batch` and the fused corpus-filter signal stage
+    (one batch-wide token factorize, adjacent-pair bigram codes with
+    doc-boundary pairs masked, a single lexsort + run-length count +
+    per-doc max — no per-doc Python in the hot path)."""
+    n = len(tok_lists)
     lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
     total = int(lens.sum())
     nbg = np.maximum(lens - 1, 0)
@@ -274,6 +273,18 @@ def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
             counts = np.bincount(gid)
             np.maximum.at(top, ds[new], counts)
     micro = (top * 1_000_000) // np.maximum(nbg, 1)
+    return nbg, micro
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetitiveness signal: the fraction of a doc's token
+    bigrams taken by its single most frequent bigram, as exact integer
+    micro-units — ``top_bigram_micro = (max_count · 10⁶) // n_bigrams``
+    (0 when the doc has < 2 tokens).  High values flag boilerplate /
+    degenerate pages a training-data pipeline drops.  Appends
+    (n_bigrams, top_bigram_micro); core in :func:`top_bigram_stats`."""
+    texts = batch[text_col].to_pylist()
+    nbg, micro = top_bigram_stats([tokenize_simple(t or "") for t in texts])
     return (batch.append_column("n_bigrams", pa.array(nbg))
                  .append_column("top_bigram_micro", pa.array(micro)))
 
