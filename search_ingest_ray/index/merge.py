@@ -43,6 +43,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -352,19 +353,26 @@ def merge_indexes(roots: list[str], out_root: str, epochs: list[int] | None = No
     out_salt = int(statss[0].get("hot_salt", 1))
     merged_hot: dict = {}
     if hot_threshold:
-        sums: dict = {}
+        tbs = []
         for r, e in zip(roots, epochs):
             sdir = os.path.join(epoch_dir(r, e), "segments")
             if not os.path.isdir(sdir):
                 continue
             for dname in sorted(os.listdir(sdir)):
                 mp = os.path.join(sdir, dname, "segment.parquet")
-                if not os.path.exists(mp):
-                    continue
-                tb = pq.read_table(mp, columns=["term", "n"])
-                for t, n in zip(tb["term"].to_pylist(), tb["n"].to_pylist()):
-                    sums[t] = sums.get(t, 0) + int(n)
-        merged_hot = {t: c for t, c in sums.items() if c >= hot_threshold}
+                if os.path.exists(mp):
+                    tbs.append(pq.read_table(mp, columns=["term", "n"]))
+        merged_hot = {}
+        if tbs:
+            # vectorized group-by-sum + threshold filter: only the (few)
+            # over-threshold terms ever become Python objects — the old
+            # per-term dict held the full merged vocabulary on the driver
+            agg = (pa.concat_tables(tbs).group_by("term")
+                   .aggregate([("n", "sum")]))
+            agg = agg.filter(pc.greater_equal(agg["n_sum"],
+                                              pa.scalar(hot_threshold)))
+            merged_hot = dict(zip(agg["term"].to_pylist(),
+                                  (int(x) for x in agg["n_sum"].to_pylist())))
 
     parts = rd.from_items([{"tpart": i} for i in range(P)])
     summary = parts.map_batches(

@@ -73,7 +73,7 @@ class PostingEmitter:
 
 
     def _emit_vectorized(self, batch: pa.Table, docids: np.ndarray) -> pa.Table:
-        """Arrow-kernel emit for the two regex-class analyzers.
+        r"""Arrow-kernel emit for the two regex-class analyzers.
 
         Both reduce to lowercase + "runs of a character class":
         ``simple`` is ``[a-z0-9]+`` over the lowered text for ANY input,
