@@ -87,7 +87,7 @@ def main() -> int:
     # (windows with full CPU grants still ran both legs 2x slow at
     # 5.9 GB/s memcpy).  Adaptive: require >= 75% of the best bandwidth
     # seen this hunt, with an absolute floor.
-    bw_floor = float(os.environ.get("HUNT_MIN_BW", "8.0"))
+    bw_floor = float(os.environ.get("HUNT_MIN_BW", "6.0"))
     bw_floor_min = float(os.environ.get("HUNT_MIN_BW_FLOOR", "4.5"))
     bw_best = 0.0
     start = time.monotonic()
@@ -103,8 +103,12 @@ def main() -> int:
         floor_now = max(bw_floor_min, bw_floor * (0.9 ** stale_halves))
         c1, c4, bw = probe()
         bw_best = max(bw_best, bw)
+        # cap the adaptive bar at 95% of best-seen: requiring bw ==
+        # bw_best (the old min(..., bw_best)) could reject every probe
+        # after one lucky high reading
         calm = (c1 >= 0.9 and c4 >= 3.55
-                and bw >= min(max(floor_now, 0.75 * bw_best), bw_best)
+                and bw >= min(max(floor_now, 0.75 * bw_best),
+                              0.95 * bw_best)
                 and not os.path.exists(BUSY))
         if calm:
             last_calm = time.monotonic()
