@@ -55,3 +55,30 @@ def test_missing_probes_void():
 
 def test_slow_lo_leg_rejected_entirely():
     assert hunt.qualifies(_trial(docs_per_sec_lo=900.0)) is None
+
+
+def test_falling_bandwidth_is_conservative_and_accepted():
+    # hi leg on a slower bus than lo -> measured eff is a floor
+    t = _trial(mem_bw_gbps_before=6.33, mem_bw_gbps_mid=6.13,
+               mem_bw_gbps_after=5.51)
+    assert hunt.qualifies(t) == "stable-falling"
+
+
+def test_rising_bandwidth_still_voided():
+    # lo throttled / hi free inflates eff (the round-2 false positive)
+    t = _trial(mem_bw_gbps_before=5.51, mem_bw_gbps_mid=6.13,
+               mem_bw_gbps_after=6.33)
+    assert hunt.qualifies(t) is None
+
+
+def test_vshape_flicker_still_voided():
+    t = _trial(mem_bw_gbps_before=6.8, mem_bw_gbps_mid=5.2,
+               mem_bw_gbps_after=6.7)
+    assert hunt.qualifies(t) is None
+
+
+def test_cliff_drop_still_voided():
+    # a >25% collapse is a regime change, not one window
+    t = _trial(mem_bw_gbps_before=8.0, mem_bw_gbps_mid=6.5,
+               mem_bw_gbps_after=5.0)
+    assert hunt.qualifies(t) is None

@@ -55,8 +55,9 @@ def qualifies(trial: dict) -> str | None:
             and trial.get("host_ceiling_hi_x", 0) >= 3.6):
         return None
     b0 = trial.get("mem_bw_gbps_before") or 0
+    bm = trial.get("mem_bw_gbps_mid")
     b1 = trial.get("mem_bw_gbps_after") or 0
-    probes = [b for b in (b0, trial.get("mem_bw_gbps_mid"), b1) if b]
+    probes = [b for b in (b0, bm, b1) if b]
     bw_stable = (b0 > 0
                  and (max(probes) - min(probes)) / b0 <= 0.10)
     # NOTE (round 4): the 950 docs/s "known full-speed" lo-rate was
@@ -65,7 +66,24 @@ def qualifies(trial: dict) -> str | None:
     # longer proves an unthrottled window.  Require bandwidth stability
     # across the pair on BOTH paths; the lo-rate threshold now only
     # separates the labels.
+    #
+    # Direction-aware refinement (round 4, second continuation): an
+    # unstable window only INFLATES eff when bandwidth RISES across the
+    # pair (lo throttled, hi free — the round-2 false positive).  When
+    # the probes fall monotonically (each step <= +3% jitter, total sag
+    # <= 25%), the hi leg ran on a bus no faster than the lo leg's, so
+    # the measured eff is a floor — conservative evidence, accepted as
+    # "stable-falling".
     if not bw_stable:
+        seq = [b for b in (b0, bm, b1) if b]
+        falling = (b0 > 0 and len(seq) == 3
+                   and all(seq[i + 1] <= seq[i] * 1.03
+                           for i in range(len(seq) - 1))
+                   and (seq[0] - min(seq)) / seq[0] <= 0.25)
+        if not falling:
+            return None
+        if trial.get("docs_per_sec_lo", 0) >= 1500:
+            return "stable-falling"
         return None
     # post-cache-blocking calibration (bucketed stage-2 + coalesced
     # exchange batches, 2026-08-19): the 1-cpu leg measured 3,442 docs/s
