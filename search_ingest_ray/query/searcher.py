@@ -248,6 +248,7 @@ class Searcher:
         self.hot = self.stats["hot_terms"]
         self.analyze = get_analyzer(self.stats["analyzer"])
         self._parts: dict[int, tuple | None] = {}
+        self._vocab_cache: dict[int, tuple] = {}
         self._term_cache: dict[str, list[dict]] = {}
         self._term_cache_cap = 100_000
 
@@ -297,6 +298,24 @@ class Searcher:
                 r["pos_blob"] = bytes(data[r["pos_off"]:r["pos_off"] + r["pos_len"]])
             rows.append(r)
         return rows
+
+    def _vocab_np(self, tpart: int):
+        """(terms, dfs) numpy views of one partition's dictionary, cached —
+        expansion queries (wildcard / fuzzy / suggest / significant-terms)
+        scan the vocabulary linearly; materializing the string column per
+        QUERY would cost ~100 ms per million terms."""
+        got = self._vocab_cache.get(tpart)
+        if got is not None:
+            return got
+        ent = self._part(tpart)
+        if ent is None:
+            self._vocab_cache[tpart] = (None, None)
+            return self._vocab_cache[tpart]
+        tbl = ent[0]
+        got = (tbl["term"].to_numpy(zero_copy_only=False),
+               tbl["df"].to_numpy())
+        self._vocab_cache[tpart] = got
+        return got
 
     def _lookup(self, terms: list[str]) -> dict[str, list[dict]]:
         """Fetch posting-list rows for terms, grouped per term.  The term
@@ -575,13 +594,10 @@ class Searcher:
         the shard-side scan."""
         per = []
         for tp in range(self.P):
-            ent = self._part(tp)
-            if ent is None:
+            terms_np, dfs_np = self._vocab_np(tp)
+            if terms_np is None:
                 continue
-            tbl = ent[0]
-            per.append(expansion_pairs(
-                tbl["term"].to_numpy(zero_copy_only=False),
-                tbl["df"].to_numpy(), kind, arg))
+            per.append(expansion_pairs(terms_np, dfs_np, kind, arg))
         return merge_expansion(per, k)
 
     def fuzzy_terms(self, probe: str, max_dist: int = 1,
@@ -1372,12 +1388,9 @@ class Searcher:
         scan, same shape as :meth:`_vocab_agg`."""
         agg: dict[str, int] = {}
         for tp in range(self.P):
-            ent = self._part(tp)
-            if ent is None:
+            terms, dfs = self._vocab_np(tp)
+            if terms is None:
                 continue
-            tbl = ent[0]
-            terms = tbl["term"].to_numpy(zero_copy_only=False)
-            dfs = tbl["df"].to_numpy()
             sel = dfs <= max_df
             for t, d in zip(terms[sel], dfs[sel]):
                 got = agg.get(t)
