@@ -589,3 +589,48 @@ def test_gopher_rules_alpha_ratio():
     out = gopher_rules_batch(batch, min_words=2, min_required=2)
     assert out["alpha_word_micro"][0].as_py() == 250_000
     assert out["pass_gopher"][0].as_py() == 0
+
+
+def test_fused_signal_scorer_matches_unfused_kernels(ray_session):
+    """CorpusSignalScorer (one tokenize pass) must equal the unfused
+    quality/repetition/langid/decontam/content-hash kernels value for
+    value — the corpus_filter oracle depends on it."""
+    from search_ingest_ray.functions.decontam import (CorpusSignalScorer,
+                                                      DecontamScorer)
+    from search_ingest_ray.functions.dedup import content_hash_batch
+    from search_ingest_ray.functions.textstats import repetition_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and the cat",
+        "le chat et le chien sont dans la maison avec le pain",
+        "",  # empty doc
+        "spam spam spam spam spam spam spam",  # degenerate repetition
+        "a b",  # shorter than the shingle k
+        "the and of to in is was that it for benchmark shared trigram here",
+    ]
+    ids = list(range(0, 97 * len(texts), 97))  # id 0 is a benchmark doc
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+
+    # benchmark set: doc 0's distinct 3-grams (mod 97 slice)
+    from search_ingest_ray.functions.dedup import ShingleHasher
+    bench = np.unique(ShingleHasher(3).doc_shingles(texts[0]))
+
+    fused = CorpusSignalScorer(bench, mod=97, k=3)(batch)
+
+    q = quality_batch(batch)
+    r = repetition_batch(batch)
+    lang = LangId()(batch)
+    d = DecontamScorer(bench, k=3)(batch)
+    ch = content_hash_batch(batch)
+
+    assert fused["n_tokens"].to_pylist() == q["n_tokens"].to_pylist()
+    assert (fused["stopword_ratio_micro"].to_pylist()
+            == q["stopword_ratio_micro"].to_pylist())
+    assert (fused["top_bigram_micro"].to_pylist()
+            == r["top_bigram_micro"].to_pylist())
+    assert fused["lang_pred"].to_pylist() == lang["lang_pred"].to_pylist()
+    assert fused["contaminated"].to_pylist() == d["contaminated"].to_pylist()
+    assert fused["content_hash"].to_pylist() == ch["content_hash"].to_pylist()
+    assert fused["is_bench"].to_pylist() == [int(i % 97 == 0) for i in ids]
+    assert fused["contaminated"].to_pylist()[0] == 1  # self-overlap
