@@ -1324,14 +1324,24 @@ def build_index(input_paths, index_root: str, *,
     # dir) on the 300k-doc bench where ~32 were intended.  An explicit
     # rows-per-~24MB batch_size makes the map coalesce to the designed
     # granularity; the tiny-file read storm on the reduce side goes away.
-    _bpr = max(1.0, post_unc_bytes / max(1, n_postings))
-    # scale the batch with P so each per-tpart spill file stays >= ~1.5 MB
-    # uncompressed (a 24 MB batch split 512 ways is a 47 KB-file storm),
-    # capped at 96 MB so batch x concurrency stays inside worker heaps;
-    # beyond P~64 prefer shuffle="ray" (object-store exchange) on real
-    # clusters — the fs-mode cap is recorded in the manifest contract
-    _batch_bytes = min(96 << 20, max(24 << 20, (3 << 19) * P))
-    exchange_batch_rows = int(max(10_000, _batch_bytes / _bpr))
+    # batch sizing must use ARROW in-memory width, not the parquet
+    # uncompressed footprint: term strings + int64 docids decode to
+    # ~5x the parquet byte count, and a footprint-derived row target
+    # made 660 MB in-memory batches at the 3M-doc scale probe (object
+    # store pressure turned the spill into 166 s of the 257 s build)
+    if post_files:
+        _sample = pq.ParquetFile(post_files[0]).read_row_group(0)
+        arrow_bpr = max(8.0, _sample.nbytes / max(1, _sample.num_rows))
+        del _sample
+    else:
+        arrow_bpr = 32.0
+    # scale the batch with P so per-tpart spill files stay chunky
+    # (a 24 MB batch split 512 ways is a 47 KB-file storm), capped at
+    # 64 MB in-memory so batch x concurrency x sort copies stays inside
+    # worker heaps; beyond P~64 prefer shuffle="ray" (object-store
+    # exchange) on real clusters — recorded in the manifest contract
+    _batch_bytes = min(64 << 20, max(24 << 20, (3 << 19) * P))
+    exchange_batch_rows = int(max(10_000, _batch_bytes / arrow_bpr))
 
     _t_spill_done = None
     if pending_tparts and n_postings and shuffle == "fs":
