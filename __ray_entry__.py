@@ -901,13 +901,14 @@ def q_corpus_filter(sf_dir: str):
     s1 = sig.map_batches(sig_quality, batch_format="pyarrow")
     # benchmark docs emit NO decontam vote (the eval slice never enters
     # the training corpus), exactly like the unfused decontaminate()
-    s2 = sig.map_batches(
-        lambda t: pa.table({
-            "doc_id": t.filter(pc.equal(t["is_bench"], 0))["doc_id"],
-            "ok": pc.subtract(
-                pa.scalar(1, pa.int64()),
-                t.filter(pc.equal(t["is_bench"], 0))["contaminated"]),
-        }), batch_format="pyarrow")
+    def sig_decontam(t: pa.Table) -> pa.Table:
+        nb = t.filter(pc.equal(t["is_bench"], 0))
+        return pa.table({
+            "doc_id": nb["doc_id"],
+            "ok": pc.subtract(pa.scalar(1, pa.int64()), nb["contaminated"]),
+        })
+
+    s2 = sig.map_batches(sig_decontam, batch_format="pyarrow")
     s3 = dup_ngram_stats(docs, k=5, concurrency=_pool(2)).map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
