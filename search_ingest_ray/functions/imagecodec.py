@@ -187,10 +187,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-byte-sniffed decode → (h, w, channels) uint8.  PNG/PPM/BMP
-    decode here; baseline JPEG decodes via :mod:`.jpegcodec` (pure-numpy
-    Huffman + IDCT); GIF via :mod:`.gifcodec` (pure-numpy LZW, first
-    frame); WebP raises NotImplementedError (VP8 needs a real codec);
-    unknown bytes raise ValueError."""
+    decode here; JPEG (baseline AND progressive) decodes via
+    :mod:`.jpegcodec` (pure-numpy Huffman + IDCT, successive
+    approximation); GIF via :mod:`.gifcodec` (pure-numpy LZW, first
+    frame); WebP raises NotImplementedError (VP8's close-range LZ77
+    distance-map table is not reconstructible offline; a wrong table
+    would silently corrupt pixels — honest boundary); unknown bytes
+    raise ValueError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):
@@ -198,7 +201,7 @@ def decode_image(data: bytes) -> np.ndarray:
     if data.startswith(b"BM"):
         return decode_bmp(data)
     if data.startswith(b"\xff\xd8\xff"):
-        from .jpegcodec import decode_jpeg   # baseline sequential, pure numpy
+        from .jpegcodec import decode_jpeg   # baseline + progressive, numpy
         return decode_jpeg(data)
     if data.startswith((b"GIF87a", b"GIF89a")):
         from .gifcodec import decode_gif     # pure-numpy LZW

@@ -11,11 +11,18 @@ beyond bit twiddling + an 8x8 DCT, so the decode path here is REAL:
   never assumes the Annex K tables).  Entropy decode is a per-symbol
   Python loop (inherently sequential); everything after it — dequant,
   de-zigzag, IDCT, upsample, color convert — is batched numpy over all
-  blocks at once.  Progressive (SOF2), arithmetic coding, 12-bit
-  precision and CMYK raise ``NotImplementedError`` (honest boundary).
+  blocks at once.  Progressive (SOF2) decodes too: spectral selection,
+  successive approximation (DC + AC first/refinement scans, EOB runs),
+  interleaved DC and non-interleaved AC block rasters.  Arithmetic
+  coding, 12-bit precision and CMYK raise ``NotImplementedError``
+  (honest boundary).
 - ``encode_jpeg``: baseline JFIF writer for fixtures/synthetic corpora —
   T.81 Annex K example quant (libjpeg quality scaling) + Huffman tables,
-  4:4:4 or 4:2:0, optional restart intervals.
+  4:4:4 or 4:2:0, optional restart intervals; ``progressive=True`` emits
+  a 5-phase SOF2 scan script (DC Al=1 → per-component AC 1-63 Al=2 →
+  AC refinements Al=1, Al=0 → DC refinement), which round-trips
+  pixel-identically with the baseline path (same quantized
+  coefficients, two entropy codings).
 
 At 100-TB scale a real deployment would swap a native libjpeg actor-pool
 stage in; the Ray-side plumbing (``multimodal.ImageFeatureStage``) is
@@ -210,7 +217,7 @@ class _BitWriter:
 # -- decoder -------------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT", 0xC3: "lossless", 0xC5: "differential seq.",
+    0xC3: "lossless", 0xC5: "differential seq.",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "diff. arith. seq.",
@@ -218,8 +225,37 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split entropy-coded bytes starting at ``pos`` into restart
+    segments (unstuffing 0xFF00); returns (segments, position of the
+    0xFF of the first non-RST marker — or len(data))."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            cur += data[i:]
+            i = len(data)
+            break
+        cur += data[i:j]
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            cur += b"\xff"
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            i = j
+            break                               # EOI or next marker
+    segs.append(bytes(cur))
+    return segs, i
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG → (h, w, 1|3) uint8 (gray or RGB)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG → (h, w, 1|3) uint8."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     pos = 2
@@ -227,8 +263,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, tuple] = {}
     huff_ac: dict[int, tuple] = {}
     restart_interval = 0
+    progressive = False
     frame = None          # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
-    scan = None           # [(comp_index, dc_id, ac_id)]
+    # scans: (scan_comps=[(ci, dc_lut|None, ac_lut|None)], Ss, Se, Ah, Al,
+    #         segs, restart_interval_at_scan)
+    scans: list[tuple] = []
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
@@ -267,7 +306,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += nv
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _decode_lut(bits, values)
-        elif marker in (0xC0, 0xC1):           # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -280,8 +320,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                f"JPEG {_SOF_UNSUPPORTED[marker]} not supported "
-                "(baseline sequential only)")
+                f"JPEG {_SOF_UNSUPPORTED[marker]} not supported")
         elif marker == 0xDD:                   # DRI
             restart_interval, = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                   # SOS → entropy data follows
@@ -289,57 +328,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             cid_to_idx = {c[0]: i for i, c in enumerate(frame[2])}
-            scan = []
-            for s in range(ns):
-                cs, tbl = body[1 + 2 * s], body[2 + 2 * s]
-                scan.append((cid_to_idx[cs], tbl >> 4, tbl & 15))
-            break
+            sc = []
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 15
+            for si in range(ns):
+                cs, tbl = body[1 + 2 * si], body[2 + 2 * si]
+                dc_id, ac_id = tbl >> 4, tbl & 15
+                # resolve LUTs NOW — DHT may redefine tables between scans.
+                # DC-refinement scans read raw bits (no Huffman); AC scans
+                # never use the DC table and vice versa.
+                need_dc = Ss == 0 and Ah == 0
+                need_ac = Se > 0 if progressive else True
+                dlut = huff_dc.get(dc_id) if need_dc else None
+                alut = huff_ac.get(ac_id) if need_ac else None
+                if need_dc and dlut is None:
+                    raise ValueError("missing DC huffman table")
+                if need_ac and alut is None:
+                    raise ValueError("missing AC huffman table")
+                sc.append((cid_to_idx[cs], dlut, alut))
+            segs, pos = _split_entropy(data, pos)
+            scans.append((sc, Ss, Se, Ah, Al, segs, restart_interval))
+            if not progressive:
+                break
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("no scan in JPEG")
-
-    # --- split entropy-coded data at restart markers, unstuffing 0xFF00 ---
-    segs: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < len(data):
-        j = data.find(b"\xff", i)
-        if j < 0 or j + 1 >= len(data):
-            cur += data[i:]
-            break
-        cur += data[i:j]
-        nxt = data[j + 1]
-        if nxt == 0x00:
-            cur += b"\xff"
-            i = j + 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i = j + 2
-        else:
-            break                               # EOI or next marker
-    segs.append(bytes(cur))
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-
-    # per-component dequantized coefficient store (zigzag order)
-    coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
-            for c in comps]
     qtbl = []
     for (_, _, _, tq) in comps:
         if tq not in qt:
             raise ValueError(f"missing quant table {tq}")
         qtbl.append(qt[tq])
-    luts = []
-    for (_, dc_id, ac_id) in scan:
-        if dc_id not in huff_dc or ac_id not in huff_ac:
-            raise ValueError("missing huffman table")
-        luts.append((huff_dc[dc_id], huff_ac[ac_id]))
 
+    if progressive:
+        coef = _decode_progressive(scans, comps, h, w, hmax, vmax,
+                                   mcus_x, mcus_y)
+        for ci in range(len(comps)):
+            coef[ci] *= qtbl[ci]
+    else:
+        coef = _decode_baseline(scans[0], comps, qtbl, mcus_x, mcus_y)
+    return _reconstruct(coef, comps, h, w, hmax, vmax)
+
+
+def _decode_baseline(scan_rec, comps, qtbl, mcus_x, mcus_y):
+    scan, _, _, _, _, segs, restart_interval = scan_rec
+    coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
+            for c in comps]
     pred = [0] * len(comps)
     seg_i, mcu_in_seg = 0, 0
     br = _BitReader(segs[0])
@@ -352,9 +392,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 br = _BitReader(segs[seg_i])
                 pred = [0] * len(comps)
                 mcu_in_seg = 0
-            for si, (ci, _, _) in enumerate(scan):
+            for (ci, dlut, alut) in scan:
                 _, hi, vi, _ = comps[ci]
-                (dsym, dln), (asym, aln) = luts[si]
+                dsym, dln = dlut
+                asym, aln = alut
                 q = qtbl[ci]
                 for by in range(vi):
                     for bx in range(hi):
@@ -378,8 +419,148 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             blk[k] = _extend(br.receive(s), s) * q[k]
                             k += 1
             mcu_in_seg += 1
+    return coef
 
-    # --- batched de-zigzag + IDCT + upsample ---
+
+def _decode_progressive(scans, comps, h, w, hmax, vmax, mcus_x, mcus_y):
+    """T.81 Annex G progressive scan decoding into RAW (unquantized)
+    zigzag coefficients.  DC scans may be interleaved (MCU order, padded
+    block grid); AC scans are always single-component over the
+    component's own ceil(dim/8) block raster (no MCU padding)."""
+    coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
+            for c in comps]
+    nblocks = []
+    for (_, hi, vi, _) in comps:
+        cw = (w * hi + hmax - 1) // hmax
+        chh = (h * vi + vmax - 1) // vmax
+        nblocks.append(((chh + 7) // 8, (cw + 7) // 8))
+
+    for (sc, Ss, Se, Ah, Al, segs, ri) in scans:
+        br = _BitReader(segs[0])
+        seg_i, unit_in_seg = 0, 0
+        eobrun = 0
+        pred = [0] * len(comps)
+
+        def _restart():
+            nonlocal br, seg_i, eobrun, pred
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+            pred = [0] * len(comps)
+
+        if Ss == 0:                            # DC scan
+            if len(sc) > 1 or len(comps) == 1:
+                units = []                     # interleaved MCU order
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        blocks = []
+                        for (ci, dlut, _) in sc:
+                            _, hi, vi, _ = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    blocks.append((ci, my * vi + by,
+                                                   mx * hi + bx, dlut))
+                        units.append(blocks)
+            else:                              # single-comp, own raster
+                ci, dlut, _ = sc[0]
+                by_n, bx_n = nblocks[ci]
+                units = [[(ci, by, bx, dlut)]
+                         for by in range(by_n) for bx in range(bx_n)]
+            for ui, blocks in enumerate(units):
+                if ri and ui and ui % ri == 0:
+                    _restart()
+                for (ci, by, bx, dlut) in blocks:
+                    blk = coef[ci][by, bx]
+                    if Ah == 0:
+                        sym, ln = dlut
+                        sbits = br.read_sym(sym, ln)
+                        if sbits:
+                            pred[ci] += _extend(br.receive(sbits), sbits)
+                        blk[0] = pred[ci] << Al
+                    else:                      # DC refinement: 1 raw bit
+                        if br.receive(1):
+                            blk[0] |= 1 << Al
+            continue
+
+        # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan with >1 component")
+        ci, _, alut = sc[0]
+        asym, aln = alut
+        by_n, bx_n = nblocks[ci]
+        p1, m1 = 1 << Al, -1 << Al
+        ui = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if ri and ui and ui % ri == 0:
+                    _restart()
+                ui += 1
+                blk = coef[ci][by, bx]
+                if Ah == 0:                    # first pass for this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = Ss
+                    while k <= Se:
+                        rs = br.read_sym(asym, aln)
+                        r, sbits = rs >> 4, rs & 15
+                        if sbits == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 16            # ZRL
+                            continue
+                        k += r
+                        if k > Se:
+                            raise ValueError("AC run past band end")
+                        blk[k] = _extend(br.receive(sbits), sbits) << Al
+                        k += 1
+                else:                          # refinement (G.7 / IJG)
+                    k = Ss
+                    if eobrun == 0:
+                        while k <= Se:
+                            rs = br.read_sym(asym, aln)
+                            r, sbits = rs >> 4, rs & 15
+                            newval = 0
+                            if sbits:
+                                # T.81 requires s == 1 in refinement
+                                newval = p1 if br.receive(1) else m1
+                            elif r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            while k <= Se:
+                                c = int(blk[k])
+                                if c != 0:
+                                    if br.receive(1) and (c & p1) == 0:
+                                        blk[k] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= Se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= Se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if br.receive(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    return coef
+
+
+def _reconstruct(coef, comps, h, w, hmax, vmax):
+    """Batched de-zigzag + IDCT + upsample + color convert (shared by the
+    baseline and progressive paths; ``coef`` is dequantized zigzag)."""
     planes = []
     for ci, (_, hi, vi, _) in enumerate(comps):
         z = coef[ci]                                     # (BY, BX, 64) zz
@@ -432,9 +613,19 @@ def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder for fixtures: 8-bit gray or RGB, Annex K
-    tables (quality-scaled), ``subsampling`` in {"4:4:4", "4:2:0"}."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF encoder for fixtures: 8-bit gray or RGB, Annex K tables
+    (quality-scaled), ``subsampling`` in {"4:4:4", "4:2:0"}.
+
+    ``progressive=True`` writes SOF2 with a 5-phase scan script — DC
+    first (Al=1, interleaved), per-component AC 1-63 first (Al=2), AC
+    refinements (2→1, 1→0), DC refinement — exercising spectral
+    selection, successive approximation AND the refinement correction-
+    bit protocol.  The quantized coefficients are IDENTICAL to the
+    baseline path's, so baseline and progressive encodings of the same
+    image must decode pixel-identically (the round-trip test's anchor).
+    Restart intervals are baseline-only here."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -491,8 +682,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for tq, tbl in enumerate(q_zz):                     # DQT
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
             + bytes(int(v) for v in tbl)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
-                                     len(comps))        # SOF0
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                      len(comps))                       # SOF0 / SOF2
     for (cid, hi, vi, tq, _, _) in comps:
         out += bytes([cid, (hi << 4) | vi, tq])
     tables = [(_DC_LUMA, 0x00), (_AC_LUMA, 0x10)]       # DHT
@@ -501,6 +693,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for (bits, values), tc_th in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
             + bytes([tc_th]) + bytes(bits[1:]) + bytes(values)
+    if progressive:
+        _write_progressive_scans(out, comps, coefs, dc_codes, ac_codes,
+                                 mcus_x, mcus_y, h, w, hmax, vmax)
+        out += b"\xff\xd9"                              # EOI
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
@@ -555,3 +752,202 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     out += bw.buf
     out += b"\xff\xd9"                                  # EOI
     return bytes(out)
+
+
+# Progressive-scan AC table: the Annex K example tables lack the EOBn
+# (r<<4|0, r>0) symbols progressive end-of-band RUNS need, so fixture
+# encodes use one flat canonical table carrying every symbol the
+# progressive writer can emit — s=0: EOB0..EOB14 + ZRL; s=1..10 x
+# r=0..15 — all at 8 bits (176 x 2^-8 < 1: a valid, incomplete code).
+_AC_PROG_SYMS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_PROG = ([0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 8, _AC_PROG_SYMS)
+
+
+def _sos(comps, members, tbl_ids, Ss, Se, Ah, Al) -> bytes:
+    """SOS header for a progressive scan; ``members`` are component
+    indices, ``tbl_ids`` the (dc_id, ac_id) per member."""
+    b = bytearray(b"\xff\xda")
+    b += struct.pack(">HB", 6 + 2 * len(members), len(members))
+    for ci, (dc_id, ac_id) in zip(members, tbl_ids):
+        b += bytes([comps[ci][0], (dc_id << 4) | ac_id])
+    b += bytes([Ss, Se, (Ah << 4) | Al])
+    return bytes(b)
+
+
+def _write_progressive_scans(out, comps, coefs, dc_codes, ac_codes,
+                             mcus_x, mcus_y, h, w, hmax, vmax) -> None:
+    ncomp = len(comps)
+    allc = list(range(ncomp))
+    # redefine the AC tables (same ids) with the EOBn-capable flat table;
+    # DHT between scans is legal and the decoder resolves LUTs per SOS
+    n_ac = len({comps[ci][5] for ci in allc})
+    for ac_id in range(n_ac):
+        out += b"\xff\xc4" \
+            + struct.pack(">H", 19 + len(_AC_PROG[1])) \
+            + bytes([0x10 | ac_id]) + bytes(_AC_PROG[0][1:]) \
+            + bytes(_AC_PROG[1])
+    acp = _encode_table(*_AC_PROG)
+    # true per-component block rasters (non-interleaved AC scans never
+    # cover the MCU sampling padding)
+    nblocks = []
+    for (_, hi, vi, _, _, _) in comps:
+        cw = (w * hi + hmax - 1) // hmax
+        chh = (h * vi + vmax - 1) // vmax
+        nblocks.append(((chh + 7) // 8, (cw + 7) // 8))
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, hi, vi, _, _, _) in enumerate(comps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, coefs[ci][my * vi + by, mx * hi + bx]
+
+    # --- scan 1: DC first, Al=1, all components interleaved -----------
+    out += _sos(comps, allc, [(comps[ci][4], 0) for ci in allc], 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for ci, zz in mcu_blocks():
+        dc = int(zz[0]) >> 1                    # DC point transform: >> Al
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        sbits = int(abs(diff)).bit_length()
+        bw.write(*dc_codes[comps[ci][4]][sbits])
+        if sbits:
+            bw.write(diff if diff > 0 else diff + (1 << sbits) - 1, sbits)
+    bw.pad_to_byte()
+    out += bw.buf
+
+    # --- scans 2..: per-component AC first (band 1-63, Al=2) ----------
+    for ci in allc:
+        act = acp
+        out += _sos(comps, [ci], [(0, comps[ci][5])], 1, 63, 0, 2)
+        bw = _BitWriter()
+        by_n, bx_n = nblocks[ci]
+        eob_run = 0
+
+        def _flush_eob_first():
+            nonlocal eob_run
+            while eob_run:
+                r = min(14, eob_run.bit_length() - 1)
+                covered = min(eob_run, (1 << r) + ((1 << r) - 1))
+                bw.write(*act[r << 4])
+                if r:
+                    bw.write(covered - (1 << r), r)
+                eob_run -= covered
+
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = coefs[ci][by, bx]
+                run = 0
+                last = 0
+                tv = [0] * 64
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = abs(v) >> 2
+                    tv[k] = t if v >= 0 else -t
+                    if tv[k]:
+                        last = k
+                if last == 0:                   # all-zero band → EOB run
+                    eob_run += 1
+                    continue
+                _flush_eob_first()
+                for k in range(1, last + 1):
+                    t = tv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*act[0xF0])
+                        run -= 16
+                    sbits = abs(t).bit_length()
+                    bw.write(*act[(run << 4) | sbits])
+                    bw.write(t if t > 0 else t + (1 << sbits) - 1, sbits)
+                    run = 0
+                if last < 63:
+                    eob_run += 1                # EOB starts/extends a run
+        _flush_eob_first()
+        bw.pad_to_byte()
+        out += bw.buf
+
+    # --- AC refinements: Ah=2→Al=1, then Ah=1→Al=0 --------------------
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in allc:
+            act = acp
+            out += _sos(comps, [ci], [(0, comps[ci][5])], 1, 63, ah, al)
+            bw = _BitWriter()
+            by_n, bx_n = nblocks[ci]
+            eob_run = 0
+            run_pending: list[list[int]] = []   # per run-member block
+
+            def _flush_eob_refine():
+                nonlocal eob_run
+                i = 0
+                while eob_run:
+                    r = min(14, eob_run.bit_length() - 1)
+                    covered = min(eob_run, (1 << r) + ((1 << r) - 1))
+                    bw.write(*act[r << 4])
+                    if r:
+                        bw.write(covered - (1 << r), r)
+                    for blk_bits in run_pending[i:i + covered]:
+                        for bit in blk_bits:
+                            bw.write(bit, 1)
+                    i += covered
+                    eob_run -= covered
+                run_pending.clear()
+
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    zz = coefs[ci][by, bx]
+                    av = [abs(int(zz[k])) >> al for k in range(64)]
+                    eobpos = 0
+                    for k in range(1, 64):
+                        if av[k] == 1:          # newly significant here
+                            eobpos = k
+                    if eobpos == 0:
+                        # no newly-significant coeffs: the whole band is
+                        # one EOB-run member; its history correction bits
+                        # ride behind the (future) EOBn symbol
+                        eob_run += 1
+                        run_pending.append(
+                            [av[k] & 1 for k in range(1, 64) if av[k] > 1])
+                        continue
+                    _flush_eob_refine()
+                    run = 0
+                    pending: list[int] = []
+                    for k in range(1, 64):
+                        t = av[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eobpos:
+                            bw.write(*act[0xF0])
+                            for bit in pending:
+                                bw.write(bit, 1)
+                            pending = []
+                            run -= 16
+                        if t > 1:               # history: correction bit
+                            pending.append(t & 1)
+                            continue
+                        bw.write(*act[(run << 4) | 1])
+                        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        # trailing zeros/history fold into an EOB run
+                        eob_run += 1
+                        run_pending.append(pending)
+            _flush_eob_refine()
+            bw.pad_to_byte()
+            out += bw.buf
+
+    # --- final scan: DC refinement (Al=0), interleaved ----------------
+    out += _sos(comps, allc, [(comps[ci][4], 0) for ci in allc], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.pad_to_byte()
+    out += bw.buf

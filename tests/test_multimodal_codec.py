@@ -152,11 +152,11 @@ def test_jpeg_restart_intervals_identical_pixels():
 
 def test_jpeg_unsupported_modes_raise():
     from search_ingest_ray.functions.jpegcodec import decode_jpeg
-    prog = (b"\xff\xd8\xff\xc2"
-            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
-            + b"\xff\xd9")
+    lossless = (b"\xff\xd8\xff\xc3"      # SOF3 (lossless) — still honest
+                + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+                + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")    # no frame/scan
 
@@ -329,3 +329,44 @@ def test_frame_sample_animated_gif(ray_session):
     assert out["frame"].tolist() == [0, 2, 4]
     for row, fr in zip(out.itertuples(), (0, 2, 4)):
         assert np.allclose(row.feature, image_features(composited[fr]))
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    """Progressive (SOF2) and baseline encodings share the exact same
+    quantized coefficients, so decoding both MUST give identical pixels
+    — this anchors the whole successive-approximation protocol (DC/AC
+    first + refinement scans, correction bits, EOB runs) on both the
+    encoder and decoder sides."""
+    import numpy as np
+
+    from search_ingest_ray.functions.jpegcodec import (decode_jpeg,
+                                                       encode_jpeg)
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.full((24, 16), 77, np.uint8), 90, {}),
+        (rng.integers(0, 256, (17, 23)).astype(np.uint8), 90, {}),
+        (rng.integers(0, 256, (33, 29, 3)).astype(np.uint8), 90,
+         {"subsampling": "4:4:4"}),
+        (rng.integers(0, 256, (40, 56, 3)).astype(np.uint8), 90,
+         {"subsampling": "4:2:0"}),
+        # low quality → sparse bands → multi-block EOB runs
+        (np.full((64, 64), 128, np.uint8), 10, {}),
+        ((rng.integers(0, 3, (64, 96, 3)) * 2 + 120).astype(np.uint8), 20,
+         {"subsampling": "4:2:0"}),
+    ]
+    for img, q, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True,
+                                       **kw))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_through_decode_image():
+    import numpy as np
+
+    from search_ingest_ray.functions.imagecodec import decode_image
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    img = np.full((16, 16), 200, np.uint8)
+    px = decode_image(encode_jpeg(img, quality=75, progressive=True))
+    assert px.shape == (16, 16, 1)
+    assert int(px[0, 0, 0]) == 200   # the q=75 exact-identity anchor
