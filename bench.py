@@ -71,7 +71,9 @@ def bench_build(ncpu: int) -> dict:
     t0 = time.monotonic()
     manifest = build_index(
         CORPUS_DIR, index_root, html_col="html", analyzer="standard",
-        chunk_files=32, batch_size=2048,
+        chunk_files=NUM_FILES, batch_size=2048,  # one chunk: benches never
+        # resume, and each extra chunk costs ~1.1 s of fixed per-execution
+        # overhead that lands on BOTH scaling legs (deflating efficiency)
         hot_df_threshold=max(10_000, BENCH_DOCS // 10), hot_salt=8)
     build_s = time.monotonic() - t0
     st = manifest["stats"]

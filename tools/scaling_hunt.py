@@ -42,7 +42,10 @@ def qualifies(trial: dict) -> str | None:
     """Two documented acceptance paths (BASELINE.md "Scaling addendum"):
 
     - "strict": an unthrottled window — lo leg at the known full-speed
-      rate, full co-measured CPU grants.
+      rate, full co-measured CPU grants.  (Trial legs moved 240k→480k
+      docs on 2026-08-19: the ~3.2 s fixed per-build overhead caps a
+      240k pair's best possible efficiency at ~0.86 — doubling the legs
+      halves the fixed-cost share.)
     - "stable": a degraded-but-STABLE window — memory bandwidth within
       10% before/after the pair and full CPU grants.  The round-2 false
       positive was an ASYMMETRIC window (lo throttled, hi free → eff
@@ -188,7 +191,7 @@ def main() -> int:
         try:
             env = dict(os.environ, SCALE_LO="1", SCALE_HI="4",
                        BENCH_DOCS=os.environ.get("HUNT_TRIAL_DOCS",
-                                                 "240000"), SCALE_TRIALS="1",
+                                                 "480000"), SCALE_TRIALS="1",
                        SCALE_ABORT_LO_BELOW=os.environ.get(
                            "HUNT_ABORT_LO", "420"))
             out = subprocess.run(
