@@ -53,7 +53,8 @@ def qualifies(trial: dict) -> str | None:
       4x on the shared bus, so eff is biased DOWN — clearing 0.78 there
       is conservative evidence, not inflation.
     """
-    if not (0.78 <= trial.get("eff", 0.0) <= 1.02
+    min_eff = float(os.environ.get("HUNT_MIN_EFF", "0.78"))
+    if not (min_eff <= trial.get("eff", 0.0) <= 1.02
             and trial.get("host_ceiling_lo_x", 0) >= 0.9
             and trial.get("host_ceiling_hi_x", 0) >= 3.6):
         return None
