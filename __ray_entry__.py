@@ -1221,6 +1221,40 @@ def q_range_price(sf_dir: str):
     return out.select_columns(["p_partkey", "band_id"])
 
 
+def q_interval_orders(sf_dir: str):
+    """Distributed interval join — the LARGE-interval-side scale path
+    range_join_broadcast's docstring promises (relational.py
+    interval_join): every order joins every OVERLAPPING price interval
+    containing its total price.  Intervals are derived from the part
+    table by exact int64 arithmetic (spread over the o_totalprice
+    domain, varying widths) so the SQL oracle reproduces the float64
+    boundaries bit-for-bit.  Shape: intervals replicate to the bins
+    they overlap, points go to their one bin, both sides hash-partition
+    on the bin (one exchange each) and each partition resolves
+    containment with blockwise boolean broadcasting guarded by bin
+    equality — no distinct pass, no driver-side state."""
+    import ray.data as rd
+    from search_ingest_ray.functions.relational import interval_join
+
+    def _iv_make(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        k = k[(k % 50) == 0]
+        lo = ((k * 7919) % 490000).astype(np.float64)
+        hi = lo + (100 + (k * 131) % 2000).astype(np.float64)
+        return pa.table({"iid": pa.array(k, pa.int64()),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice"])
+    ivs = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey"]) \
+            .map_batches(_iv_make, batch_format="pyarrow")
+    return interval_join(orders, ivs, value_col="o_totalprice",
+                         lo_col="lo", hi_col="hi",
+                         point_cols=["o_orderkey"], interval_cols=["iid"],
+                         bin_width=1024.0, num_partitions=32)
+
+
 def q_window_events(sf_dir: str):
     """Tumbling-window aggregate over the event stream: daily
     (window_start, event_type) event counts and micro-unit value sums;
@@ -1841,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore": q_rescore,
         "asof_orders": q_asof_orders,
         "range_price": q_range_price,
+        "interval_orders": q_interval_orders,
         "window_events": q_window_events,
         "window_sliding": q_window_sliding,
         "sessions": q_sessions,
@@ -3234,6 +3269,16 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
             SELECT p.p_partkey, cast(b.band_id AS bigint) AS band_id
             FROM part p JOIN bands b
               ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi""",
+        "interval_orders": """
+            WITH iv AS (
+              SELECT p_partkey AS iid,
+                     CAST((p_partkey * 7919) % 490000 AS DOUBLE) AS lo,
+                     CAST((p_partkey * 7919) % 490000
+                          + 100 + (p_partkey * 131) % 2000 AS DOUBLE) AS hi
+              FROM part WHERE p_partkey % 50 = 0)
+            SELECT o.o_orderkey, iv.iid
+            FROM orders o JOIN iv
+              ON o.o_totalprice >= iv.lo AND o.o_totalprice < iv.hi""",
         "window_events": """
             SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_us,
                    event_type,

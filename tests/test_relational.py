@@ -186,3 +186,69 @@ def test_windows_skip_null_timestamps(ray_session):
     s = session_windows(rd.from_arrow(t), user_col="user", ts_col="ts",
                         gap_us=10_000_000).take_all()
     assert sorted((r["user"], r["n_events"]) for r in s) == [(1, 1), (2, 2)]
+
+
+# -- distributed interval join -------------------------------------------------
+
+def _brute_pairs(pts, ivs):
+    """(pid, iid) reference pairs: lo <= v < hi, nulls never match."""
+    out = []
+    for pid, v in pts:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        for iid, lo, hi in ivs:
+            if lo is None or hi is None or hi <= lo:
+                continue
+            if lo <= v < hi:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+def test_interval_join_overlapping_matches_bruteforce(ray_session):
+    """Overlapping intervals, boundary inclusion/exclusion, null values,
+    empty intervals, and intervals spanning many bins all agree with the
+    nested-loop reference — across bin widths (replication geometry) and
+    partition counts (bin → partition collisions)."""
+    from search_ingest_ray.functions.relational import interval_join
+    rng = np.random.default_rng(11)
+    pts = [(i, float(rng.uniform(0, 100))) for i in range(80)]
+    pts += [(100, None), (101, 0.0), (102, 50.0)]
+    ivs = []
+    for j in range(25):
+        lo = float(rng.uniform(0, 95))
+        ivs.append((j, lo, lo + float(rng.uniform(0.5, 30))))
+    ivs += [(90, 50.0, 50.0),          # empty: matches nothing
+            (91, 0.0, 100.0),          # giant: spans every bin
+            (92, 50.0, 50.0 + 1e-9)]   # sliver containing exactly v=50.0
+    want = _brute_pairs(pts, ivs)
+    p_tbl = pa.table({"pid": pa.array([p[0] for p in pts], pa.int64()),
+                      "v": pa.array([p[1] for p in pts], pa.float64())})
+    i_tbl = pa.table({"iid": pa.array([i[0] for i in ivs], pa.int64()),
+                      "lo": pa.array([i[1] for i in ivs], pa.float64()),
+                      "hi": pa.array([i[2] for i in ivs], pa.float64())})
+    for bw, nparts in ((2.0, 8), (17.3, 4), (None, 16)):
+        out = interval_join(_ds(p_tbl), _ds(i_tbl), value_col="v",
+                            lo_col="lo", hi_col="hi", point_cols=["pid"],
+                            interval_cols=["iid"], bin_width=bw,
+                            num_partitions=nparts).take_all()
+        got = sorted((r["pid"], r["iid"]) for r in out)
+        assert got == want, (bw, nparts)
+
+
+def test_interval_join_agrees_with_broadcast_on_disjoint_bands(ray_session):
+    from search_ingest_ray.functions.relational import interval_join
+    bands = [(0, 0.0, 10.0), (1, 10.0, 20.0), (2, 25.0, 40.0)]
+    tbl = pa.table({"pid": pa.array(list(range(9)), pa.int64()),
+                    "v": pa.array([0.0, 5.0, 9.999, 10.0, 19.0, 22.0,
+                                   25.0, 39.999, 40.0], pa.float64())})
+    bc = range_join_broadcast(_ds(tbl), bands, value_col="v",
+                              out_col="iid").take_all()
+    i_tbl = pa.table({"iid": pa.array([b[0] for b in bands], pa.int64()),
+                      "lo": pa.array([b[1] for b in bands], pa.float64()),
+                      "hi": pa.array([b[2] for b in bands], pa.float64())})
+    ij = interval_join(_ds(tbl), _ds(i_tbl), value_col="v", lo_col="lo",
+                       hi_col="hi", point_cols=["pid"],
+                       interval_cols=["iid"], bin_width=7.0,
+                       num_partitions=4).take_all()
+    assert sorted((r["pid"], r["iid"]) for r in bc) == \
+        sorted((r["pid"], r["iid"]) for r in ij)
