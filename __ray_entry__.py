@@ -1117,6 +1117,44 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash-gated Bernoulli sample (25%): pure filter
+    stage, zero shuffle, identical keep-set across runs / shards /
+    resumes (functions/sampling.py hash_sample)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sampling import hash_sample
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    return hash_sample(ds, 250_000, key_col="doc_id", salt="s4")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exact per-language quota sample (uniform without replacement,
+    hash-ordered): one stratum-keyed exchange, vectorized per-partition
+    rank (functions/sampling.py stratified_quota)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sampling import stratified_quota
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    return stratified_quota(ds, {"en": 60, "de": 25, "zh": 100_000},
+                            strata_col="lang", key_col="doc_id", salt="q4")
+
+
+def q_mixture_mix(sf_dir: str):
+    """GPT-3/Pile-style fractional epoch mixing: lang-weighted
+    repetition (en×1.7, de×2, fr×0.4, rest dropped) as a deterministic
+    flat-map — expected multiplicity exactly the weight, zero shuffle
+    (functions/sampling.py mixture_repeat)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sampling import mixture_repeat
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    out = mixture_repeat(ds, {"en": 1_700_000, "de": 2_000_000,
+                              "fr": 400_000},
+                         strata_col="lang", key_col="doc_id", salt="m4")
+    return out.select_columns(["doc_id", "copy"])
+
+
 def q_events_fold(sf_dir: str):
     import ray.data as rd
     from search_ingest_ray.stages.fold import fold_last_write_wins
@@ -1810,6 +1848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "sample_docs": q_sample_docs,
+        "stratified_sample": q_stratified_sample,
+        "mixture_mix": q_mixture_mix,
         "events_fold": q_events_fold,
         "events_fold_tombstone": q_events_fold_tombstone,
         "events_fold_partial": q_events_fold_partial,
@@ -3231,6 +3272,32 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower('s4' || CAST(doc_id AS VARCHAR))
+                  % 1000000 < 250000""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IN ('en', 'de', 'zh')
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY
+                md5_number_lower('q4' || CAST(doc_id AS VARCHAR)) % 1000000,
+                doc_id)
+              <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
+                           ELSE 100000 END""",
+        "mixture_mix": """
+            WITH r AS (
+              SELECT doc_id,
+                     CASE lang WHEN 'en' THEN 1700000
+                               WHEN 'de' THEN 2000000
+                               WHEN 'fr' THEN 400000 ELSE 0 END AS w,
+                     md5_number_lower('m4' || CAST(doc_id AS VARCHAR))
+                       % 1000000 AS gate
+              FROM documents)
+            SELECT doc_id,
+                   unnest(range(w // 1000000
+                                + CAST(gate < w % 1000000 AS BIGINT)))
+              AS copy
+            FROM r""",
         "events_fold": """
             SELECT user_id, event_type AS last_type, value AS last_value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
