@@ -1800,6 +1800,53 @@ def q_gif_features(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def q_video_features(sf_dir: str):
+    """REAL video decode, SQL-oracled end to end: each doc gets an MJPEG
+    AVI (RIFF container walk + numpy JPEG decode, avicodec.py) of four
+    solid-gray q75 frames — gray_k = 40+((id+3k)%13)·16 rides the JPEG
+    exactness anchor, so every sampled frame's mean luminance is
+    analytically exact; doc_id%5==0 frames carry restart markers.
+    FrameSampleStage(frames=3) picks frames [0, 1, 3] of 4
+    (unique(linspace(0,3,3)→int)), which DuckDB reproduces with a VALUES
+    list.  A wrong byte in the RIFF walk, chunk padding, or any frame's
+    Huffman/IDCT breaks the per-frame grays."""
+    from search_ingest_ray.functions.avicodec import encode_avi_mjpeg
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.multimodal import FrameSampleStage
+
+    def to_avi(t: pa.Table) -> pa.Table:
+        vids = []
+        for i in t["doc_id"].to_pylist():
+            i = int(i)
+            w = 8 + (i % 3) * 8
+            h = 8 + ((i // 3) % 2) * 8
+            frames = [encode_jpeg(
+                np.full((h, w), 40 + ((i + 3 * k) % 13) * 16, np.uint8),
+                quality=75, restart_interval=1 if i % 5 == 0 else 0)
+                for k in range(4)]
+            vids.append(encode_avi_mjpeg(frames, width=w, height=h))
+        return pa.table({"media_id": t["doc_id"].cast(pa.string()),
+                         "data": pa.array(vids, pa.binary())})
+
+    ds = (_docs(sf_dir).map_batches(to_avi, batch_format="pyarrow")
+          .map_batches(FrameSampleStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=_pool(2),
+                       fn_constructor_kwargs={"frames": 3, "strict": True}))
+
+    def extract(t: pa.Table) -> pa.Table:
+        feats = np.asarray(t["feature"].combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(-1, 12)
+        return pa.table({
+            "doc_id": t["media_id"].cast(pa.int64()),
+            "frame": t["frame"].cast(pa.int64()),
+            "decoded": t["decoded"],
+            "gray": pa.array(np.round(feats[:, 0] * 255).astype(np.int64)),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 def q_webpage_build(sf_dir: str):
     """F0 corpus: extract html→text (byte-identity) + index build smoke on
     a small deterministic synthetic corpus (rows-only; the real assertions
@@ -1946,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "jpeg_features": q_jpeg_features,
         "gif_features": q_gif_features,
+        "video_features": q_video_features,
         "webpage_build": q_webpage_build,
     }
 
@@ -2691,6 +2739,13 @@ SELECT
                    cast(CASE WHEN a // 32 < b // 32 THEN n - k ELSE k END
                         AS bigint) AS cnt_hi
             FROM t ORDER BY doc_id""",
+        "video_features": """
+            SELECT doc_id, f.frame,
+                   true AS decoded,
+                   cast(40 + ((doc_id + 3 * f.frame) % 13) * 16 AS bigint)
+                     AS gray
+            FROM documents, (VALUES (CAST(0 AS BIGINT)), (1), (3)) f(frame)
+            ORDER BY doc_id, f.frame""",
         "index_stats": f"""
             SELECT
               cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,

@@ -225,7 +225,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "geo_polygon", "geo_shape", "exists", "gif_features",
                  "gopher_rules", "span_dedup", "pii_scrub", "langid",
                  "ann_ivf", "window_sliding", "interval_orders",
-                 "sample_docs", "stratified_sample", "mixture_mix"]:
+                 "sample_docs", "stratified_sample", "mixture_mix",
+                 "video_features"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -207,6 +207,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gifcodec import decode_gif     # pure-numpy LZW
         return decode_gif(data)
     if data.startswith(b"RIFF"):
+        if data[8:12] == b"AVI ":
+            raise ValueError(
+                "AVI is a video container — use FrameSampleStage "
+                "(avicodec decodes MJPEG frames)")
         raise NotImplementedError("WebP codec not available")
     raise ValueError("unrecognized image format")
 

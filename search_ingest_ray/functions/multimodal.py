@@ -166,12 +166,14 @@ class FrameSampleStage:
     """Actor-pool stage: sample N frames per video binary (one output row
     per sampled frame — a flat_map-shaped explosion).
 
-    A concatenated-PNG clip (our deterministic stdlib-expressible video
-    container: PNG frames back-to-back) and an ANIMATED GIF (composited
-    via :mod:`.gifcodec`) both decode FOR REAL — frames are sampled
-    evenly and featurized from actual pixels.  Real codecs (MP4/WebM)
-    need ffmpeg, absent here: those rows emit ``decoded=False``
-    content-hash frame features (or raise when ``strict=True``)."""
+    MJPEG AVI (real RIFF container walk + numpy JPEG decode of each
+    frame, :mod:`.avicodec`), a concatenated-PNG clip (our deterministic
+    stdlib-expressible fallback container: PNG frames back-to-back) and
+    an ANIMATED GIF (composited via :mod:`.gifcodec`) all decode FOR
+    REAL — frames are sampled evenly and featurized from actual pixels.
+    Codecs that need real libraries (MP4/WebM → H.264/VP9) are absent
+    here: those rows emit ``decoded=False`` content-hash frame features
+    (or raise when ``strict=True``)."""
 
     def __init__(self, data_col: str = "data", id_col: str = "media_id",
                  frames: int = 4, strict: bool = False):
@@ -181,11 +183,13 @@ class FrameSampleStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .avicodec import is_avi
         mid_out, frame_out, dec_out, feat_out = [], [], [], []
         for mid, data in zip(batch[self.id_col].to_pylist(),
                              batch[self.data_col].to_pylist()):
             data = data or b""
-            if data.startswith((_PNG_MAGIC, b"GIF87a", b"GIF89a")):
+            if data.startswith((_PNG_MAGIC, b"GIF87a", b"GIF89a")) \
+                    or is_avi(data):
                 # A corrupt/truncated payload behind a valid magic must
                 # degrade to decoded=False rows when strict=False (same
                 # contract as ImageFeatureStage/AudioFeatureStage), not
@@ -194,6 +198,10 @@ class FrameSampleStage:
                     if data.startswith(_PNG_MAGIC):
                         clip = _split_png_stream(data)
                         dec = decode_png
+                    elif is_avi(data):
+                        from .avicodec import decode_avi_frames
+                        clip = decode_avi_frames(data)
+                        dec = lambda px: px  # noqa: E731 — already pixels
                     else:
                         from .gifcodec import decode_gif_frames
                         clip = decode_gif_frames(data)

@@ -370,3 +370,79 @@ def test_jpeg_progressive_through_decode_image():
     px = decode_image(encode_jpeg(img, quality=75, progressive=True))
     assert px.shape == (16, 16, 1)
     assert int(px[0, 0, 0]) == 200   # the q=75 exact-identity anchor
+
+
+# -- MJPEG AVI video -----------------------------------------------------------
+
+def test_avi_mjpeg_roundtrip_exact():
+    """Container round trip: frame payloads come back byte-identical
+    (odd-length JPEGs exercise even-byte chunk padding), and decoded
+    pixels hit the q75 solid-gray exactness anchor per frame."""
+    from search_ingest_ray.functions.avicodec import (avi_frames,
+                                                      decode_avi_frames,
+                                                      encode_avi_mjpeg)
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    frames = [encode_jpeg(np.full((16, 24), 40 + 16 * k, np.uint8),
+                          quality=75, restart_interval=k % 2)
+              for k in range(5)]
+    if all(len(f) % 2 == 0 for f in frames):
+        # force the even-byte chunk-padding path: bytes after EOI are
+        # legal JPEG trailer content the decoder must ignore
+        frames[2] += b"\x00"
+    assert any(len(f) % 2 for f in frames)  # padding path exercised
+    avi = encode_avi_mjpeg(frames, width=24, height=16, fps=5)
+    assert avi_frames(avi) == frames
+    for k, px in enumerate(decode_avi_frames(avi)):
+        assert px.shape == (16, 24, 1)
+        assert np.all(px == 40 + 16 * k)
+
+
+def test_avi_truncation_recovers_leading_frames():
+    from search_ingest_ray.functions.avicodec import (avi_frames,
+                                                      encode_avi_mjpeg)
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    frames = [encode_jpeg(np.full((8, 8), 40 + 16 * k, np.uint8),
+                          quality=75) for k in range(4)]
+    avi = encode_avi_mjpeg(frames, width=8, height=8)
+    seen = set()
+    for cut in range(12, len(avi)):
+        got = avi_frames(avi[:cut])
+        assert got == frames[:len(got)]     # never a torn frame
+        seen.add(len(got))
+    assert seen == {0, 1, 2, 3, 4}          # every prefix length reachable
+
+
+def test_decode_image_riff_disambiguation():
+    from search_ingest_ray.functions.avicodec import encode_avi_mjpeg
+    from search_ingest_ray.functions.imagecodec import decode_image
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(np.full((8, 8), 72, np.uint8), quality=75)],
+        width=8, height=8)
+    with pytest.raises(ValueError, match="video container"):
+        decode_image(avi)                   # AVI is not a still image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_frame_sample_avi(ray_session):
+    import ray.data as rd
+    from search_ingest_ray.functions.avicodec import encode_avi_mjpeg
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    frames = [encode_jpeg(np.full((8, 16), 40 + 16 * k, np.uint8),
+                          quality=75) for k in range(4)]
+    avi = encode_avi_mjpeg(frames, width=16, height=8)
+    corrupt = avi[:40]  # valid RIFF/AVI magic, torn header
+    ds = rd.from_items([{"media_id": "v", "data": avi},
+                        {"media_id": "bad", "data": corrupt}])
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"frames": 3}).to_pandas()
+    good = out[out.media_id == "v"]
+    assert good["decoded"].all()
+    assert good["frame"].tolist() == [0, 1, 3]
+    grays = [round(f[0] * 255) for f in good["feature"]]
+    assert grays == [40, 56, 88]
+    bad = out[out.media_id == "bad"]
+    # torn AVI (0 recoverable frames) degrades to decoded=False rows
+    assert len(bad) == 3 and not bad["decoded"].any()
