@@ -1117,6 +1117,55 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_bpe_pairs(sf_dir: str):
+    """Adjacent-character pair frequencies over the corpus word vocab —
+    the statistics the first BPE merge maximizes and the SQL-exact
+    anchor of the BPE family (functions/bpe.py pair_counts: partial
+    word counts per batch, one small groupby, zero-copy bincount over
+    the Arrow string buffer).  Top-20 by (-n, left, right)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.bpe import pair_counts
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    # the pair table is ≤ 65k rows by construction: one tiny final sort
+    return (pair_counts(ds)
+            .sort(["n", "left", "right"], descending=[True, False, False])
+            .limit(20))
+
+
+def q_bpe_merges(sf_dir: str):
+    """First 30 BPE merges learned from the corpus (deterministic: ties
+    break on the lexicographically smallest pair).  Iterative argmax is
+    not SQL-expressible — rows-only; tests/test_bpe.py proves the
+    incremental trainer identical to a full-recount reference and the
+    first merge identical to the SQL pair argmax."""
+    from search_ingest_ray.functions.bpe import train_bpe
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    merges = train_bpe(ds, n_merges=30)
+    return pa.table({
+        "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+    })
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Per-doc BPE token counts under the 30-merge table — the
+    production encode path (BPEEncodeStage actor pool, per-actor
+    word→encoding cache).  Rows-only (deterministic; the encode rule is
+    pytest-proven equal to training-order replay)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.bpe import BPEEncodeStage, train_bpe
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=30)
+    return ds.map_batches(BPEEncodeStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=_pool(2),
+                          fn_constructor_kwargs={"merges": merges})
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic hash-gated Bernoulli sample (25%): pure filter
     stage, zero shuffle, identical keep-set across runs / shards /
@@ -1895,6 +1944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "mixture_mix": q_mixture_mix,
@@ -3327,6 +3379,19 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "bpe_pairs": f"""
+            WITH wc AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+              GROUP BY w),
+            px AS (
+              SELECT w, c, unnest(range(length(w) - 1)) AS i
+              FROM wc WHERE length(w) >= 2)
+            SELECT substr(w, CAST(i + 1 AS INT), 1) AS "left",
+                   substr(w, CAST(i + 2 AS INT), 1) AS "right",
+                   CAST(sum(c) AS BIGINT) AS n
+            FROM px GROUP BY 1, 2
+            ORDER BY n DESC, "left", "right" LIMIT 20""",
         "sample_docs": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower('s4' || CAST(doc_id AS VARCHAR))
