@@ -1117,6 +1117,18 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage quality signal: per-doc OOV fraction vs the
+    corpus top-20 vocabulary, exact integer ppm.  One distinct-word pass
+    + ray.put-broadcast vocab; zero corpus shuffle
+    (functions/textstats.py oov_rate)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.textstats import oov_rate
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return oov_rate(ds, vocab_k=20)
+
+
 def q_bpe_pairs(sf_dir: str):
     """Adjacent-character pair frequencies over the corpus word vocab —
     the statistics the first BPE merge maximizes and the SQL-exact
@@ -1944,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "oov_rate": q_oov_rate,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3379,6 +3392,24 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "oov_rate": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            top AS (
+              SELECT w FROM (SELECT w, count(*) AS cf FROM toks GROUP BY w
+                             ORDER BY cf DESC, w LIMIT 20)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN w NOT IN (SELECT w FROM top)
+                         THEN 1 ELSE 0 END) AS n_oov
+              FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                        THEN a.n_oov * 1000000 // a.n_tokens
+                        ELSE 0 END AS BIGINT) AS oov_ppm
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "bpe_pairs": f"""
             WITH wc AS (
               SELECT w, count(*) AS c

@@ -226,7 +226,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "gopher_rules", "span_dedup", "pii_scrub", "langid",
                  "ann_ivf", "window_sliding", "interval_orders",
                  "sample_docs", "stratified_sample", "mixture_mix",
-                 "video_features", "bpe_pairs", "bpe_tokenize"]:
+                 "video_features", "bpe_pairs", "bpe_tokenize",
+                 "oov_rate"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

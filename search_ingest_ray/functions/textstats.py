@@ -304,3 +304,50 @@ def weighted_partial_batch(batch: pa.Table, *, group_col: str,
     return (t.group_by(group_col)
              .aggregate([("w_sum", "sum"), ("wv_sum", "sum")])
              .rename_columns([group_col, "w_sum", "wv_sum"]))
+
+
+# -- out-of-vocabulary rate ----------------------------------------------------
+
+def oov_rate(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             vocab_k: int = 10_000):
+    """Rare-word-ratio quality signal (CCNet-style vocabulary coverage):
+    per doc, the fraction of tokens OUTSIDE the corpus's top-``vocab_k``
+    vocabulary by collection frequency (ties → term ascending), in exact
+    integer ppm — ``n_oov · 1e6 // n_tokens``.
+
+    Scale shape: one word-count pass (per-batch partial combine → small
+    groupby-sum → sort+limit over DISTINCT words only), then the K-term
+    vocabulary is broadcast via ``ray.put`` ONCE and every scoring batch
+    reads it from the local object store — no shuffle of the corpus
+    itself, same pattern as decontaminate's eval-set probe.  Exactly
+    SQL-oracled (integer arithmetic end to end)."""
+    import ray
+
+    from .bpe import word_counts
+
+    top = (word_counts(ds, text_col=text_col)
+           .sort(["c", "word"], descending=[True, False])
+           .limit(vocab_k).take_all())
+    vocab_ref = ray.put(frozenset(r["word"] for r in top))
+
+    class _Score:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vocab = self.vocab
+            ids = batch[id_col]
+            nt = np.empty(len(batch), dtype=np.int64)
+            no = np.empty(len(batch), dtype=np.int64)
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                toks = tokenize_simple(t or "")
+                nt[i] = len(toks)
+                no[i] = sum(1 for x in toks if x not in vocab)
+            ppm = np.where(nt > 0, no * 1_000_000 // np.maximum(nt, 1), 0)
+            return pa.table({id_col: ids,
+                             "n_tokens": pa.array(nt),
+                             "n_oov": pa.array(no),
+                             "oov_ppm": pa.array(ppm.astype(np.int64))})
+
+    return ds.map_batches(_Score, batch_format="pyarrow", batch_size=512,
+                          concurrency=2)
