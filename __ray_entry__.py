@@ -1617,6 +1617,20 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.35, nbits=2)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-partitioned semantic dedup): k-means coarse
+    quantizer → per-cluster blockwise cosine shadowing, lowest vec_id
+    survives (functions/similarity.py semantic_dedup).  Approximate by
+    design across cluster boundaries → rows-only; tests prove nlist=1
+    ≡ the global rule and cluster recovery on separated fixtures."""
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import semantic_dedup
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=0.35, nlist=8)
+    return out.select_columns(["vec_id"])
+
+
 # -- rows-only operators (no SQL equivalent; driver records row counts) ------
 
 
@@ -2053,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_features": q_image_features,

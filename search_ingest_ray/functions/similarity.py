@@ -502,3 +502,65 @@ def ann_lsh(ds, query_vecs, k: int = 10, nbits: int = 8, id_col: str = "vec_id",
         batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         functools.partial(_final_topk_group, k=k), batch_format="pyarrow")
+
+
+# -- SemDeDup-style semantic dedup (cluster-partitioned) -----------------------
+
+def _semdedup_partition(group: pa.Table, *, threshold: float, block: int,
+                        id_col: str, vec_col: str) -> pa.Table:
+    """Per-cluster shadowing dedup: sort by id, drop a row iff some
+    LOWER-id row in the same cluster has cosine ≥ threshold with it
+    (survival of the earlier row is irrelevant — one deterministic
+    pass, no chained-suppression ambiguity).  Blockwise grams keep live
+    memory ≤ block² floats regardless of cluster size."""
+    if group.num_rows == 0:
+        return group.drop_columns(["ivf_list"])
+    group = group.combine_chunks()
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    group = group.take(pa.array(order))
+    ids = ids[order]
+    m = _normalize(_as_matrix(group[vec_col]))
+    n = len(ids)
+    drop = np.zeros(n, dtype=bool)
+    for i0 in range(0, n, block):
+        mi = m[i0:i0 + block]
+        for j0 in range(0, i0 + len(mi), block):
+            sims = mi @ m[j0:j0 + block].T
+            mask = sims >= threshold
+            if j0 == i0:
+                # earlier rows only: strict lower triangle
+                mask &= np.tri(*sims.shape, k=-1, dtype=bool)
+            elif j0 > i0:
+                break
+            drop[i0:i0 + len(mi)] |= mask.any(axis=1)
+    return group.filter(pa.array(~drop)).drop_columns(["ivf_list"])
+
+
+def semantic_dedup(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", nlist: int = 16,
+                   sample: int = 4096, seed: int = 13, block: int = 1024):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a sampled spherical k-means coarse quantizer,
+    then deduplicate WITHIN each cluster by cosine threshold — the
+    cluster partition turns an O(N²) global gram into Σ O(|cluster|²)
+    local ones, and at scale each cluster is an independent partition
+    task (``ivf_list`` is the partition key; a hive-partitioned parquet
+    layout makes re-runs per-cluster resumable).
+
+    Keep rule (deterministic, documented deviation from the paper's
+    farthest-from-centroid tie-break): the LOWEST id among near-dups
+    survives — a row is dropped iff a lower-id row in its cluster is
+    ≥ threshold similar.  Approximate BY DESIGN across clusters: a
+    near-dup pair split by the quantizer is not seen (the paper accepts
+    the same trade; raise nlist accuracy with ``sample``/``iters``, or
+    catch stragglers with ``embedding_near_dup``'s multi-table LSH).
+
+    Returns the surviving rows with original columns."""
+    cents = ivf_fit(ds, nlist=nlist, sample=sample, vec_col=vec_col,
+                    seed=seed)
+    assigned = ivf_assign(ds, cents, vec_col=vec_col)
+    return assigned.groupby("ivf_list").map_groups(
+        functools.partial(_semdedup_partition, threshold=threshold,
+                          block=block, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow")

@@ -634,3 +634,68 @@ def test_fused_signal_scorer_matches_unfused_kernels(ray_session):
     assert fused["content_hash"].to_pylist() == ch["content_hash"].to_pylist()
     assert fused["is_bench"].to_pylist() == [int(i % 97 == 0) for i in ids]
     assert fused["contaminated"].to_pylist()[0] == 1  # self-overlap
+
+
+def _emb_tbl(vecs):
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float64())),
+    })
+
+
+def _shadow_keep(vecs, thr, groups=None):
+    """Reference shadowing rule: drop i iff some j<i (same group) has
+    cos >= thr."""
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    keep = []
+    for i in range(len(vecs)):
+        shadowed = any(sims[i, j] >= thr and
+                       (groups is None or groups[i] == groups[j])
+                       for j in range(i))
+        if not shadowed:
+            keep.append(i)
+    return keep
+
+
+def test_semantic_dedup_single_cluster_equals_global_rule(rd):
+    """nlist=1 puts everything in one cluster: the result must be the
+    global shadowing rule, at any block size."""
+    from search_ingest_ray.functions.similarity import semantic_dedup
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((25, 12))
+    vecs = np.vstack([base, base[:10] + 0.02 * rng.standard_normal((10, 12))])
+    want = _shadow_keep(vecs, 0.97)
+    assert 25 <= len(want) < len(vecs)   # fixture drops some, keeps base
+    for block in (4096, 4):
+        out = semantic_dedup(rd.from_arrow(_emb_tbl(vecs)), 0.97,
+                             nlist=1, block=block).to_pandas()
+        assert sorted(out.vec_id) == want, block
+
+
+def test_semantic_dedup_clustered_matches_per_cluster_rule(rd):
+    """Well-separated clusters: the quantizer must recover them, and the
+    result equals the shadowing rule applied per TRUE cluster."""
+    from search_ingest_ray.functions.similarity import (ivf_assign, ivf_fit,
+                                                        semantic_dedup)
+    rng = np.random.default_rng(33)
+    cents = np.eye(4, 16) * 10
+    groups = np.repeat(np.arange(4), 20)
+    vecs = cents[groups] + 0.3 * rng.standard_normal((80, 16))
+    # plant within-cluster dups
+    vecs[5] = vecs[0] + 0.001
+    vecs[25] = vecs[21] + 0.001
+    ds = rd.from_arrow(_emb_tbl(vecs))
+    fitted = ivf_fit(ds, nlist=4, sample=80)
+    assigned = {r["vec_id"]: r["ivf_list"] for r in
+                ivf_assign(ds, fitted).take_all()}
+    # quantizer recovered the true partition (cluster ids may permute)
+    for g in range(4):
+        ids = {assigned[i] for i in np.flatnonzero(groups == g)}
+        assert len(ids) == 1, g
+    thr = 0.995
+    want = _shadow_keep(vecs, thr, groups=groups)
+    out = semantic_dedup(ds, thr, nlist=4, sample=80).to_pandas()
+    assert sorted(out.vec_id) == want
+    assert 5 not in out.vec_id.values and 25 not in out.vec_id.values
+    assert set(out.columns) == {"vec_id", "embedding"}
