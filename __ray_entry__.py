@@ -1117,6 +1117,38 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_shard_plan(sf_dir: str):
+    """Deterministic shuffled shard layout — the training-data output
+    step: shard = md5_63(salt||doc_id) % 8, pos = rank within shard by
+    (hash, doc_id).  One exchange + per-shard vectorized sort
+    (functions/packing.py shard_plan); byte-identical across runs and
+    resumes, SQL-oracled via row_number."""
+    import ray.data as rd
+    from search_ingest_ray.functions.packing import shard_plan
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    out = shard_plan(ds, 8, key_col="doc_id", salt="s4")
+    return out.select_columns(["doc_id", "shard", "pos"])
+
+
+def q_pack_plan(sf_dir: str):
+    """Sequence packing into fixed 64-token training examples over the
+    deterministic shard shuffle (functions/packing.py pack_sequences).
+    The greedy per-shard scan is the semantics (inherently sequential;
+    O(blocks·log n) searchsorted, shards parallel) — not
+    SQL-expressible, rows-only; tests prove identity with a naive
+    reference over the DuckDB-derived hash order."""
+    import ray.data as rd
+    from search_ingest_ray.functions.packing import pack_sequences
+    from search_ingest_ray.functions.textstats import token_count_batch
+    ds = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+          .map_batches(token_count_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "n_tokens"]))
+    out = pack_sequences(ds, 64, nshards=4, salt="p4")
+    return out.select_columns(["doc_id", "shard", "block", "offset"])
+
+
 def q_oov_rate(sf_dir: str):
     """Vocabulary-coverage quality signal: per-doc OOV fraction vs the
     corpus top-20 vocabulary, exact integer ppm.  One distinct-word pass
@@ -1970,6 +2002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "shard_plan": q_shard_plan,
+        "pack_plan": q_pack_plan,
         "oov_rate": q_oov_rate,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
@@ -3407,6 +3441,16 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "shard_plan": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5_number_lower('s4' || CAST(doc_id AS VARCHAR))
+                       % 9223372036854775808 AS h
+              FROM documents)
+            SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM h""",
         "oov_rate": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
