@@ -1117,6 +1117,19 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_hll_card(sf_dir: str):
+    """Distributed HyperLogLog in EXACT integer arithmetic
+    (functions/sketch.py): constant-size exchange (≤256 register rows
+    per batch, one 256-group max) vs cardinality's full distinct
+    shuffle.  Raw estimate — every operation integer, so the DuckDB
+    oracle reproduces it bit-for-bit (hugeint + printf('%b') bitlen)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sketch import hll_cardinality
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return hll_cardinality(ds, key_col="doc_id", salt="hll")
+
+
 def q_shard_plan(sf_dir: str):
     """Deterministic shuffled shard layout — the training-data output
     step: shard = md5_63(salt||doc_id) % 8, pos = rank within shard by
@@ -1756,7 +1769,7 @@ def q_audio_features(sf_dir: str):
 
     ds = (_docs(sf_dir).map_batches(to_wav, batch_format="pyarrow")
           .map_batches(AudioFeatureStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=_pool(2),
+                       batch_size=64, concurrency=_pool(8),
                        fn_constructor_kwargs={"strict": True}))
     return ds.map_batches(
         lambda t: pa.table({
@@ -1793,7 +1806,7 @@ def q_image_features(sf_dir: str):
 
     ds = _docs(sf_dir).map_batches(to_binary, batch_format="pyarrow")
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=_pool(2),
+                          batch_size=64, concurrency=_pool(8),
                           fn_constructor_kwargs={"strict": True})
 
 
@@ -1823,7 +1836,7 @@ def q_jpeg_features(sf_dir: str):
 
     ds = (_docs(sf_dir).map_batches(to_jpeg, batch_format="pyarrow")
           .map_batches(ImageFeatureStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=_pool(2),
+                       batch_size=64, concurrency=_pool(8),
                        fn_constructor_kwargs={"strict": True}))
 
     def extract(t: pa.Table) -> pa.Table:
@@ -1877,7 +1890,7 @@ def q_gif_features(sf_dir: str):
 
     ds = (_docs(sf_dir).map_batches(to_gif, batch_format="pyarrow")
           .map_batches(ImageFeatureStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=_pool(2),
+                       batch_size=64, concurrency=_pool(8),
                        fn_constructor_kwargs={"strict": True}))
 
     def extract(t: pa.Table) -> pa.Table:
@@ -1937,7 +1950,7 @@ def q_video_features(sf_dir: str):
 
     ds = (_docs(sf_dir).map_batches(to_avi, batch_format="pyarrow")
           .map_batches(FrameSampleStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=_pool(2),
+                       batch_size=64, concurrency=_pool(8),
                        fn_constructor_kwargs={"frames": 3, "strict": True}))
 
     def extract(t: pa.Table) -> pa.Table:
@@ -2002,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "hll_card": q_hll_card,
         "shard_plan": q_shard_plan,
         "pack_plan": q_pack_plan,
         "oov_rate": q_oov_rate,
@@ -3441,6 +3455,32 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "hll_card": """
+            WITH h AS (
+              SELECT DISTINCT
+                     md5_number_lower('hll' || CAST(doc_id AS VARCHAR))
+                       % 9223372036854775808 AS h
+              FROM documents),
+            r AS (
+              SELECT h % 256 AS bucket,
+                     CASE WHEN h // 256 = 0 THEN 56
+                          ELSE 56 - length(printf('%b',
+                                   CAST(h // 256 AS BIGINT)))
+                     END AS rho
+              FROM h),
+            regs AS (SELECT bucket, max(rho) AS mr FROM r GROUP BY bucket),
+            allb AS (SELECT gs.range AS bucket FROM range(256) gs),
+            mm AS (SELECT coalesce(mr, 0) AS mr
+                   FROM allb LEFT JOIN regs USING (bucket)),
+            s AS (SELECT sum((CAST(1 AS HUGEINT) << (56 - mr))) AS S,
+                         sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS nz
+                  FROM mm)
+            SELECT CAST((CAST(718273 AS HUGEINT) * 65536
+                         * (CAST(1 AS HUGEINT) << 56))
+                        // S // 1000000 AS BIGINT) AS est,
+                   CAST(nz AS BIGINT) AS n_zero,
+                   CAST(256 AS BIGINT) AS m
+            FROM s""",
         "shard_plan": """
             WITH h AS (
               SELECT doc_id,

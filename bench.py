@@ -227,7 +227,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "ann_ivf", "window_sliding", "interval_orders",
                  "sample_docs", "stratified_sample", "mixture_mix",
                  "video_features", "bpe_pairs", "bpe_tokenize",
-                 "oov_rate", "semantic_dedup", "shard_plan", "pack_plan"]:
+                 "oov_rate", "semantic_dedup", "shard_plan", "pack_plan",
+                 "hll_card"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
