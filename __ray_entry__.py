@@ -1117,6 +1117,19 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_group_topk(sf_dir: str):
+    """Per-group top-k selection (best 5 docs per language by length):
+    one group-keyed exchange + vectorized per-partition rank
+    (functions/sampling.py grouped_topk); SQL row_number oracle."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sampling import grouped_topk
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "n_chars"])
+    out = grouped_topk(ds, 5, group_col="lang", order_cols=["n_chars"],
+                       key_col="doc_id")
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def q_hll_card(sf_dir: str):
     """Distributed HyperLogLog in EXACT integer arithmetic
     (functions/sketch.py): constant-size exchange (≤256 register rows
@@ -2015,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "group_topk": q_group_topk,
         "hll_card": q_hll_card,
         "shard_plan": q_shard_plan,
         "pack_plan": q_pack_plan,
@@ -3455,6 +3469,10 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "group_topk": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id) <= 5""",
         "hll_card": """
             WITH h AS (
               SELECT DISTINCT

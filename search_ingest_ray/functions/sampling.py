@@ -179,3 +179,60 @@ def mixture_repeat(ds, weights_ppm: dict, *, strata_col: str = "lang",
                 .append_column(copy_col, pa.array(copy, pa.int64())))
 
     return ds.map_batches(_emit, batch_format="pyarrow")
+
+
+def _topk_kernel(g: pa.Table, *, group_col, order_cols, descending, k,
+                 key_col) -> pa.Table:
+    """Per-partition group-wise top-k: one lexsort + segmented rank —
+    the same shape as _quota_kernel but ordered by VALUE columns
+    (ties → key ascending) instead of the hash gate."""
+    g = g.combine_chunks()
+    if g.num_rows == 0:
+        return g.drop_columns([_PART_COL])
+    import pandas as pd
+    s_codes, _ = pd.factorize(
+        g[group_col].to_numpy(zero_copy_only=False), sort=True)
+    keys = [g[key_col].to_numpy(zero_copy_only=False)]
+    for c, desc in zip(reversed(order_cols), reversed(descending)):
+        v = g[c].to_numpy(zero_copy_only=False)
+        keys.append(-v if desc else v)
+    keys.append(s_codes)
+    order = np.lexsort(keys)
+    sc = s_codes[order]
+    starts = np.zeros(len(sc), dtype=np.int64)
+    new = np.flatnonzero(np.diff(sc)) + 1
+    starts[new] = new
+    np.maximum.accumulate(starts, out=starts)
+    rank = np.arange(len(sc), dtype=np.int64) - starts
+    keep = order[rank < k]
+    return g.take(pa.array(np.sort(keep))).drop_columns([_PART_COL])
+
+
+def grouped_topk(ds, k: int, *, group_col: str, order_cols: list[str],
+                 descending: list[bool] | None = None,
+                 key_col: str = "doc_id", num_partitions: int = 32):
+    """Per-group top-k selection ("best k docs per domain/language by
+    quality"): rows ranked within each group by ``order_cols`` (ties →
+    ``key_col`` ascending), rank < k kept.  One group-keyed exchange +
+    vectorized per-partition rank; a skewed group costs one sort of its
+    rows in one task — bounded further upstream by pre-filtering, since
+    only candidates that can beat a local top-k matter (callers may
+    pre-prune with a per-batch local top-k when k ≪ batch).  SQL:
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, key) <= k``.
+
+    Note: numeric order columns only (descending negates vectorized).
+    """
+    if descending is None:
+        descending = [True] * len(order_cols)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        part = stable_partition_column(batch[group_col], num_partitions)
+        return batch.append_column(_PART_COL, pa.array(part))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(
+        functools.partial(_topk_kernel, group_col=group_col,
+                          order_cols=order_cols, descending=descending,
+                          k=k, key_col=key_col),
+        batch_format="pyarrow")

@@ -104,3 +104,34 @@ def test_mixture_repeat_expected_multiplicity(ray_session):
                          key_col="doc_id", salt="m2")
     frac = out.count() / 2000
     assert 0.2 < frac < 0.3
+
+
+def test_grouped_topk_matches_sql(ray_session):
+    from search_ingest_ray.functions.sampling import grouped_topk
+    tbl = _docs(500)
+    out = grouped_topk(_ds(tbl, 6), 7, group_col="lang",
+                       order_cols=["n_chars"], key_col="doc_id",
+                       num_partitions=3).take_all()
+    got = sorted((r["lang"], r["doc_id"]) for r in out)
+    want = duckdb.sql("""
+        SELECT lang, doc_id FROM tbl
+        QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id) <= 7
+        ORDER BY lang, doc_id""").fetchall()
+    assert got == [tuple(r) for r in want]
+    assert set(out[0].keys()) == {"doc_id", "lang", "n_chars"}
+
+
+def test_grouped_topk_ascending_and_small_groups(ray_session):
+    from search_ingest_ray.functions.sampling import grouped_topk
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "lang": pa.array(["a", "a", "a", "b", "b"]),
+        "n_chars": pa.array([30, 10, 20, 5, 5], pa.int64()),
+    })
+    out = grouped_topk(_ds(tbl, 2), 2, group_col="lang",
+                       order_cols=["n_chars"], descending=[False],
+                       key_col="doc_id").take_all()
+    got = sorted((r["lang"], r["doc_id"]) for r in out)
+    # ascending: a keeps 10(id2),20(id3); b keeps both (tie -> id order)
+    assert got == [("a", 2), ("a", 3), ("b", 4), ("b", 5)]
