@@ -1117,6 +1117,18 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_weighted_sample(sf_dir: str):
+    """Sequential Poisson weighted sample (inclusion ∝ n_chars): exact
+    integer rank h//w, per-batch local top-k then one tiny sort+limit
+    (functions/sampling.py weighted_sample); SQL ORDER BY-LIMIT oracle."""
+    import ray.data as rd
+    from search_ingest_ray.functions.sampling import weighted_sample
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, 40, weight_col="n_chars", salt="w4")
+    return out.select_columns(["doc_id"])
+
+
 def q_group_topk(sf_dir: str):
     """Per-group top-k selection (best 5 docs per language by length):
     one group-keyed exchange + vectorized per-partition rank
@@ -2028,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "weighted_sample": q_weighted_sample,
         "group_topk": q_group_topk,
         "hll_card": q_hll_card,
         "shard_plan": q_shard_plan,
@@ -3469,6 +3482,11 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "weighted_sample": """
+            SELECT doc_id FROM documents WHERE n_chars > 0
+            ORDER BY md5_number_lower('w4' || CAST(doc_id AS VARCHAR))
+                     % 9223372036854775808 // n_chars, doc_id
+            LIMIT 40""",
         "group_topk": """
             SELECT doc_id, lang, n_chars FROM documents
             QUALIFY row_number() OVER (PARTITION BY lang

@@ -228,7 +228,7 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "sample_docs", "stratified_sample", "mixture_mix",
                  "video_features", "bpe_pairs", "bpe_tokenize",
                  "oov_rate", "semantic_dedup", "shard_plan", "pack_plan",
-                 "hll_card", "group_topk"]:
+                 "hll_card", "group_topk", "weighted_sample"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -236,3 +236,41 @@ def grouped_topk(ds, k: int, *, group_col: str, order_cols: list[str],
                           order_cols=order_cols, descending=descending,
                           k=k, key_col=key_col),
         batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int, *, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "wsamp"):
+    """Deterministic weighted sample WITHOUT replacement (sequential
+    Poisson sampling, Ohlsson 1998; the order-sampling flavor of
+    priority sampling): keep the ``k`` rows with the smallest
+    ``rank = md5_63(salt||key) // w`` — inclusion probability ≈ ∝ w for
+    k ≪ n, reproducible across runs/shards/resumes, and EXACT integer
+    arithmetic so the SQL oracle matches bit-for-bit
+    (``ORDER BY h // w, key LIMIT k``).  Rows with w ≤ 0 or NULL are
+    excluded (zero weight can never be drawn).
+
+    Scale shape: per-batch local top-k (argpartition) shrinks each block
+    to ≤ k rows, then ONE tiny sort+limit over ≤ k·blocks survivors —
+    the knn_cosine reduce shape, no full-corpus shuffle."""
+    from .packing import _key_h63   # late import (packing imports _con)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(w.astype(np.float64)) & (w > 0)
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            w = w[ok]
+        if batch.num_rows == 0:
+            return batch.append_column("__rank", pa.array([], pa.int64()))
+        h = _key_h63(batch[key_col], salt)
+        rank = h // w.astype(np.int64)
+        batch = batch.append_column("__rank", pa.array(rank, pa.int64()))
+        if batch.num_rows > k:
+            keep = np.argpartition(rank, k)[:k]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch
+
+    out = (ds.map_batches(_partial, batch_format="pyarrow")
+             .sort(["__rank", key_col]).limit(k))
+    return out.drop_columns(["__rank"])

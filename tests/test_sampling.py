@@ -135,3 +135,38 @@ def test_grouped_topk_ascending_and_small_groups(ray_session):
     got = sorted((r["lang"], r["doc_id"]) for r in out)
     # ascending: a keeps 10(id2),20(id3); b keeps both (tie -> id order)
     assert got == [("a", 2), ("a", 3), ("b", 4), ("b", 5)]
+
+
+def test_weighted_sample_matches_sql_and_block_invariant(ray_session):
+    from search_ingest_ray.functions.sampling import weighted_sample
+    tbl = _docs(400)
+    want = duckdb.sql("""
+        SELECT doc_id FROM tbl WHERE n_chars > 0
+        ORDER BY md5_number_lower('w1' || CAST(doc_id AS VARCHAR))
+                 % 9223372036854775808 // n_chars, doc_id
+        LIMIT 25""").fetchall()
+    want = sorted(r[0] for r in want)
+    for blocks in (1, 11):
+        got = sorted(r["doc_id"] for r in weighted_sample(
+            _ds(tbl, blocks), 25, weight_col="n_chars", salt="w1")
+            .take_all())
+        assert got == want, blocks
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    from search_ingest_ray.functions.sampling import weighted_sample
+    n = 4000
+    w = np.where(np.arange(n) < 200, 10_000, 10).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_chars": pa.array(w)})
+    got = [r["doc_id"] for r in weighted_sample(
+        _ds(tbl, 5), 100, weight_col="n_chars", salt="w2").take_all()]
+    heavy = sum(1 for d in got if d < 200)
+    # heavy rows are 1000x likelier per unit; expect the sample dominated
+    assert heavy > 60
+    # zero/negative weights never drawn
+    tbl0 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "n_chars": pa.array([0, 5], pa.int64())})
+    got0 = [r["doc_id"] for r in weighted_sample(
+        _ds(tbl0, 1), 5, weight_col="n_chars").take_all()]
+    assert got0 == [2]
