@@ -1117,6 +1117,27 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+_PERCOLATE_QUERIES = [
+    (1, ["merge", "scan", "sort"], 2),
+    (2, ["window"], 1),
+    (3, ["spark", "slow", "batch", "join"], 3),
+    (4, ["customer", "data"], 2),
+]
+
+
+def q_percolate(sf_dir: str):
+    """ES percolate (reverse search): a registered query set is matched
+    against the doc stream — broadcast queries, per-doc term bitmask +
+    vectorized popcounts, zero shuffle (functions/textstats.py
+    PercolateStage).  SQL-oracled via distinct-token join + group
+    count vs each query's minimum_should_match."""
+    import ray.data as rd
+    from search_ingest_ray.functions.textstats import percolate
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return percolate(ds, _PERCOLATE_QUERIES, concurrency=_pool(2))
+
+
 def q_weighted_sample(sf_dir: str):
     """Sequential Poisson weighted sample (inclusion ∝ n_chars): exact
     integer rank h//w, per-batch local top-k then one tiny sort+limit
@@ -2040,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "percolate": q_percolate,
         "weighted_sample": q_weighted_sample,
         "group_topk": q_group_topk,
         "hll_card": q_hll_card,
@@ -3482,6 +3504,23 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dedup_exact": """
             SELECT cast(min(doc_id) AS bigint) AS doc_id
             FROM documents GROUP BY text""",
+        "percolate": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest({_TOKS}) AS w FROM documents)),
+            q(query_id, w) AS (VALUES
+              (1, 'merge'), (1, 'scan'), (1, 'sort'),
+              (2, 'window'),
+              (3, 'spark'), (3, 'slow'), (3, 'batch'), (3, 'join'),
+              (4, 'customer'), (4, 'data')),
+            qn(query_id, mm) AS (VALUES (1, 2), (2, 1), (3, 3), (4, 2)),
+            hits AS (
+              SELECT d.doc_id, q.query_id, count(*) AS n_matched
+              FROM dt d JOIN q ON d.w = q.w GROUP BY 1, 2)
+            SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id,
+                   CAST(h.n_matched AS BIGINT) AS n_matched
+            FROM hits h JOIN qn USING (query_id)
+            WHERE h.n_matched >= qn.mm""",
         "weighted_sample": """
             SELECT doc_id FROM documents WHERE n_chars > 0
             ORDER BY md5_number_lower('w4' || CAST(doc_id AS VARCHAR))

@@ -351,3 +351,79 @@ def oov_rate(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_Score, batch_format="pyarrow", batch_size=512,
                           concurrency=2)
+
+
+# -- percolation (reverse search) ----------------------------------------------
+
+class PercolateStage:
+    """ES ``percolate`` analog: a REGISTERED QUERY SET is matched against
+    a document stream (reverse search — the alerting/routing primitive;
+    ref: ES percolator field type).  Each registered query is
+    ``(query_id, terms, min_match)``: a doc matches when at least
+    ``min_match`` of the query's distinct terms occur in it.
+
+    Scale shape: the query set is small and broadcast (actor ``__init__``
+    state, like DecontamScorer's eval hashes) — matching is a pure map
+    stage, ZERO shuffle at any corpus size.  Per doc, tokens fold into a
+    BITMASK over the union vocabulary of all query terms (one dict probe
+    per token), then every query resolves with vectorized popcounts —
+    O(tokens + n_queries) per doc, independent of per-query term counts.
+    Emits one row per (doc, matching query)."""
+
+    def __init__(self, queries: list[tuple], text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        vocab: dict[str, int] = {}
+        qmasks, qmin, qids = [], [], []
+        for qid, terms, min_match in queries:
+            mask = 0
+            for t in dict.fromkeys(terms):
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+                mask |= 1 << vocab[t]
+            qmasks.append(mask)
+            qmin.append(int(min_match))
+            qids.append(qid)
+        if len(vocab) > 512:
+            raise ValueError("percolator vocabulary > 512 distinct terms; "
+                             "shard the query set across stages")
+        self.vocab = vocab
+        self.qids = np.array(qids, dtype=np.int64)
+        self.qmasks = qmasks          # python ints: arbitrary width
+        self.qmin = np.array(qmin, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vocab = self.vocab
+        doc_out, qid_out, n_out = [], [], []
+        for did, txt in zip(batch[self.id_col].to_pylist(),
+                            batch[self.text_col].to_pylist()):
+            mask = 0
+            for t in tokenize_simple(txt or ""):
+                b = vocab.get(t)
+                if b is not None:
+                    mask |= 1 << b
+            if mask == 0 and self.qmin.min(initial=1) > 0:
+                continue
+            for qi, (qm, qn) in enumerate(zip(self.qmasks, self.qmin)):
+                hits = (mask & qm).bit_count()
+                if hits >= qn:
+                    doc_out.append(did)
+                    qid_out.append(self.qids[qi])
+                    n_out.append(hits)
+        return pa.table({
+            self.id_col: pa.array(doc_out, pa.int64()),
+            "query_id": pa.array(qid_out, pa.int64()),
+            "n_matched": pa.array(n_out, pa.int64()),
+        })
+
+
+def percolate(ds, queries: list[tuple], *, text_col: str = "text",
+              id_col: str = "doc_id", concurrency: int = 2):
+    """Match every doc against the registered query set — one row per
+    (doc, query) hit with the matched-term count.  Pure broadcast map."""
+    return ds.map_batches(PercolateStage, batch_format="pyarrow",
+                          batch_size=512, concurrency=concurrency,
+                          fn_constructor_kwargs={"queries": queries,
+                                                 "text_col": text_col,
+                                                 "id_col": id_col})

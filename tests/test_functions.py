@@ -699,3 +699,42 @@ def test_semantic_dedup_clustered_matches_per_cluster_rule(rd):
     assert sorted(out.vec_id) == want
     assert 5 not in out.vec_id.values and 25 not in out.vec_id.values
     assert set(out.columns) == {"vec_id", "embedding"}
+
+
+def test_percolate_matches_brute_force(rd):
+    """PercolateStage bitmask matching == per-doc set-intersection count."""
+    from search_ingest_ray.functions.textstats import PercolateStage, percolate
+    from search_ingest_ray.analyzer import tokenize_simple
+    docs = [
+        (1, "merge sort and scan the table"),
+        (2, "a window over events"),
+        (3, "spark is slow on batch join workloads"),
+        (4, "customer data and more customer data"),
+        (5, "nothing relevant here"),
+        (6, None),
+        (7, ""),
+        (8, "merge merge merge"),          # repeated term counts once
+    ]
+    queries = [
+        (1, ["merge", "scan", "sort"], 2),
+        (2, ["window"], 1),
+        (3, ["spark", "slow", "batch", "join"], 3),
+        (4, ["customer", "data"], 2),
+        (5, ["merge", "merge", "scan"], 2),  # dup terms in the query dedup
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string())})
+    out = percolate(rd.from_arrow(tbl), queries, concurrency=1).to_pandas()
+    got = {(r.doc_id, r.query_id): r.n_matched for r in out.itertuples()}
+    want = {}
+    for did, txt in docs:
+        toks = set(tokenize_simple(txt or ""))
+        for qid, terms, mm in queries:
+            n = len(set(terms) & toks)
+            if n >= mm:
+                want[(did, qid)] = n
+    assert got == want
+    # vocab-width guard
+    import pytest
+    with pytest.raises(ValueError):
+        PercolateStage([(1, [f"t{i}" for i in range(600)], 1)])
