@@ -1968,19 +1968,23 @@ def q_gif_features(sf_dir: str):
 
 def q_video_features(sf_dir: str):
     """REAL video decode, SQL-oracled end to end: each doc gets an MJPEG
-    AVI (RIFF container walk + numpy JPEG decode, avicodec.py) of four
-    solid-gray q75 frames — gray_k = 40+((id+3k)%13)·16 rides the JPEG
-    exactness anchor, so every sampled frame's mean luminance is
-    analytically exact; doc_id%5==0 frames carry restart markers.
-    FrameSampleStage(frames=3) picks frames [0, 1, 3] of 4
-    (unique(linspace(0,3,3)→int)), which DuckDB reproduces with a VALUES
-    list.  A wrong byte in the RIFF walk, chunk padding, or any frame's
+    video — even doc_ids an AVI (RIFF container walk, avicodec.py), odd
+    doc_ids an MP4 (ISO BMFF sample-table demux, mp4codec.py; doc_id%4==1
+    faststart moov-first layout, doc_id%4==3 moov-last with a trailing
+    short chunk) — of four solid-gray q75 frames.  gray_k =
+    40+((id+3k)%13)·16 rides the JPEG exactness anchor, so every sampled
+    frame's mean luminance is analytically exact regardless of container;
+    doc_id%5==0 frames carry restart markers.  FrameSampleStage(frames=3)
+    picks frames [0, 1, 3] of 4 (unique(linspace(0,3,3)→int)), which
+    DuckDB reproduces with a VALUES list.  A wrong byte in the RIFF walk,
+    box walk, stsc/stco/stsz math, chunk padding, or any frame's
     Huffman/IDCT breaks the per-frame grays."""
     from search_ingest_ray.functions.avicodec import encode_avi_mjpeg
     from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.mp4codec import encode_mp4_mjpeg
     from search_ingest_ray.functions.multimodal import FrameSampleStage
 
-    def to_avi(t: pa.Table) -> pa.Table:
+    def to_vid(t: pa.Table) -> pa.Table:
         vids = []
         for i in t["doc_id"].to_pylist():
             i = int(i)
@@ -1990,11 +1994,16 @@ def q_video_features(sf_dir: str):
                 np.full((h, w), 40 + ((i + 3 * k) % 13) * 16, np.uint8),
                 quality=75, restart_interval=1 if i % 5 == 0 else 0)
                 for k in range(4)]
-            vids.append(encode_avi_mjpeg(frames, width=w, height=h))
+            if i % 2 == 0:
+                vids.append(encode_avi_mjpeg(frames, width=w, height=h))
+            else:
+                vids.append(encode_mp4_mjpeg(frames, width=w, height=h,
+                                             samples_per_chunk=3,
+                                             faststart=(i % 4 == 1)))
         return pa.table({"media_id": t["doc_id"].cast(pa.string()),
                          "data": pa.array(vids, pa.binary())})
 
-    ds = (_docs(sf_dir).map_batches(to_avi, batch_format="pyarrow")
+    ds = (_docs(sf_dir).map_batches(to_vid, batch_format="pyarrow")
           .map_batches(FrameSampleStage, batch_format="pyarrow",
                        batch_size=64, concurrency=_pool(8),
                        fn_constructor_kwargs={"frames": 3, "strict": True}))

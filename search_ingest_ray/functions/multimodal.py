@@ -2,9 +2,11 @@
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Decode kernels are REAL for every format the standard library can carry:
-PNG / PPM / BMP pixels and PCM WAV audio decode via
-:mod:`.imagecodec` (zlib / struct / wave — no PIL/ffmpeg needed).  Formats
-that genuinely require external codecs (JPEG, MP4/WebM video) raise
+PNG / PPM / BMP / JPEG / GIF pixels, PCM WAV audio and MJPEG AVI / MP4
+video decode via :mod:`.imagecodec` / :mod:`.jpegcodec` / :mod:`.gifcodec`
+/ :mod:`.avicodec` / :mod:`.mp4codec` (zlib / struct / numpy — no
+PIL/ffmpeg needed).  Formats that genuinely require external codec
+libraries (WebP; H.264/HEVC/VP9 video) raise
 ``NotImplementedError`` inside the codec; the stages surface that as
 ``decoded=False`` rows with content-hash fallback features (``strict=True``
 re-raises instead), so a mixed corpus streams through without faking
@@ -167,13 +169,14 @@ class FrameSampleStage:
     per sampled frame — a flat_map-shaped explosion).
 
     MJPEG AVI (real RIFF container walk + numpy JPEG decode of each
-    frame, :mod:`.avicodec`), a concatenated-PNG clip (our deterministic
+    frame, :mod:`.avicodec`), MJPEG MP4 (ISO BMFF box walk + sample-table
+    demux, :mod:`.mp4codec`), a concatenated-PNG clip (our deterministic
     stdlib-expressible fallback container: PNG frames back-to-back) and
     an ANIMATED GIF (composited via :mod:`.gifcodec`) all decode FOR
     REAL — frames are sampled evenly and featurized from actual pixels.
-    Codecs that need real libraries (MP4/WebM → H.264/VP9) are absent
-    here: those rows emit ``decoded=False`` content-hash frame features
-    (or raise when ``strict=True``)."""
+    Codecs that need real libraries (H.264/HEVC in MP4, VP8/VP9 in WebM)
+    are absent here: those rows emit ``decoded=False`` content-hash frame
+    features (or raise when ``strict=True``)."""
 
     def __init__(self, data_col: str = "data", id_col: str = "media_id",
                  frames: int = 4, strict: bool = False):
@@ -184,12 +187,13 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .avicodec import is_avi
+        from .mp4codec import is_mp4
         mid_out, frame_out, dec_out, feat_out = [], [], [], []
         for mid, data in zip(batch[self.id_col].to_pylist(),
                              batch[self.data_col].to_pylist()):
             data = data or b""
             if data.startswith((_PNG_MAGIC, b"GIF87a", b"GIF89a")) \
-                    or is_avi(data):
+                    or is_avi(data) or is_mp4(data):
                 # A corrupt/truncated payload behind a valid magic must
                 # degrade to decoded=False rows when strict=False (same
                 # contract as ImageFeatureStage/AudioFeatureStage), not
@@ -201,6 +205,12 @@ class FrameSampleStage:
                     elif is_avi(data):
                         from .avicodec import decode_avi_frames
                         clip = decode_avi_frames(data)
+                        dec = lambda px: px  # noqa: E731 — already pixels
+                    elif is_mp4(data):
+                        # raises on non-MJPEG tracks (H.264/HEVC) —
+                        # strict surfaces it, non-strict falls back
+                        from .mp4codec import decode_mp4_frames
+                        clip = decode_mp4_frames(data)
                         dec = lambda px: px  # noqa: E731 — already pixels
                     else:
                         from .gifcodec import decode_gif_frames
@@ -224,7 +234,8 @@ class FrameSampleStage:
                     continue
             elif self.strict:
                 raise NotImplementedError(
-                    "video codecs beyond concatenated-PNG need ffmpeg")
+                    "video containers beyond MJPEG AVI/MP4, animated GIF "
+                    "and concatenated-PNG need real codec libraries")
             for fr in range(self.frames):
                 h = hashlib.blake2b(data + fr.to_bytes(4, "big"),
                                     digest_size=8).digest()

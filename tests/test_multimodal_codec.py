@@ -446,3 +446,76 @@ def test_frame_sample_avi(ray_session):
     bad = out[out.media_id == "bad"]
     # torn AVI (0 recoverable frames) degrades to decoded=False rows
     assert len(bad) == 3 and not bad["decoded"].any()
+
+
+# -- MJPEG MP4 (ISO BMFF) video -------------------------------------------------
+
+def test_mp4_mjpeg_roundtrip_exact():
+    """Box-walk + sample-table demux round trip across chunk geometries
+    and both layouts (moov-last / faststart moov-first): sample payloads
+    byte-identical, decoded pixels on the q75 solid-gray anchor."""
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.mp4codec import (decode_mp4_frames,
+                                                      encode_mp4_mjpeg,
+                                                      is_mp4, mp4_frames)
+    frames = [encode_jpeg(np.full((16, 24), 40 + 16 * k, np.uint8),
+                          quality=75, restart_interval=k % 2)
+              for k in range(5)]
+    for spc in (1, 2, 3, 5, 9):
+        for fast in (False, True):
+            mp4 = encode_mp4_mjpeg(frames, width=24, height=16,
+                                   samples_per_chunk=spc, faststart=fast)
+            assert is_mp4(mp4)
+            assert mp4_frames(mp4) == frames, (spc, fast)
+    mp4 = encode_mp4_mjpeg(frames, width=24, height=16)
+    for k, px in enumerate(decode_mp4_frames(mp4)):
+        assert px.shape == (16, 24, 1)
+        assert np.all(px == 40 + 16 * k)
+
+
+def test_mp4_truncation_and_codec_boundary():
+    """Faststart layout: cutting inside mdat keeps every complete leading
+    sample, never a torn one; a non-MJPEG stsd fourcc (H.264) raises the
+    honest codec boundary; junk is not MP4."""
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.mp4codec import (encode_mp4_mjpeg,
+                                                      is_mp4, mp4_frames)
+    frames = [encode_jpeg(np.full((8, 8), 40 + 16 * k, np.uint8),
+                          quality=75) for k in range(4)]
+    mp4 = encode_mp4_mjpeg(frames, width=8, height=8, samples_per_chunk=2,
+                           faststart=True)
+    seen = set()
+    data_start = len(mp4) - sum(len(f) for f in frames)
+    for cut in range(data_start, len(mp4) + 1):
+        got = mp4_frames(mp4[:cut])
+        assert got == frames[:len(got)]
+        seen.add(len(got))
+    assert seen == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError, match="no MJPEG"):
+        mp4_frames(mp4.replace(b"jpeg", b"avc1", 1))
+    assert not is_mp4(b"\x00" * 16)
+    with pytest.raises(ValueError, match="not an ISO BMFF"):
+        mp4_frames(b"\x00" * 16)
+
+
+def test_frame_sample_mp4(ray_session):
+    """FrameSampleStage decodes MJPEG MP4 for real; a torn MP4 (valid
+    ftyp, headless) falls back to decoded=False rows when not strict."""
+    import ray.data as rd
+    from search_ingest_ray.functions.jpegcodec import encode_jpeg
+    from search_ingest_ray.functions.mp4codec import encode_mp4_mjpeg
+    frames = [encode_jpeg(np.full((8, 16), 40 + 16 * k, np.uint8),
+                          quality=75) for k in range(4)]
+    mp4 = encode_mp4_mjpeg(frames, width=16, height=8)
+    corrupt = mp4[:40]
+    ds = rd.from_items([{"media_id": "v", "data": mp4},
+                        {"media_id": "bad", "data": corrupt}])
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"frames": 3}).to_pandas()
+    good = out[out.media_id == "v"].sort_values("frame")
+    assert list(good.frame) == [0, 1, 3] and good.decoded.all()
+    grays = [feat[0] * 255 for feat in good.feature]
+    assert np.allclose(grays, [40, 56, 88])
+    bad = out[out.media_id == "bad"]
+    assert len(bad) == 3 and not bad.decoded.any()
