@@ -22,6 +22,7 @@ import pyarrow as pa
 # order-insensitive bit-exact, so engine and SQL agree without tolerance.
 BM25_QUERY_TERMS = ("merge", "scan")
 BM25_K = 10
+RRF_DEPTH = 20  # per-retriever candidate depth fed into the RRF fusion
 # mirror of pipelines.flagship.CHAIN_UPDATE_SUFFIX for the SQL oracle
 _CHAIN_SUFFIX = " freshly updated merge scan notes"
 STOP_SQL = "('the','and','of','a','to','in','is','it','for','on')"
@@ -1569,6 +1570,35 @@ def q_ann_cosine(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_rrf_hybrid(sf_dir: str):
+    """Hybrid retrieval: the ES ``rrf`` retriever shape — a lexical BM25
+    top-N (our own inverted index + exact MaxScore searcher) and a vector
+    cosine-kNN top-N (distributed broadcast-query scan over the embeddings
+    table) fused by reciprocal rank in exact integer micro-units
+    (``Σ 1_000_000 // (60 + rank)``).  Each retriever is already
+    distributed; the fusion touches only 2×N ids, never the corpus — the
+    reason RRF is the hybrid shape that holds at 100 TB."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from search_ingest_ray.functions.similarity import knn_cosine
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.fusion import rrf_fuse
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple")
+    lex_ids, _ = Searcher(root).search_terms(list(BM25_QUERY_TERMS),
+                                             k=RRF_DEPTH)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path,
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    vec = knn_cosine(rd.read_parquet(emb_path), [q], k=RRF_DEPTH,
+                     round_to=None).take_all()  # ≤ RRF_DEPTH rows
+    vec_ids = np.array([r["vec_id"] for r in
+                        sorted(vec, key=lambda r: r["rank"])],
+                       dtype=np.int64)
+    return rrf_fuse([np.asarray(lex_ids, dtype=np.int64), vec_ids],
+                    k=BM25_K)
+
+
 KNN_FILTER_LABEL = 1
 
 
@@ -2156,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_orders": q_has_child_orders,
         "has_parent_orders": q_has_parent_orders,
         "ann_cosine": q_ann_cosine,
+        "rrf_hybrid": q_rrf_hybrid,
         "knn_filtered": q_knn_filtered,
         "quality": q_quality,
         "gopher_rules": q_gopher_rules,
@@ -2203,16 +2234,10 @@ def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
     t1, t2 = BM25_QUERY_TERMS
 
-    def bm25_sql(where: str | None = None, extra_cols: str = "") -> str:
-        """BM25 top-k SQL; ``where`` filters the candidate set AFTER scoring
-        with GLOBAL stats (ES filter semantics — filters never change
-        idf/avgdl), exactly like the engine's docvalues filter path."""
-        filt = (f"JOIN documents d ON scored.doc_id = d.doc_id WHERE {where}"
-                if where else
-                ("JOIN documents d ON scored.doc_id = d.doc_id"
-                 if extra_cols else ""))
-        return f"""
-WITH toks AS (
+    # CTE prefix shared by every BM25-scored oracle (plain top-k, filtered
+    # variants, and the RRF hybrid below): `scored(doc_id, s)` is the exact
+    # two-term BM25 sum over the whole corpus.
+    bm25_ctes = f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -2233,7 +2258,18 @@ scored AS (
               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
-)
+)"""
+
+    def bm25_sql(where: str | None = None, extra_cols: str = "") -> str:
+        """BM25 top-k SQL; ``where`` filters the candidate set AFTER scoring
+        with GLOBAL stats (ES filter semantics — filters never change
+        idf/avgdl), exactly like the engine's docvalues filter path."""
+        filt = (f"JOIN documents d ON scored.doc_id = d.doc_id WHERE {where}"
+                if where else
+                ("JOIN documents d ON scored.doc_id = d.doc_id"
+                 if extra_cols else ""))
+        return f"""
+WITH {bm25_ctes}
 SELECT scored.doc_id, round(s, 4) AS score{extra_cols} FROM scored
 {filt}
 ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
@@ -3759,6 +3795,28 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
                      e.vec_id
             LIMIT 10""",
+        "rrf_hybrid": f"""
+WITH {bm25_ctes},
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {RRF_DEPTH}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+vecr AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv.qe) DESC,
+                    vec_id) AS r
+  FROM embeddings CROSS JOIN qv QUALIFY r <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(l.id, v.id) AS doc_id,
+         cast(coalesce(1000000 // (60 + l.r), 0)
+            + coalesce(1000000 // (60 + v.r), 0) AS bigint) AS rrf_micro
+  FROM lex l FULL OUTER JOIN vecr v ON l.id = v.id)
+SELECT doc_id, rrf_micro FROM fused
+ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
         "phrase_match": f"""
             SELECT doc_id FROM documents
             WHERE ' ' || lower(text) || ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'""",
