@@ -1532,19 +1532,35 @@ class Searcher:
         n_postings (Σ local list lengths ``n`` = distinct (term, doc)
         pairs; each doc lives in exactly one docid-mod sub-list of a
         salted term).  An end-to-end invariant a SQL oracle can re-derive
-        from the raw corpus."""
-        terms: set[str] = set()
+        from the raw corpus.
+
+        Scale shape: a non-hot term lives in exactly ONE partition (tpart
+        = hash(term) % P), so cross-partition dedup only ever concerns the
+        bounded hot/salted set — per-partition Arrow ``count_distinct``
+        plus a driver-side set of the FEW hot terms actually seen, never
+        the full vocabulary (a 10⁸-term web dictionary would OOM the
+        driver the old ``to_pylist``-into-a-set way)."""
+        hot_set = pa.array(sorted(self.hot)) if self.hot else None
+        hot_seen: set[str] = set()
+        n_terms = 0
         postings = 0
         for tp in range(self.P):
             ent = self._part(tp)
             if ent is None:
                 continue
             tbl = ent[0]
-            terms.update(tbl["term"].to_pylist())
+            tcol = tbl["term"]
+            n_terms += pc.count_distinct(tcol).as_py()
+            if hot_set is not None:
+                present = pc.unique(
+                    pc.filter(tcol, pc.is_in(tcol, value_set=hot_set)))
+                n_terms -= len(present)
+                hot_seen.update(present.to_pylist())
             postings += int(pc.sum(tbl["n"]).as_py() or 0)
+        n_terms += len(hot_seen)
         return pa.table({
             "n_docs": pa.array([int(self.stats["n_docs"])], pa.int64()),
-            "n_terms": pa.array([len(terms)], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
             "n_postings": pa.array([postings], pa.int64()),
         })
 

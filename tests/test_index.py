@@ -246,3 +246,24 @@ def test_bucketed_segment_build_identity(ray_session, corpus_dir, tmp_path,
         db, sb = s_b.search_terms(terms, k=20)
         assert list(da) == list(db)
         assert list(sa) == list(sb)
+
+
+def test_index_stats_counters_match_corpus(built):
+    """index_stats must stay exact on a SALTED index: salted sub-lists of
+    one hot term (spread across partitions and duplicated within one)
+    count once in n_terms, and n_postings counts distinct (term, doc)
+    pairs — verified against a from-scratch analyze of the raw corpus."""
+    root, manifest, corpus_dir = built
+    assert manifest["stats"]["hot_terms"]  # the salted path is exercised
+    texts, ids = _load_corpus(corpus_dir)
+    s = Searcher(root)
+    terms = set()
+    pairs = set()
+    for text, i in zip(texts, ids):
+        toks = set(s.analyze(text))
+        terms |= toks
+        pairs.update((tok, i) for tok in toks)
+    st = s.index_stats()
+    assert st["n_docs"][0].as_py() == len(texts)
+    assert st["n_terms"][0].as_py() == len(terms)
+    assert st["n_postings"][0].as_py() == len(pairs)
