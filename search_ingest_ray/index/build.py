@@ -50,7 +50,8 @@ from ..codec import BLOCK, encode_varint_with_lengths
 from ..corpus import EXTRACTOR_VERSION
 from ..query.bm25 import B_DEFAULT, K1_DEFAULT, BM25Params, idf, tf_norm
 from ..schemas import equivalent_schema
-from ..util import atomic_write_json, hash_ids, read_json, term_partition
+from ..util import (atomic_write_json, chaos_kill_once, hash_ids, read_json,
+                    term_partition)
 from ..stages.analyze import PostingEmitter, extract_batch
 
 log = logging.getLogger(__name__)
@@ -353,6 +354,10 @@ def build_segment_group(group: pa.Table, *, segments_dir: str,
     exclusively through the absolute ``(off, len)`` pairs in
     ``segment.parquet``, so the bucket-major file layout is transparent to
     queries, merge, and snapshots."""
+    # crash-recovery hook (inert in production): a builder lost mid-segment
+    # leaves only .tmp litter — the atomic rename means the retry starts
+    # from the spill files and publishes a complete segment or nothing.
+    chaos_kill_once("segments")
     t0 = time.monotonic()
     _ph: dict | None = {} if os.environ.get("SI_PROF_PHASES") else None
     _pt = time.monotonic()
@@ -734,6 +739,12 @@ def _spill_exchange_block(block: pa.Table, *, exchange_dir: str,
         os.replace(tmp, os.path.join(d, f"{uid}.arrow"))
         written += 1
     del written
+    # crash-recovery hook (inert in production): dying HERE — after every
+    # spill file is renamed but before the task reports success — forces
+    # the retry to re-spill this whole block under a new uid, the exact
+    # duplicate-data case the docstring's contract delegates to the
+    # duplicate-row fold in build_segment_group.
+    chaos_kill_once("spill")
     return partials
 
 

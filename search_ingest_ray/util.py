@@ -81,3 +81,25 @@ def tok_hash_sql(tok: str) -> int:
     outputs are reproducible by a pure-SQL DuckDB oracle — the per-token
     cost is equivalent to the blake2b it replaced."""
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
+
+
+def chaos_kill_once(stage: str) -> None:
+    """Fault-injection hook for crash-recovery tests (tests/test_chaos.py):
+    when ``SI_CHAOS_DIR`` is set in the worker's environment (inherited
+    from ``ray.init`` — inert in production), the FIRST task to reach this
+    point for ``stage`` kills its worker process mid-flight (``os._exit``,
+    the moral equivalent of a lost node) and Ray's task retry must finish
+    the job.  The ``O_CREAT|O_EXCL`` flag file makes the kill exactly-once
+    per stage per run.  Cost when disabled: one env lookup per TASK (never
+    per row)."""
+    d = os.environ.get("SI_CHAOS_DIR")
+    if not d:
+        return
+    try:
+        fd = os.open(os.path.join(d, f"killed_{stage}"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    os._exit(1)

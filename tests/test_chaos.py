@@ -1,109 +1,80 @@
-"""Crash-consistency chaos tests — real process death, not clean interrupts.
+"""Crash-recovery chaos tests: worker processes die mid-build (exactly
+once per stage, via util.chaos_kill_once) and Ray's task retry must
+produce an index IDENTICAL to a clean build.
 
-Two failure modes the 100-TB story depends on:
+The spill-stage kill fires AFTER every spill file of the victim block is
+renamed into place — so the retried attempt re-spills the whole block
+under a new uid and the exchange contains full duplicates, the exact
+case `_spill_exchange_block`'s contract delegates to the duplicate-row
+fold in `build_segment_group`.  The segments-stage kill loses a builder
+mid-segment — the atomic rename means the retry republishes from the
+spill files.
 
-1. a WORKER process dying mid-task (OOM-killer / node loss): Ray's task
-   retry re-executes the lost block; the pipeline completes with
-   identical results (our stages are pure per-batch functions and our
-   sinks write atomically, so retries are safe);
-2. the whole DRIVER/build SIGKILLed mid-flight: the lineage manifest +
-   tmp-then-rename file writes mean a resumed build completes from the
-   last durable state and queries bit-identically to a never-crashed
-   build — no torn segment files, no double-counted chunks.
+Each run happens in a SUBPROCESS with its own `ray.init`, because the
+SI_CHAOS_DIR env var must be present when the Ray workers are forked
+(workers inherit the driver's environment at init, not later edits).
 """
-
+import json
 import os
-import signal
 import subprocess
 import sys
-import time
-
-import numpy as np
-import pyarrow as pa
-
-from search_ingest_ray.index.build import build_index
-from search_ingest_ray.query.searcher import Searcher
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def test_worker_crash_mid_task_retries_to_identical_result(ray_session,
-                                                           tmp_path):
-    """A map_batches task whose worker process dies (os._exit — no Python
-    exception, a real process kill) is retried by Ray; the dataset
-    completes and the output matches the uncrashed run exactly."""
-    import ray.data as rd
-
-    marker = str(tmp_path / "crashed_once")
-    rows = [{"doc_id": i, "x": i * 3} for i in range(2000)]
-
-    def stage(batch: pa.Table, *, bomb: bool) -> pa.Table:
-        if bomb and not os.path.exists(marker):
-            open(marker, "w").close()
-            os._exit(1)            # kill the worker process mid-task
-        return batch.append_column(
-            "y", pa.array((batch["x"].to_numpy() * 2).astype(np.int64)))
-
-    clean = (rd.from_items(rows).repartition(8)
-             .map_batches(stage, batch_format="pyarrow",
-                          fn_kwargs={"bomb": False})
-             .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    crashed = (rd.from_items(rows).repartition(8)
-               .map_batches(stage, batch_format="pyarrow",
-                            fn_kwargs={"bomb": True})
-               .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    assert os.path.exists(marker), "the bomb never went off"
-    assert crashed.equals(clean)
-
-
-def test_build_sigkilled_midflight_resumes_bit_identical(ray_session,
-                                                         tmp_path):
-    """SIGKILL a real build subprocess mid-flight, resume it in-process,
-    and require query-identical results vs a never-crashed build."""
-    from search_ingest_ray.corpus import write_corpus
-
-    cdir = str(tmp_path / "corpus")
-    write_corpus(cdir, num_docs=3000, num_files=6, seed=7)
-    root = str(tmp_path / "idx")
-    kw = dict(html_col="html", chunk_files=1, num_term_partitions=4,
-              hot_df_threshold=10**9)
-
-    script = f"""
+_SCRIPT = r"""
+import json, os, sys
 import ray
-ray.init(address="local", num_cpus=2, include_dashboard=False,
-         logging_level="ERROR")
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from search_ingest_ray.corpus import query_set
 from search_ingest_ray.index.build import build_index
-build_index({cdir!r}, {root!r}, html_col="html", chunk_files=1,
-            num_term_partitions=4, hot_df_threshold=10**9)
+from search_ingest_ray.query.searcher import Searcher
+
+corpus, root = sys.argv[1], sys.argv[2]
+m = build_index(corpus, root, html_col="html", chunk_files=2,
+                num_term_partitions=4, hot_df_threshold=150, hot_salt=2)
+s = Searcher(root)
+st = s.index_stats()
+results = []
+for terms in query_set(seed=7, n=8):
+    d, sc = s.search_terms(terms, k=10)
+    results.append([terms, [int(x) for x in d],
+                    [round(float(x), 9) for x in sc]])
+chaos_dir = os.environ.get("SI_CHAOS_DIR")
+print("RESULT " + json.dumps({
+    "stats": {k: st[k][0].as_py() for k in st.column_names},
+    "results": results,
+    "segments": sorted(m["segments"]),
+    "killed": sorted(os.listdir(chaos_dir)) if chaos_dir else [],
+}))
+ray.shutdown()
 """
-    proc = subprocess.Popen([sys.executable, "-c", script], cwd=REPO,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL,
-                            env=dict(os.environ, RAY_ADDRESS="local"))
-    manifest = os.path.join(root, "epochs", "e0000", "manifest.json")
-    deadline = time.monotonic() + 180
-    # kill as soon as the build has durable partial state (manifest exists)
-    while time.monotonic() < deadline and proc.poll() is None:
-        if os.path.exists(manifest):
-            time.sleep(0.5)        # let a chunk or two land
-            break
-        time.sleep(0.2)
-    if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)
-        proc.wait(timeout=30)
-        killed_midflight = True
+
+
+def _run(corpus_dir: str, root: str, chaos_dir: str | None) -> dict:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    if chaos_dir:
+        env["SI_CHAOS_DIR"] = chaos_dir
     else:
-        killed_midflight = False   # tiny host raced us — still verifies resume
+        env.pop("SI_CHAOS_DIR", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, corpus_dir, root],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-4000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
 
-    # resume in the session cluster; must complete from durable state
-    m = build_index(cdir, root, resume=True, **kw)
-    assert m["status"] == "done"
 
-    fresh = str(tmp_path / "idx_fresh")
-    build_index(cdir, fresh, **kw)
-    s_res, s_new = Searcher(root), Searcher(fresh)
-    for q in (["merge"], ["straße", "merge"], ["scan", "hash"]):
-        d1, sc1 = s_res.search_terms(q, k=10)
-        d2, sc2 = s_new.search_terms(q, k=10)
-        assert d1.tolist() == d2.tolist(), (q, killed_midflight)
-        assert np.allclose(sc1, sc2)
+def test_worker_death_mid_build_yields_identical_index(corpus_dir, tmp_path):
+    chaos_dir = str(tmp_path / "chaos")
+    os.makedirs(chaos_dir)
+    clean = _run(corpus_dir, str(tmp_path / "idx_clean"), None)
+    chaos = _run(corpus_dir, str(tmp_path / "idx_chaos"), chaos_dir)
+    # both stage kills actually fired (a worker process really died)
+    assert chaos["killed"] == ["killed_segments", "killed_spill"]
+    assert clean["killed"] == []
+    # ...and the recovered index is indistinguishable from the clean one
+    assert chaos["stats"] == clean["stats"]
+    assert chaos["segments"] == clean["segments"]
+    assert chaos["results"] == clean["results"]
