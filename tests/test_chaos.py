@@ -31,7 +31,8 @@ from search_ingest_ray.query.searcher import Searcher
 
 corpus, root = sys.argv[1], sys.argv[2]
 m = build_index(corpus, root, html_col="html", chunk_files=2,
-                num_term_partitions=4, hot_df_threshold=150, hot_salt=2)
+                num_term_partitions=4, hot_df_threshold=150, hot_salt=2,
+                with_positions=True, store_fields=["lang"])
 s = Searcher(root)
 st = s.index_stats()
 results = []
@@ -39,6 +40,12 @@ for terms in query_set(seed=7, n=8):
     d, sc = s.search_terms(terms, k=10)
     results.append([terms, [int(x) for x in d],
                     [round(float(x), 9) for x in sc]])
+pd_, psc = s.match_phrase(["the", "merge"])
+results.append(["phrase", [int(x) for x in pd_],
+                [round(float(x), 9) for x in psc]])
+results.append(["filtered",
+                [int(x) for x in s.search_terms(
+                    ["merge"], k=10, filters={"lang": "en"})[0]]])
 chaos_dir = os.environ.get("SI_CHAOS_DIR")
 print("RESULT " + json.dumps({
     "stats": {k: st[k][0].as_py() for k in st.column_names},
