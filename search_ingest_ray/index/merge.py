@@ -51,7 +51,8 @@ import ray.data as rd
 from ..codec import (decode_positions, decode_postings, encode_positions,
                      encode_postings)
 from ..query.bm25 import BM25Params, term_scores
-from ..util import atomic_write_json, read_json, term_partition
+from ..util import (atomic_write_json, chaos_kill_once, read_json,
+                    term_partition)
 from .build import _link_tree, epoch_dir
 
 
@@ -100,6 +101,10 @@ class SegmentMerger:
         return ent
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # crash-recovery hook (inert in production): a merger actor lost
+        # mid-partition leaves only .tmp litter (postings.bin/segment.parquet
+        # publish via rename) — Ray restarts the actor and retries the task.
+        chaos_kill_once("merge")
         out_rows = []
         for tpart in batch["tpart"].to_pylist():
             out_rows.append(self._merge_one(int(tpart)))
