@@ -45,7 +45,12 @@ from .searcher import Searcher
 def _shard_cls():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # max_restarts/max_task_retries: a shard is a PURE READER of an
+    # immutable on-disk partition, so a lost actor (node failure at
+    # cluster scale) is rebuilt from its index_root and the in-flight
+    # call retries transparently — serving self-heals instead of
+    # surfacing RayActorError to every query touching that partition.
+    @ray.remote(num_cpus=0.25, max_restarts=4, max_task_retries=4)
     class _PartitionShard:
         """Owns one term partition: its dictionary (in memory) + postings
         mmap.  The Searcher inside loads ONLY ``tpart`` — `_part` is

@@ -97,3 +97,22 @@ def test_sharded_df_aggregations_identical(pair):
     assert sharded.term_vectors(doc).equals(local.term_vectors(doc))
     assert sharded.significant_terms(["merge", "scan"], k=10).equals(
         local.significant_terms(["merge", "scan"], k=10))
+
+
+def test_shard_actor_death_self_heals(pair):
+    """Kill a shard actor out from under the coordinator (the cluster-scale
+    node-loss case): max_restarts rebuilds it from the immutable index and
+    max_task_retries re-issues the in-flight call — queries keep returning
+    identical results with no caller-side handling."""
+    import ray
+    local, sharded = pair
+    d0, s0 = local.search_terms(["merge", "scan"], k=25)
+    # clear the coordinator's term cache so the query re-touches shards
+    sharded._term_cache.clear()
+    for actor in sharded._shards.values():
+        ray.kill(actor, no_restart=False)
+    d1, s1 = sharded.search_terms(["merge", "scan"], k=25)
+    assert d0.tolist() == d1.tolist()
+    assert s0.tolist() == s1.tolist()
+    # expansions (shard-side dictionary scans) also survive the restart
+    assert local.suggest("me", 5) == sharded.suggest("me", 5)
