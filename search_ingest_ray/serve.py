@@ -183,7 +183,11 @@ def _serve_actor_cls():
                     return None
                 return json.dumps(self.sess.handle(req))
 
-        _ACTOR_CLS = ray.remote(num_cpus=1)(_ServeActor)
+        # pure readers of an immutable index: a lost actor (node failure)
+        # rebuilds its warmed session and the in-flight call retries —
+        # the daemon self-heals instead of dropping requests.
+        _ACTOR_CLS = ray.remote(num_cpus=1, max_restarts=4,
+                                max_task_retries=4)(_ServeActor)
     return _ACTOR_CLS
 
 

@@ -176,3 +176,26 @@ def test_norm_filters_cidr_json_roundtrip():
                          "k": "x"})
     assert out == {"ip": ("cidr", "10.0.0.0/8"), "n": ("range", 1, 5),
                    "s": ("in", ["a", "b"]), "k": "x"}
+
+
+def test_serve_actor_death_self_heals(ray_session, tmp_path):
+    """Kill every pool actor between request streams (node loss under a
+    long-lived daemon): max_restarts rebuilds the warmed session, the
+    retried calls return identical answers, the pool never surfaces
+    RayActorError."""
+    import ray
+    from search_ingest_ray.serve import ServePool
+    root = _mk_index(tmp_path)
+    reqs = [{"op": "query", "id": i, "query": q}
+            for i, q in enumerate(["alpha", "beta", "gamma"] * 2)]
+    payload = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    sp = ServePool(root, actors=2)
+    outs0 = io.StringIO()
+    assert sp.run(io.StringIO(payload), outs0) == len(reqs)
+    for a in sp._actors:
+        ray.kill(a, no_restart=False)
+    outs1 = io.StringIO()
+    assert sp.run(io.StringIO(payload), outs1) == len(reqs)
+    r0 = [json.loads(x) for x in outs0.getvalue().splitlines()]
+    r1 = [json.loads(x) for x in outs1.getvalue().splitlines()]
+    assert [x["hits"] for x in r1] == [x["hits"] for x in r0]
