@@ -1221,6 +1221,20 @@ def q_oov_rate(sf_dir: str):
     return oov_rate(ds, vocab_k=20)
 
 
+def q_unigram_ppl(sf_dir: str):
+    """CCNet-style LM-quality score: per-doc cross-entropy under an
+    add-one-smoothed unigram model of the corpus top-20 vocabulary, exact
+    integer micro-nats per token (per-token floor before the sum keeps
+    the arithmetic association-free).  One distinct-word pass +
+    ray.put-broadcast model; zero corpus shuffle
+    (functions/textstats.py unigram_ppl)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.textstats import unigram_ppl
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return unigram_ppl(ds, vocab_k=20)
+
+
 def q_bpe_pairs(sf_dir: str):
     """Adjacent-character pair frequencies over the corpus word vocab —
     the statistics the first BPE merge maximizes and the SQL-exact
@@ -2107,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_plan": q_shard_plan,
         "pack_plan": q_pack_plan,
         "oov_rate": q_oov_rate,
+        "unigram_ppl": q_unigram_ppl,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3628,6 +3643,30 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
                    CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
                         THEN a.n_oov * 1000000 // a.n_tokens
                         ELSE 0 END AS BIGINT) AS oov_ppm
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "unigram_ppl": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            vocab AS (
+              SELECT w, cf FROM (SELECT w, count(*) AS cf FROM toks GROUP BY w
+                                 ORDER BY cf DESC, w LIMIT 20)),
+            tot AS (
+              SELECT sum(cf)::BIGINT AS total, count(*)::BIGINT AS v
+              FROM vocab),
+            surp AS (
+              SELECT t.doc_id,
+                     CAST(floor((ln((tot.total + tot.v + 1)::DOUBLE)
+                                 - ln((coalesce(vb.cf, 0) + 1)::DOUBLE))
+                                * 1e6) AS BIGINT) AS s
+              FROM toks t LEFT JOIN vocab vb USING (w) CROSS JOIN tot),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(s)::BIGINT AS ssum
+              FROM surp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                        THEN a.ssum // a.n_tokens ELSE 0 END AS BIGINT)
+                     AS ce_micro
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "bpe_pairs": f"""
             WITH wc AS (

@@ -353,6 +353,83 @@ def oov_rate(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           concurrency=2)
 
 
+# -- unigram-LM perplexity (CCNet-style quality filter) -------------------------
+
+def unigram_ppl(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                vocab_k: int = 10_000):
+    """CCNet-style language-model quality score (Wenzek et al. 2020 §3.3
+    score documents by the perplexity of an LM trained on the target
+    domain): per doc, the cross-entropy of its tokens under an
+    add-one-smoothed UNIGRAM model of the corpus's top-``vocab_k``
+    vocabulary (ties → term ascending), in exact integer micro-nats per
+    token.
+
+    Model: ``surprisal(tok) = ln(total + V + 1) − ln(c_tok + 1)`` with
+    ``c_tok = 0`` for OOV tokens (``V`` = vocabulary size, ``total`` = Σ
+    vocab counts).  Each token's surprisal is floored to integer
+    micro-nats BEFORE the per-doc sum, so the arithmetic is
+    association-order-free and a DuckDB oracle reproduces it bit-for-bit
+    (a float sum over thousands of tokens would not); ``ce_micro`` is the
+    integer mean ``Σ surprisal_micro // n_tokens`` (ppl = exp(ce)).
+
+    Scale shape: identical to :func:`oov_rate` — one word-count pass
+    (per-batch partial combine, groupby-sum over DISTINCT words only,
+    sort+limit to K), then the (term → surprisal_micro) table broadcasts
+    via ``ray.put`` once and scoring is a pure map stage with ZERO
+    corpus shuffle."""
+    import ray
+
+    from .bpe import word_counts
+
+    top = (word_counts(ds, text_col=text_col)
+           .sort(["c", "word"], descending=[True, False])
+           .limit(vocab_k).take_all())
+    words = np.array(sorted(r["word"] for r in top), dtype=str)
+    counts = {r["word"]: int(r["c"]) for r in top}
+    c_sorted = np.array([counts[w] for w in words], dtype=np.int64)
+    total = int(c_sorted.sum())
+    v = len(words)
+    ln_norm = np.log(float(total + v + 1))
+    surp = np.floor((ln_norm - np.log(c_sorted + 1.0)) * 1e6).astype(np.int64)
+    s_oov = int(np.floor(ln_norm * 1e6))  # ln(0 + 1) = 0
+    model_ref = ray.put((words, surp, s_oov))
+
+    class _Score:
+        def __init__(self):
+            self.words, self.surp, self.s_oov = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col]
+            nt = np.empty(len(batch), dtype=np.int64)
+            toks_all: list[str] = []
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                toks = tokenize_simple(t or "")
+                nt[i] = len(toks)
+                toks_all.extend(toks)
+            if toks_all:
+                arr = np.array(toks_all)
+                if len(self.words):
+                    pos = np.searchsorted(self.words, arr)
+                    pos_c = np.minimum(pos, len(self.words) - 1)
+                    hit = self.words[pos_c] == arr
+                    s = np.where(hit, self.surp[pos_c], self.s_oov)
+                else:
+                    s = np.full(len(arr), self.s_oov, dtype=np.int64)
+                bounds = np.concatenate([[0], np.cumsum(nt)[:-1]])
+                ssum = np.add.reduceat(
+                    np.concatenate([s, [0]]), bounds)
+                ssum = np.where(nt > 0, ssum, 0)
+            else:
+                ssum = np.zeros(len(batch), dtype=np.int64)
+            ce = np.where(nt > 0, ssum // np.maximum(nt, 1), 0)
+            return pa.table({id_col: ids,
+                             "n_tokens": pa.array(nt),
+                             "ce_micro": pa.array(ce.astype(np.int64))})
+
+    return ds.map_batches(_Score, batch_format="pyarrow", batch_size=512,
+                          concurrency=2)
+
+
 # -- percolation (reverse search) ----------------------------------------------
 
 class PercolateStage:

@@ -738,3 +738,32 @@ def test_percolate_matches_brute_force(rd):
     import pytest
     with pytest.raises(ValueError):
         PercolateStage([(1, [f"t{i}" for i in range(600)], 1)])
+
+
+def test_unigram_ppl_matches_bruteforce(rd):
+    import math
+
+    from search_ingest_ray.analyzer import tokenize_simple
+    from search_ingest_ray.functions.textstats import unigram_ppl
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox the the"},
+        {"doc_id": 1, "text": "the quick zebra"},
+        {"doc_id": 2, "text": ""},            # empty → ce_micro 0
+        {"doc_id": 3, "text": "qqq zzz"},     # all OOV at vocab_k=3
+    ]
+    out = unigram_ppl(rd.from_items(docs), vocab_k=3).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["ce_micro"]) for r in out}
+    # brute force: top-3 vocab by (count desc, word asc), add-one unigram
+    from collections import Counter
+    cnt = Counter(w for d in docs for w in tokenize_simple(d["text"]))
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    total, v = sum(vocab.values()), len(vocab)
+    ln_norm = math.log(total + v + 1)
+    for d in docs:
+        toks = tokenize_simple(d["text"])
+        ssum = sum(int(math.floor(
+            (ln_norm - math.log(vocab.get(w, 0) + 1)) * 1e6)) for w in toks)
+        ce = ssum // len(toks) if toks else 0
+        assert got[d["doc_id"]] == (len(toks), ce), d
+    # ranking sanity: the all-common doc is lower-surprisal than all-OOV
+    assert got[0][1] < got[3][1]
