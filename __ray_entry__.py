@@ -185,7 +185,7 @@ def q_suggest(sf_dir: str):
     })
 
 
-DOC_FIELDS = ("lang", "n_chars", "source", "text")
+DOC_FIELDS = ("lang", "n_chars", "source", "text", "doc_id")
 
 
 def _fields_index(sf_dir: str) -> str:
@@ -470,6 +470,31 @@ def q_agg_stats(sf_dir: str):
     from search_ingest_ray.query.searcher import Searcher
     s = Searcher(_fields_index(sf_dir))
     return s.agg_stats(list(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_matrix_stats(sf_dir: str):
+    """ES matrix_stats aggregation: exact-integer means/variances/
+    covariance/correlation² between two docvalues over the match set
+    (pairwise deletion, truncating division for SQL parity)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.matrix_stats(list(BM25_QUERY_TERMS), "n_chars", "doc_id")
+
+
+def q_top_metrics(sf_dir: str):
+    """ES top_metrics aggregation: metric values at the top-5 match-set
+    docs by (n_chars DESC, doc_id ASC)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.top_metrics(list(BM25_QUERY_TERMS), "n_chars", "doc_id", k=5)
+
+
+def q_mad(sf_dir: str):
+    """ES median_absolute_deviation aggregation, exact nearest-rank
+    flavor (lower median of |x − lower-median|)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_mad(list(BM25_QUERY_TERMS), "n_chars")
 
 
 def q_agg_histogram(sf_dir: str):
@@ -2145,6 +2170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt": q_mlt,
         "highlight": q_highlight,
         "agg_stats": q_agg_stats,
+        "matrix_stats": q_matrix_stats,
+        "top_metrics": q_top_metrics,
+        "mad": q_mad,
         "agg_histogram": q_agg_histogram,
         "date_histogram": q_date_histogram,
         "moving_avg": q_moving_avg,
@@ -2766,6 +2794,56 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             FROM documents
             WHERE len(list_filter({_TOKS},
                   x -> x IN ('{t1}', '{t2}'))) > 0""",
+        "matrix_stats": f"""
+            WITH m AS (
+              SELECT n_chars::HUGEINT AS x, doc_id::HUGEINT AS y
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+                  FROM m)
+            SELECT cast(n AS BIGINT) AS n,
+                   cast(sx * 1000000 // n AS BIGINT) AS mean_x_micro,
+                   cast(sy * 1000000 // n AS BIGINT) AS mean_y_micro,
+                   cast((n*sxx - sx*sx) * 1000000 // (n*n) AS BIGINT)
+                     AS var_x_micro,
+                   cast((n*syy - sy*sy) * 1000000 // (n*n) AS BIGINT)
+                     AS var_y_micro,
+                   cast((n*sxy - sx*sy) * 1000000 // (n*n) AS BIGINT)
+                     AS cov_micro,
+                   cast(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                             WHEN n*sxy - sx*sy < 0 THEN -1
+                             ELSE 0 END AS BIGINT) AS corr_sign,
+                   cast(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                        THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000)
+                             // ((n*sxx - sx*sx) * (n*syy - sy*sy))
+                        ELSE NULL END AS BIGINT) AS corr_sq_micro
+            FROM s""",
+        "top_metrics": f"""
+            SELECT cast(n_chars AS BIGINT) AS sort_val,
+                   cast(doc_id AS BIGINT) AS metric
+            FROM documents
+            WHERE len(list_filter({_TOKS}, x -> x IN ('{t1}', '{t2}'))) > 0
+            ORDER BY n_chars DESC, doc_id LIMIT 5""",
+        "mad": f"""
+            WITH v AS (
+              SELECT n_chars AS x FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            c AS (SELECT count(*) AS n FROM v),
+            med AS (
+              SELECT x AS med FROM
+                (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v), c
+              WHERE rn = (c.n + 1) // 2),
+            dev AS (SELECT abs(v.x - med.med) AS d FROM v, med),
+            mad AS (
+              SELECT d AS mad FROM
+                (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev), c
+              WHERE rn = (c.n + 1) // 2)
+            SELECT cast(c.n AS BIGINT) AS n, cast(med.med AS BIGINT) AS median,
+                   cast(mad.mad AS BIGINT) AS mad
+            FROM c, med, mad""",
         "agg_histogram": f"""
             SELECT cast((n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL}
                         AS bigint) AS bucket,

@@ -1585,6 +1585,121 @@ class Searcher:
         return pa.table({"value": pa.array(probes, pa.int64()),
                          "pct_micro": pct})
 
+    def matrix_stats(self, terms: list[str], field_x: str,
+                     field_y: str) -> pa.Table:
+        """ES ``matrix_stats`` aggregation (two-field flavor): count,
+        means, population variances, covariance and correlation over the
+        match-set docs where BOTH docvalues are present (ES
+        pairwise-deletes rows missing either field).  Everything derives
+        from exact integer sufficient statistics (Σx, Σy, Σx², Σy², Σxy as
+        unbounded python ints) with TRUNCATING integer division — DuckDB's
+        ``//`` truncates toward zero while Python's floors, and covariance
+        can be negative — in micro units.  Correlation is emitted as
+        (sign, corr²·1e6): the sqrt ES applies would break integer SQL
+        parity without adding information."""
+        docids = self._match_docids(terms)
+        if docids.size:
+            got = self.fields.get(docids, [field_x, field_y])
+            vx, okx = _int_docvals_aligned(got[field_x])
+            vy, oky = _int_docvals_aligned(got[field_y])
+            ok = okx & oky
+            x, y = vx[ok], vy[ok]
+        else:
+            x = y = np.array([], dtype=np.int64)
+        n = int(x.size)
+
+        def trunc_div(num: int, den: int) -> int:
+            q = abs(num) // den
+            return -q if num < 0 else q
+
+        if n == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "mean_x_micro": none, "mean_y_micro": none,
+                             "var_x_micro": none, "var_y_micro": none,
+                             "cov_micro": none, "corr_sign": none,
+                             "corr_sq_micro": none})
+        # int64 dot products wrap silently past 2^63 — go exact-object
+        # above a conservative magnitude bound (never hit by sane fields)
+        big = max(int(np.abs(x).max()), int(np.abs(y).max()), 1)
+        if big * big * n < 2**62:
+            sxx, syy, sxy = (int(np.dot(x, x)), int(np.dot(y, y)),
+                             int(np.dot(x, y)))
+        else:
+            sxx = sum(int(v) * int(v) for v in x)
+            syy = sum(int(v) * int(v) for v in y)
+            sxy = sum(int(u) * int(v) for u, v in zip(x, y))
+        sx, sy = int(x.astype(object).sum()), int(y.astype(object).sum())
+        vxn = n * sxx - sx * sx          # n² · population variance ≥ 0
+        vyn = n * syy - sy * sy
+        cn = n * sxy - sx * sy           # n² · covariance (signed)
+        corr_sq = ((cn * cn * 1_000_000) // (vxn * vyn)
+                   if vxn > 0 and vyn > 0 else None)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "mean_x_micro": pa.array([trunc_div(sx * 1_000_000, n)],
+                                     pa.int64()),
+            "mean_y_micro": pa.array([trunc_div(sy * 1_000_000, n)],
+                                     pa.int64()),
+            "var_x_micro": pa.array([(vxn * 1_000_000) // (n * n)],
+                                    pa.int64()),
+            "var_y_micro": pa.array([(vyn * 1_000_000) // (n * n)],
+                                    pa.int64()),
+            "cov_micro": pa.array([trunc_div(cn * 1_000_000, n * n)],
+                                  pa.int64()),
+            "corr_sign": pa.array([(cn > 0) - (cn < 0)], pa.int64()),
+            "corr_sq_micro": pa.array([corr_sq], pa.int64()),
+        })
+
+    def top_metrics(self, terms: list[str], sort_field: str,
+                    metric_field: str, k: int = 5) -> pa.Table:
+        """ES ``top_metrics`` aggregation: the metric field's values at
+        the top-``k`` match-set docs by (``sort_field`` DESC, doc_id ASC —
+        the deterministic tie-break).  Docs missing the sort field are
+        skipped (ES sorts them last, beyond any real top-k); a missing
+        metric emits null.  Returns (sort_val, metric)."""
+        docids = self._match_docids(terms)
+        if docids.size:
+            got = self.fields.get(docids, [sort_field, metric_field])
+            sv, oks = _int_docvals_aligned(got[sort_field])
+            mv, okm = _int_docvals_aligned(got[metric_field])
+            d, s = docids[oks], sv[oks]
+            m, mok = mv[oks], okm[oks]
+        else:
+            d = s = m = np.array([], dtype=np.int64)
+            mok = np.array([], dtype=bool)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table({
+            "sort_val": pa.array(s[order], pa.int64()),
+            "metric": pa.array([int(m[i]) if mok[i] else None
+                                for i in order], pa.int64()),
+        })
+
+    def agg_mad(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``median_absolute_deviation`` aggregation, exact
+        nearest-rank flavor: the LOWER median (0-based rank ``(n−1)//2``
+        of the sorted values) of ``|x − lower-median(x)|`` over the
+        match set's docvalues, nulls dropped.  ES approximates both
+        medians with a t-digest; nearest-rank keeps the integer SQL
+        parity this surface promises (same choice as agg_percentiles).
+        Returns (n, median, mad)."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = _int_docvals(vals)
+        n = int(arr.size)
+        if n == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "median": none, "mad": none})
+        srt = np.sort(arr)
+        med = int(srt[(n - 1) // 2])
+        dev = np.sort(np.abs(arr - med))
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "median": pa.array([med], pa.int64()),
+                         "mad": pa.array([int(dev[(n - 1) // 2])],
+                                         pa.int64())})
+
     def agg_top_hits(self, terms: list[str], group_field: str,
                      per_group: int = 2) -> pa.Table:
         """ES ``top_hits`` sub-aggregation: within each group-field
