@@ -228,7 +228,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "sample_docs", "stratified_sample", "mixture_mix",
                  "video_features", "bpe_pairs", "bpe_tokenize",
                  "oov_rate", "semantic_dedup", "shard_plan", "pack_plan",
-                 "hll_card", "group_topk", "weighted_sample"]:
+                 "hll_card", "group_topk", "weighted_sample",
+                 # fourth continuation session: hybrid retrieval, LM
+                 # quality, remaining exact-integer aggs
+                 "rrf_hybrid", "unigram_ppl", "matrix_stats",
+                 "top_metrics", "mad"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
