@@ -291,6 +291,29 @@ def q_geo_distance(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+GEOTILE_ZOOM = 4
+RANDOM_SCORE_SEED = 7
+
+
+def q_geotile(sf_dir: str):
+    """ES geotile_grid aggregation: Web-Mercator slippy-map tile buckets
+    (zoom 4) over the match set's geo_points; tile math mirrors the SQL
+    oracle's IEEE op sequence exactly."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    return s.agg_geotile(list(BM25_QUERY_TERMS), "geo", zoom=GEOTILE_ZOOM)
+
+
+def q_random_score(sf_dir: str):
+    """ES function_score random_score (seeded, deterministic): per-doc
+    md5-low64('<seed>:'||doc_id) % 1e6 over the match set, top-10 —
+    the reproducible-sampling scorer, exact DuckDB parity."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.random_score(list(BM25_QUERY_TERMS), seed=RANDOM_SCORE_SEED)
+
+
 def q_geo_bbox(sf_dir: str):
     """ES geo_bounding_box filter over the same synthetic geo_point pair
     (pure coordinate comparisons — bit-exact vs the SQL oracle)."""
@@ -2159,6 +2182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_exact": q_keyword_exact,
         "geo_distance": q_geo_distance,
         "geo_bbox": q_geo_bbox,
+        "geotile": q_geotile,
+        "random_score": q_random_score,
         "geo_polygon": q_geo_polygon,
         "geo_shape": q_geo_shape,
         "exists": q_exists,
@@ -2503,6 +2528,24 @@ SELECT doc_id FROM (
 WHERE lat >= {GEO_BOX[2]!r} AND lat <= {GEO_BOX[0]!r}
   AND lon >= {GEO_BOX[1]!r} AND lon <= {GEO_BOX[3]!r}
 ORDER BY doc_id""",
+        "geotile": f"""
+WITH m AS (
+  SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
+  WHERE len(list_filter({_TOKS}, x -> x IN ('{t1}', '{t2}'))) > 0)
+SELECT cast(floor((lon + 180.0) / 360.0 * {float(2 ** GEOTILE_ZOOM)!r})
+            AS BIGINT) AS tile_x,
+       cast(floor((1.0 - ln(tan(lat * (pi() / 180.0))
+                            + 1.0 / cos(lat * (pi() / 180.0))) / pi())
+                  / 2.0 * {float(2 ** GEOTILE_ZOOM)!r}) AS BIGINT) AS tile_y,
+       cast(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1, 2""",
+        "random_score": f"""
+SELECT doc_id,
+       (md5_number_lower('{RANDOM_SCORE_SEED}:' || doc_id)
+        % 1000000)::BIGINT AS score_micro
+FROM documents
+WHERE len(list_filter({_TOKS}, x -> x IN ('{t1}', '{t2}'))) > 0
+ORDER BY score_micro DESC, doc_id LIMIT 10""",
         # even-odd ray casting, one unrolled PNPOLY crossing term per edge
         # (edge k: verts[k] -> verts[k-1]), mirroring FieldStore._geo_mask
         "geo_polygon": f"""

@@ -1700,6 +1700,74 @@ class Searcher:
                          "mad": pa.array([int(dev[(n - 1) // 2])],
                                          pa.int64())})
 
+    def agg_geotile(self, terms: list[str], field: str,
+                    zoom: int = 4) -> pa.Table:
+        """ES ``geotile_grid`` aggregation: bucket the match set's
+        geo_points into slippy-map (Web-Mercator) tiles at ``zoom`` and
+        count per tile, empty tiles omitted (min_doc_count=1).  The tile
+        math mirrors the SQL oracle's IEEE op sequence EXACTLY (same
+        discipline as FieldStore._geo_mask):
+
+            x = floor((lon + 180) / 360 · 2^z)
+            y = floor((1 − ln(tan(latʳ) + 1/cos(latʳ))/π) / 2 · 2^z)
+
+        No ±85.05° clamp: the synthetic fixture stays within ±60° (ES
+        clamps only because the Mercator y diverges at the poles).
+        Returns (tile_x, tile_y, n) sorted by (tile_x, tile_y)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"tile_x": empty, "tile_y": empty, "n": empty})
+        got = self.fields.get(docids, [f"{field}_lat", f"{field}_lon"])
+        lat = np.asarray(got[f"{field}_lat"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lon = np.asarray(got[f"{field}_lon"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        lat, lon = lat[ok], lon[ok]
+        nt = np.float64(2.0) ** zoom
+        xt = np.floor((lon + 180.0) / 360.0 * nt).astype(np.int64)
+        latr = lat * (np.pi / 180.0)
+        yt = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr))
+                       / np.pi) / 2.0 * nt).astype(np.int64)
+        key = xt * (1 << 32) + yt
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_x": pa.array(uniq >> 32, pa.int64()),
+            "tile_y": pa.array(uniq & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    def random_score(self, terms: list[str], seed: int,
+                     k: int = 10) -> pa.Table:
+        """ES ``function_score`` with ``random_score`` (seeded,
+        field=_id): a deterministic pseudo-random per-doc score —
+        ``md5_low64('<seed>:' || doc_id) % 1e6`` micro-units (ES hashes
+        seed+field the same way in spirit; md5 gives exact DuckDB parity
+        via ``md5_number_lower``, the hash family every other oracle-
+        parity stage uses).  Top-k by (-score, doc_id); the hash runs in
+        DuckDB's vectorized C++ kernel, never a per-row Python loop."""
+        import duckdb
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"doc_id": empty, "score_micro": empty})
+        con = duckdb.connect()
+        src = pa.table({"id": pa.array(docids, pa.int64())})
+        con.register("_rs_src", src)
+        try:
+            sc = con.execute(
+                f"SELECT (md5_number_lower('{int(seed)}:' || id)"
+                f"        % 1000000)::BIGINT AS s FROM _rs_src"
+            ).arrow()["s"].to_numpy(zero_copy_only=False)
+        finally:
+            con.close()
+        top = np.lexsort((docids, -sc))[:k]
+        return pa.table({
+            "doc_id": pa.array(docids[top], pa.int64()),
+            "score_micro": pa.array(sc[top], pa.int64()),
+        })
+
     def agg_top_hits(self, terms: list[str], group_field: str,
                      per_group: int = 2) -> pa.Table:
         """ES ``top_hits`` sub-aggregation: within each group-field
