@@ -1088,8 +1088,15 @@ def build_index(input_paths, index_root: str, *,
         # not the work — set the stage's wall clock.  Real-scale chunks
         # (chunk_files × ~100 MB files) keep ~64 MB blocks either way.
         chunk_bytes = sum(os.path.getsize(f) for f in files)
-        nblocks = int(max(int(ray.cluster_resources().get("CPU", 8)),
-                          chunk_bytes // (64 << 20) + 1))
+        _c = int(ray.cluster_resources().get("CPU", 8))
+        nblocks = int(max(_c, chunk_bytes // (64 << 20) + 1))
+        # wave-align to the CPU count: 9 equal tasks on 4 cpus run as
+        # 4+4+1 — the last wave burns 3 idle cores (~25% of the stage
+        # wall on the scaling legs).  Rounding the task count UP to a
+        # multiple of the cpus keeps ~64 MB blocks and full final waves;
+        # the few extra tasks cost ~100 ms dispatch each, the straggler
+        # wave cost seconds.
+        nblocks = -(-nblocks // _c) * _c
         ds = rd.read_parquet(files, columns=read_cols,
                              override_num_blocks=nblocks)
         if html_col:
@@ -1165,8 +1172,12 @@ def build_index(input_paths, index_root: str, *,
         # and measured 24% slower than P=16 on the 300k-doc bench
         _cpus = int(ray.cluster_resources().get("CPU", 8))
         _slots = max(1, _cpus // (2 if _cpus >= 8 else 1))
-        num_term_partitions = int(min(512, max(8, _slots,
-                                               n_postings // 4_000_000)))
+        _raw = max(8, _slots, n_postings // 4_000_000)
+        # wave-align P to the builder-slot count: P=17 on 4 slots runs as
+        # 4 full waves + a 1-task straggler wave (3 idle slots for a full
+        # segment build) — round UP to a slot multiple so every wave is
+        # full; smaller partitions also help the cache-blocked encode
+        num_term_partitions = int(min(512, -(-_raw // _slots) * _slots))
     P = num_term_partitions
     if hot_df_threshold is None:
         hot_df_threshold = max(10_000, n_docs // 10)
@@ -1329,6 +1340,9 @@ def build_index(input_paths, index_root: str, *,
     # CPU count so small inputs still use every core.
     exchange_blocks = int(max(_cluster_cpus,
                               post_unc_bytes // (24 << 20) + 1))
+    # wave-align (same rationale as the stage-1 read blocks): a partial
+    # final wave idles cores for a whole ~24 MB-block scan
+    exchange_blocks = -(-exchange_blocks // _cluster_cpus) * _cluster_cpus
     # Ray's parquet reader streams 10k-row record batches out of the read
     # task, and a fused map_batches(batch_size=None) runs once PER RECORD
     # BATCH — measured 5,244 spill calls (and 5,244 tiny files per tpart

@@ -734,3 +734,113 @@ def test_match_phrase_prefix_vs_bruteforce(docs_and_searcher):
     # expansion cap: max_expansions=0 matches nothing
     assert s.match_phrase_prefix(["merge"], "sc",
                                  max_expansions=0).size == 0
+
+
+@pytest.fixture(scope="module")
+def wide_searcher(ray_session, sf_dir):
+    """Searcher over the same store_fields config __ray_entry__ uses
+    (cache-shared), so doc_id is available as a docvalue."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    root = documents_index(sf_dir, analyzer="simple",
+                           store_fields=("lang", "n_chars", "source",
+                                         "text", "doc_id"))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "n_chars"])
+    return t, Searcher(root)
+
+
+def _match_rows(t, terms):
+    rows = []
+    for did, txt, nc in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                            t["n_chars"].to_pylist()):
+        toks = set(tokenize_simple(txt or ""))
+        if any(q in toks for q in terms):
+            rows.append((did, nc))
+    return rows
+
+
+def test_matrix_stats_vs_bruteforce(wide_searcher):
+    t, s = wide_searcher
+    terms = ["merge", "scan"]
+    rows = _match_rows(t, terms)
+    n = len(rows)
+    sx = sum(nc for _, nc in rows)
+    sy = sum(did for did, _ in rows)
+    sxx = sum(nc * nc for _, nc in rows)
+    syy = sum(did * did for did, _ in rows)
+    sxy = sum(did * nc for did, nc in rows)
+    vxn, vyn = n * sxx - sx * sx, n * syy - sy * sy
+    cn = n * sxy - sx * sy
+    out = s.matrix_stats(terms, "n_chars", "doc_id")
+    row = {k: out[k][0].as_py() for k in out.column_names}
+    assert row["n"] == n
+    assert row["mean_x_micro"] == (sx * 10**6) // n
+    assert row["var_x_micro"] == (vxn * 10**6) // (n * n)
+    assert row["var_y_micro"] == (vyn * 10**6) // (n * n)
+    q = (abs(cn) * 10**6) // (n * n)
+    assert row["cov_micro"] == (-q if cn < 0 else q)
+    assert row["corr_sign"] == (cn > 0) - (cn < 0)
+    assert row["corr_sq_micro"] == (cn * cn * 10**6) // (vxn * vyn)
+
+
+def test_top_metrics_and_mad_vs_bruteforce(wide_searcher):
+    t, s = wide_searcher
+    terms = ["merge", "scan"]
+    rows = _match_rows(t, terms)
+    # top_metrics: top-5 by (n_chars desc, doc_id asc)
+    top = sorted(rows, key=lambda r: (-r[1], r[0]))[:5]
+    out = s.top_metrics(terms, "n_chars", "doc_id", k=5)
+    assert out["sort_val"].to_pylist() == [nc for _, nc in top]
+    assert out["metric"].to_pylist() == [did for did, _ in top]
+    # mad: lower-median of |x - lower-median|
+    xs = sorted(nc for _, nc in rows)
+    med = xs[(len(xs) - 1) // 2]
+    dev = sorted(abs(x - med) for x in xs)
+    mad = dev[(len(dev) - 1) // 2]
+    got = s.agg_mad(terms, "n_chars")
+    assert (got["n"][0].as_py(), got["median"][0].as_py(),
+            got["mad"][0].as_py()) == (len(xs), med, mad)
+
+
+def test_random_score_vs_bruteforce(wide_searcher):
+    t, s = wide_searcher
+    terms = ["merge", "scan"]
+    ids = [did for did, _ in _match_rows(t, terms)]
+    scores = {d: tok_hash_sql(f"7:{d}") % 1_000_000 for d in ids}
+    top = sorted(ids, key=lambda d: (-scores[d], d))[:10]
+    out = s.random_score(terms, seed=7, k=10)
+    assert out["doc_id"].to_pylist() == top
+    assert out["score_micro"].to_pylist() == [scores[d] for d in top]
+
+
+def test_geotile_known_points(ray_session, sf_dir):
+    """Tile math sanity on the real geo fixture: every tile count sums to
+    the match-set size, and each matched doc's tile recomputed from the
+    oracle lat/lon formula lands in the emitted tile set."""
+    import math
+
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    s = Searcher(documents_geo_index(sf_dir))
+    terms = ["merge", "scan"]
+    out = s.agg_geotile(terms, "geo", zoom=4)
+    tiles = {(x, y): n for x, y, n in zip(out["tile_x"].to_pylist(),
+                                          out["tile_y"].to_pylist(),
+                                          out["n"].to_pylist())}
+    docids = s._match_docids(terms)
+    assert sum(tiles.values()) == docids.size
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    matched = {d for d, _ in _match_rows(
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "n_chars"]), terms)}
+    from collections import Counter as _C
+    want: _C = _C()
+    for did in matched:
+        lat = -60.0 + ((did % 120001) * 7919 % 120001) / 1000.0
+        lon = -170.0 + ((did % 340001) * 104729 % 340001) / 1000.0
+        x = math.floor((lon + 180.0) / 360.0 * 16.0)
+        y = math.floor((1.0 - math.log(math.tan(lat * (math.pi / 180.0))
+                        + 1.0 / math.cos(lat * (math.pi / 180.0)))
+                        / math.pi) / 2.0 * 16.0)
+        want[(x, y)] += 1
+    assert dict(want) == tiles
