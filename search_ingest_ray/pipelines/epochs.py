@@ -58,7 +58,8 @@ import ray.data as rd
 
 from ..index.build import build_index, epoch_dir
 from ..stages.fold import apply_epoch, fold_last_write_wins
-from ..util import atomic_write_json, read_json, stable_partition_column
+from ..util import (atomic_write_json, chaos_kill_once, read_json,
+                    stable_partition_column)
 
 _BUCKET_COL = "__bucket"
 
@@ -170,6 +171,10 @@ def _update_snapshot(index_root: str, delta_paths, epoch: int, *,
                 _tag_bucket, batch_format="pyarrow",
                 fn_kwargs=dict(id_col=id_col, num_buckets=num_buckets))
             tagged.write_parquet(sd, partition_cols=[_BUCKET_COL])
+        # chaos point: driver dies with the snapshot files written but no
+        # done marker — the rerun must rmtree the partial snapshot and
+        # redo it (tests/test_chaos.py::test_epoch_apply_driver_crashes)
+        chaos_kill_once(f"snapshot_e{epoch}")
         meta["epochs"][str(epoch)] = versions
         atomic_write_json(meta_path, meta)
         with open(done_marker, "w") as f:
@@ -220,6 +225,10 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
     sd, versions = _update_snapshot(index_root, delta_paths, epoch,
                                     id_col=id_col, num_buckets=num_buckets,
                                     base_paths=base_paths)
+    # chaos point: driver dies with the snapshot committed but no index —
+    # the rerun must take the done-marker fast path and build from the
+    # SAME bucket versions (stale fingerprints would re-link old postings)
+    chaos_kill_once(f"epoch_prebuild_e{epoch}")
     meta = read_json(os.path.join(index_root, "snapshot_meta.json"))
     num_buckets = int(meta["num_buckets"])
     chunks = [_bucket_files(sd, b) for b in range(num_buckets)]
@@ -353,6 +362,11 @@ def _apply_delta_segments(index_root: str, delta_paths, epoch: int, *,
             "mode": "delta", "n_changed_ids": len(ids),
             "n_old": int(n_old), "sum_dl_old": int(sum_dl_old),
         })
+
+    # chaos point: driver dies with the dead-set/df-patch committed but
+    # before the snapshot advance — the rerun must skip the (idempotent)
+    # delta-meta block and continue from the snapshot
+    chaos_kill_once(f"delta_meta_e{epoch}")
 
     # advance the bucketed snapshot (compaction fallback + next-delta base)
     _update_snapshot(index_root, delta_paths, epoch,

@@ -1,9 +1,43 @@
 import os
 import sys
+import time
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_BUSY = "/tmp/si_builder_busy"
+
+
+def pytest_sessionstart(session):
+    """Hold the builder-busy flag for the whole pytest run so the
+    background scaling hunt (tools/scaling_hunt.py) never starts a
+    measurement pair while tests are loading the box — and, symmetrically,
+    so test-spawned Ray clusters (chaos subprocesses) aren't starved by a
+    hunt trial's legs (observed: merger chaos test flaking only when a
+    trial co-ran)."""
+    try:
+        with open(_BUSY, "w") as f:
+            f.write(f"pytest {os.getpid()}\n")
+    except OSError:
+        pass
+    # If a hunt measurement pair is already in flight, wait it out
+    # (bounded) instead of running tests against a saturated box.
+    lock = "/tmp/si_scaling_pair.lock"
+    deadline = time.monotonic() + float(
+        os.environ.get("SI_TEST_LOCK_WAIT_S", "360"))
+    while os.path.exists(lock) and time.monotonic() < deadline:
+        time.sleep(5)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        if os.path.exists(_BUSY):
+            with open(_BUSY) as f:
+                if f.read().startswith("pytest"):
+                    os.unlink(_BUSY)
+    except OSError:
+        pass
 
 
 @pytest.fixture(scope="session")

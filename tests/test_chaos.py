@@ -90,6 +90,84 @@ ray.shutdown()
 """
 
 
+_EPOCH_SCRIPT = r"""
+import hashlib, json, os, sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from search_ingest_ray.pipelines.epochs import (apply_delta_epoch,
+    epoch_chain, latest_epoch, snapshot_dir)
+from search_ingest_ray.query.multi import MultiEpochSearcher
+
+work = sys.argv[1]
+root = os.path.join(work, "idx")
+data = os.path.join(work, "data")
+os.makedirs(data, exist_ok=True)
+
+# deterministic inputs: same seed => bit-identical data in every run and
+# every crash-rerun (files are also written atomically + kept if present)
+rng = np.random.default_rng(5)
+vocab = [f"w{i}" for i in range(40)]
+def txt():
+    return " ".join(rng.choice(vocab, size=int(rng.integers(6, 24))))
+
+def _write(name, cols):
+    p = os.path.join(data, name)
+    if not os.path.exists(p):
+        pq.write_table(pa.table(cols), p + ".tmp")
+        os.replace(p + ".tmp", p)
+    return p
+
+base = _write("base.parquet", {
+    "url": [f"u{i}" for i in range(120)],
+    "text": [txt() for _ in range(120)]})
+d1 = _write("d1.parquet", {
+    "url": [f"u{i}" for i in range(30)] + ["u200", "u201"],
+    "text": [txt() for _ in range(32)],
+    "epoch": pa.array([1] * 32, pa.int64()),
+    "action": ["upsert"] * 25 + ["delete"] * 5 + ["upsert"] * 2})
+d2 = _write("d2.parquet", {
+    "url": [f"u{i}" for i in range(10, 40)] + ["u202"],
+    "text": [txt() for _ in range(31)],
+    "epoch": pa.array([2] * 31, pa.int64()),
+    "action": ["upsert"] * 28 + ["delete"] * 2 + ["upsert"]})
+
+KW = dict(id_col="url", analyzer="simple", num_term_partitions=2,
+          num_buckets=8, hot_df_threshold=10**9)
+apply_delta_epoch(root, None, 0, base_paths=[base], mode="full", **KW)
+apply_delta_epoch(root, [d1], 1, mode="full", **KW)
+apply_delta_epoch(root, [d2], 2, mode="delta", **KW)
+
+ms = MultiEpochSearcher(root)
+results = []
+for terms in (["w1", "w7"], ["w3"], ["w12", "w20", "w33"], ["w5", "w8"]):
+    d, sc = ms.search_terms(terms, k=12)
+    results.append([terms, [int(x) for x in d],
+                    [round(float(x), 9) for x in sc]])
+
+latest = latest_epoch(root)
+snap_files = sorted(
+    os.path.join(r, f) for r, _, fs in os.walk(snapshot_dir(root, latest))
+    for f in fs if f.endswith(".parquet"))
+tbl = pa.concat_tables([pq.read_table(f, columns=["url", "text"])
+                        for f in snap_files])
+rows = sorted(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+chaos_dir = os.environ.get("SI_CHAOS_DIR")
+print("RESULT " + json.dumps({
+    "stats": {"n_docs": int(ms.stats["n_docs"]),
+              "total_tokens": int(ms.stats["total_tokens"])},
+    "results": results,
+    "snapshot_fp": hashlib.md5(json.dumps(rows).encode()).hexdigest(),
+    "n_rows": len(rows),
+    "chain": epoch_chain(root),
+    "killed": sorted(os.listdir(chaos_dir)) if chaos_dir else [],
+}))
+ray.shutdown()
+"""
+
+
 def _run(corpus_dir: str, root: str, chaos_dir: str | None,
          script: str = _SCRIPT) -> dict:
     env = dict(os.environ)
@@ -118,6 +196,58 @@ def test_worker_death_mid_build_yields_identical_index(corpus_dir, tmp_path):
     # ...and the recovered index is indistinguishable from the clean one
     assert chaos["stats"] == clean["stats"]
     assert chaos["segments"] == clean["segments"]
+    assert chaos["results"] == clean["results"]
+
+
+def _run_until_done(work: str, chaos_dir: str | None,
+                    max_attempts: int = 12) -> dict:
+    """Re-run _EPOCH_SCRIPT until it completes — each crash-rerun must make
+    progress (a new kill flag) or the failure is a real bug."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    if chaos_dir:
+        env["SI_CHAOS_DIR"] = chaos_dir
+    else:
+        env.pop("SI_CHAOS_DIR", None)
+    flags_seen = -1
+    for _ in range(max_attempts):
+        out = subprocess.run(
+            [sys.executable, "-c", _EPOCH_SCRIPT, work],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+        if out.returncode == 0:
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("RESULT ")][-1]
+            return json.loads(line[len("RESULT "):])
+        assert chaos_dir is not None, out.stderr[-4000:]
+        n = len(os.listdir(chaos_dir))
+        assert n > flags_seen, (
+            f"crashed without a new kill flag (rc={out.returncode}):\n"
+            + out.stderr[-4000:])
+        flags_seen = n
+    raise AssertionError("epoch chaos run never completed")
+
+
+def test_epoch_apply_driver_crashes_resume_identically(tmp_path):
+    """The DRIVER process dies (os._exit) at every epoch-apply commit
+    point — partial snapshot written without its done marker, snapshot
+    committed without an index, delta dead-set committed without a
+    snapshot — across a full→full→delta chain; each rerun resumes from
+    the markers/manifests and the final chain is indistinguishable from
+    a never-crashed run (worker kills inside the first index build fire
+    too, covering both failure domains in one chain)."""
+    chaos_dir = str(tmp_path / "chaos")
+    os.makedirs(chaos_dir)
+    clean = _run_until_done(str(tmp_path / "w_clean"), None)
+    chaos = _run_until_done(str(tmp_path / "w_chaos"), chaos_dir)
+    for flag in ("killed_snapshot_e0", "killed_epoch_prebuild_e0",
+                 "killed_snapshot_e1", "killed_epoch_prebuild_e1",
+                 "killed_delta_meta_e2", "killed_snapshot_e2"):
+        assert flag in chaos["killed"], chaos["killed"]
+    assert clean["killed"] == []
+    assert chaos["stats"] == clean["stats"]
+    assert chaos["chain"] == clean["chain"]
+    assert chaos["n_rows"] == clean["n_rows"]
+    assert chaos["snapshot_fp"] == clean["snapshot_fp"]
     assert chaos["results"] == clean["results"]
 
 
