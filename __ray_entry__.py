@@ -1859,6 +1859,46 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_wet_ingest(sf_dir: str):
+    """WET source round-trip (sources/wet.py — Common Crawl ISO-28500
+    WARC conversion records): each document batch is rendered as a
+    gzipped WET shard and parsed back inside the same map_batches task,
+    proving the framing byte-exact via an md5-low64 hash of the
+    recovered text (DuckDB ``md5_number_lower`` parity).  Zero driver
+    materialization and zero shuffle; the file-based reader
+    (``read_wet``, one shard per task) shares this parser and is
+    pytest-covered (tests/test_wet.py)."""
+    import gzip
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_ingest_ray.functions.dedup import content_hash_batch
+    from search_ingest_ray.sources.wet import parse_warc, wet_bytes
+
+    def rt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls = [f"http://ex.org/{i}" for i in ids]
+        shard = gzip.compress(
+            wet_bytes(urls, batch["text"].to_pylist()), compresslevel=1)
+        rec = parse_warc(shard)
+        out = pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[1])
+                                for u in rec["url"]], pa.int64()),
+            "text": pa.array(rec["text"], pa.string()),
+        })
+        out = content_hash_batch(out, text_col="text", out_col="text_hash")
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "text_hash": out["text_hash"],
+            "n_chars": pc.cast(pc.utf8_length(out["text"]), pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
 def q_ann_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -2270,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "wet_ingest": q_wet_ingest,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -4114,6 +4155,13 @@ ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
         # (util.tok_hash_sql == md5_number_lower), recursive-CTE power
         # table, and 32-bit-split modular multiplication (_mulmod64) for
         # every 64x64-bit product (numpy wrap-around semantics)
+        "wet_ingest": """
+SELECT doc_id,
+       (md5_number_lower(text)::HUGEINT
+        % 9223372036854775808::HUGEINT)::BIGINT AS text_hash,
+       length(text)::BIGINT AS n_chars
+FROM documents
+""",
         "fingerprint": f"""
 WITH RECURSIVE base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 maxn AS (SELECT greatest(coalesce(max(len(toks)), 1), 1) AS m FROM base),
