@@ -2154,6 +2154,259 @@ def q_video_features(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def _pa_mod(arr, n: int):
+    """Arrow int64 modulo (pyarrow.compute has no mod kernel): a-(a//n)*n.
+    Inputs are non-negative doc_ids, so truncating divide ≡ SQL ``%``."""
+    import pyarrow.compute as pc
+    nn = pa.scalar(n, pa.int64())
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, nn), nn))
+
+
+def _messy_urls(doc_ids) -> tuple[pa.Array, str]:
+    """Deterministic noisy crawl-URL per doc_id, fully Arrow-vectorized,
+    plus the byte-identical DuckDB construction (the pair is the test
+    harness for functions/urltools.py: mixed-case scheme/host, default +
+    non-default ports, duplicate slashes, trailing slash, tracking params,
+    fragments — every alias class the canonicalizer must fold)."""
+    import pyarrow.compute as pc
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    d = doc_ids
+    m = {k: _pa_mod(d, k) for k in (2, 3, 4, 5, 6, 7, 11, 50, 97)}
+    s = lambda arr: pc.cast(arr, pa.string())  # noqa: E731
+    i64 = lambda v: pa.scalar(v, pa.int64())   # noqa: E731
+    scheme = pc.if_else(
+        pc.equal(m[4], i64(0)), "http",
+        pc.if_else(pc.equal(m[4], i64(1)), "HTTP",
+                   pc.if_else(pc.equal(m[4], i64(2)), "https", "HTTPS")))
+    host = pc.if_else(
+        pc.equal(m[3], i64(0)),
+        pc.binary_join_element_wise("Host", s(m[97]), ".Example.COM", ""),
+        pc.binary_join_element_wise("host", s(m[97]), ".example.com", ""))
+    def_port = pc.if_else(pc.greater_equal(m[4], i64(2)), ":443", ":80")
+    port = pc.if_else(
+        pc.equal(m[5], i64(0)), def_port,
+        pc.if_else(pc.equal(m[5], i64(1)), ":8080", ""))
+    path = pc.binary_join_element_wise(
+        "/p", pc.if_else(pc.equal(m[7], i64(0)), "//", "/"), s(m[50]), "")
+    trail = pc.if_else(pc.equal(m[6], i64(0)), "/", "")
+    query = pc.if_else(
+        pc.equal(m[3], i64(0)),
+        pc.binary_join_element_wise("?utm_source=feed&ref=", s(m[11]), ""),
+        pc.if_else(
+            pc.equal(m[3], i64(1)),
+            pc.binary_join_element_wise("?ref=", s(m[11]),
+                                        "&utm_campaign=x", ""),
+            ""))
+    frag = pc.if_else(
+        pc.equal(m[2], i64(0)),
+        pc.binary_join_element_wise("#sec", s(m[5]), ""), "")
+    urls = pc.binary_join_element_wise(
+        scheme, "://", host, port, path, trail, query, frag, "")
+    return urls, _MESSY_URL_SQL
+
+
+# byte-identical DuckDB construction of _messy_urls (doc_id is the only input)
+_MESSY_URL_SQL = (
+        "(CASE doc_id%4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'"
+        " WHEN 2 THEN 'https' ELSE 'HTTPS' END)"
+        " || '://' ||"
+        " (CASE WHEN doc_id%3=0 THEN 'Host'||CAST(doc_id%97 AS VARCHAR)"
+        "||'.Example.COM'"
+        " ELSE 'host'||CAST(doc_id%97 AS VARCHAR)||'.example.com' END)"
+        " || (CASE WHEN doc_id%5=0 THEN"
+        " (CASE WHEN doc_id%4>=2 THEN ':443' ELSE ':80' END)"
+        " WHEN doc_id%5=1 THEN ':8080' ELSE '' END)"
+        " || '/p' || (CASE WHEN doc_id%7=0 THEN '//' ELSE '/' END)"
+        " || CAST(doc_id%50 AS VARCHAR)"
+        " || (CASE WHEN doc_id%6=0 THEN '/' ELSE '' END)"
+        " || (CASE WHEN doc_id%3=0 THEN"
+        " '?utm_source=feed&ref='||CAST(doc_id%11 AS VARCHAR)"
+        " WHEN doc_id%3=1 THEN"
+        " '?ref='||CAST(doc_id%11 AS VARCHAR)||'&utm_campaign=x'"
+        " ELSE '' END)"
+        " || (CASE WHEN doc_id%2=0 THEN '#sec'||CAST(doc_id%5 AS VARCHAR)"
+        " ELSE '' END)")
+
+
+def _crawl_urls(doc_ids) -> pa.Array:
+    """Collision-bearing crawl URLs: the canonical form depends ONLY on
+    ``k = doc_id % 40`` (40 distinct pages), while the alias noise — case,
+    default ports, duplicate/trailing slashes, tracking params, fragments —
+    varies per doc_id.  ~12 crawls alias each canonical URL at sf0.001, so
+    ``url_dedup`` genuinely folds.  Mirrored byte-identically by
+    ``_CRAWL_URL_SQL``."""
+    import pyarrow.compute as pc
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    d = doc_ids
+    k = _pa_mod(d, 40)
+    s = lambda arr: pc.cast(arr, pa.string())  # noqa: E731
+    i64 = lambda v: pa.scalar(v, pa.int64())   # noqa: E731
+    https = pc.equal(_pa_mod(k, 2), i64(1))
+    upper = pc.equal(_pa_mod(d, 2), i64(1))
+    scheme = pc.if_else(
+        https, pc.if_else(upper, "HTTPS", "https"),
+        pc.if_else(upper, "HTTP", "http"))
+    host = pc.if_else(
+        pc.equal(_pa_mod(d, 3), i64(0)),
+        pc.binary_join_element_wise("Site", s(_pa_mod(k, 7)),
+                                    ".Example.COM", ""),
+        pc.binary_join_element_wise("site", s(_pa_mod(k, 7)),
+                                    ".example.com", ""))
+    port = pc.if_else(
+        pc.equal(_pa_mod(d, 5), i64(0)),
+        pc.if_else(https, ":443", ":80"), "")
+    path = pc.binary_join_element_wise(
+        "/p", pc.if_else(pc.equal(_pa_mod(d, 7), i64(0)), "//", "/"),
+        s(k), "")
+    has_q = pc.equal(_pa_mod(k, 3), i64(0))
+    trail = pc.if_else(
+        pc.and_(pc.equal(_pa_mod(d, 6), i64(0)), pc.invert(has_q)), "/", "")
+    ref = pc.binary_join_element_wise("?ref=", s(_pa_mod(k, 11)), "")
+    query = pc.if_else(
+        has_q,
+        pc.if_else(
+            pc.equal(_pa_mod(d, 3), i64(0)),
+            pc.binary_join_element_wise("?utm_source=feed&ref=",
+                                        s(_pa_mod(k, 11)), ""),
+            pc.if_else(
+                pc.equal(_pa_mod(d, 3), i64(1)),
+                pc.binary_join_element_wise(ref, "&utm_campaign=x", ""),
+                ref)),
+        pc.if_else(pc.equal(_pa_mod(d, 3), i64(0)), "?utm_source=feed", ""))
+    frag = pc.if_else(
+        pc.equal(_pa_mod(d, 2), i64(0)),
+        pc.binary_join_element_wise("#s", s(_pa_mod(d, 5)), ""), "")
+    return pc.binary_join_element_wise(
+        scheme, "://", host, port, path, trail, query, frag, "")
+
+
+_CRAWL_URL_SQL = (
+    "(CASE WHEN (doc_id%40)%2=1 THEN"
+    " (CASE WHEN doc_id%2=1 THEN 'HTTPS' ELSE 'https' END)"
+    " ELSE (CASE WHEN doc_id%2=1 THEN 'HTTP' ELSE 'http' END) END)"
+    " || '://' ||"
+    " (CASE WHEN doc_id%3=0 THEN"
+    " 'Site'||CAST((doc_id%40)%7 AS VARCHAR)||'.Example.COM'"
+    " ELSE 'site'||CAST((doc_id%40)%7 AS VARCHAR)||'.example.com' END)"
+    " || (CASE WHEN doc_id%5=0 THEN"
+    " (CASE WHEN (doc_id%40)%2=1 THEN ':443' ELSE ':80' END)"
+    " ELSE '' END)"
+    " || '/p' || (CASE WHEN doc_id%7=0 THEN '//' ELSE '/' END)"
+    " || CAST(doc_id%40 AS VARCHAR)"
+    " || (CASE WHEN doc_id%6=0 AND (doc_id%40)%3<>0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN (doc_id%40)%3=0 THEN"
+    " (CASE WHEN doc_id%3=0 THEN"
+    " '?utm_source=feed&ref='||CAST((doc_id%40)%11 AS VARCHAR)"
+    " WHEN doc_id%3=1 THEN"
+    " '?ref='||CAST((doc_id%40)%11 AS VARCHAR)||'&utm_campaign=x'"
+    " ELSE '?ref='||CAST((doc_id%40)%11 AS VARCHAR) END)"
+    " ELSE (CASE WHEN doc_id%3=0 THEN '?utm_source=feed' ELSE '' END) END)"
+    " || (CASE WHEN doc_id%2=0 THEN '#s'||CAST(doc_id%5 AS VARCHAR)"
+    " ELSE '' END)")
+
+
+# DuckDB mirror of functions/urltools.canonicalize_urls — the SAME RE2 op
+# sequence (documented contract), applied to a column named ``url``.
+_CANON_NOISE_SQL = (
+    r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    r"regexp_replace(url, '#.*$', '', 'g'),"
+    r" '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*',"
+    r" '\1', 'g'),"
+    r" '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g')")
+_URL_PARTS_SQL = "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$'"
+_CANON_SQL_CTE = f"""
+  noise AS (SELECT doc_id, {_CANON_NOISE_SQL} AS s FROM messy),
+  parts AS (SELECT doc_id,
+                   lower(regexp_extract(s, {_URL_PARTS_SQL}, 1)) AS scheme,
+                   lower(regexp_extract(s, {_URL_PARTS_SQL}, 2)) AS hostport,
+                   regexp_extract(s, {_URL_PARTS_SQL}, 3) AS rest
+            FROM noise),
+  canon AS (SELECT doc_id, scheme,
+                   CASE WHEN scheme='http'
+                        THEN regexp_replace(hostport, ':80$', '', 'g')
+                        WHEN scheme='https'
+                        THEN regexp_replace(hostport, ':443$', '', 'g')
+                        ELSE hostport END AS hostc,
+                   regexp_replace(regexp_replace(regexp_replace(rest,
+                     '/{{2,}}', '/', 'g'), '^(.*[^/])/$', '\\1', 'g'),
+                     '^/$', '', 'g') AS restc
+            FROM parts),
+  curl AS (SELECT doc_id,
+                  scheme || '://' || hostc || restc AS canon_url,
+                  regexp_replace(hostc, ':[0-9]+$', '', 'g') AS host
+           FROM canon)"""
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization (functions/urltools.py): deterministic noisy
+    crawl URLs per doc_id → canonical form + host + registrable domain.
+    One map_batches pass, a fixed sequence of RE2 kernels, zero shuffle —
+    the per-row cost is identical at 500 rows and 10^12 rows."""
+    from search_ingest_ray.functions.urltools import (
+        canonicalize_urls, host_of, registered_domain_of)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        urls, _ = _messy_urls(batch["doc_id"])
+        canon = canonicalize_urls(urls)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "canon_url": canon,
+            "host": host_of(canon),
+            "domain": registered_domain_of(canon),
+        })
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (keep the NEWEST crawl of each canonical URL):
+    the crawl-corpus analog of the reference's last-write-wins upsert
+    (reference ``table.cr:63-83``).  Reuses partitioned_fold — the one
+    shuffle moves each row once, keyed by a hash of the canonical URL;
+    doc_ids collide mod 50 per host so every canonical key sees multiple
+    crawls."""
+    from search_ingest_ray.functions.urltools import canonical_url_dedup
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        urls = _crawl_urls(batch["doc_id"])
+        ts = pc.add(batch["doc_id"], pa.scalar(1577836800, pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"], "url": urls,
+                         "crawl_ts": ts})
+
+    ds = _docs(sf_dir).select_columns(["doc_id"]) \
+        .map_batches(add_cols, batch_format="pyarrow")
+    out = canonical_url_dedup(ds, url_col="url", ts_col="crawl_ts",
+                              tiebreak_cols=("doc_id",))
+    return out.select_columns(["canon_url", "doc_id", "crawl_ts"])
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host corpus statistics over canonicalized URLs: in-batch
+    partial aggregation (one row per (block, host)) before the tiny
+    per-host groupby-sum — the shuffle moves #hosts×#blocks rows, never
+    per-doc."""
+    from search_ingest_ray.functions.urltools import canonicalize_urls, host_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls, _ = _messy_urls(batch["doc_id"])
+        t = pa.table({"host": host_of(canonicalize_urls(urls)),
+                      "n_chars": batch["n_chars"]})
+        g = t.group_by("host").aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["host", "n_pages", "total_chars"])
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    g = ds.groupby("host").sum(["n_pages", "total_chars"])
+    return g.map_batches(
+        lambda t: t.rename_columns(["host", "n_pages", "total_chars"]),
+        batch_format="pyarrow")
+
+
 def q_webpage_build(sf_dir: str):
     """F0 corpus: extract html→text (byte-identity) + index build smoke on
     a small deterministic synthetic corpus (rows-only; the real assertions
@@ -2311,6 +2564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "wet_ingest": q_wet_ingest,
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
+        "host_stats": q_host_stats,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -4161,6 +4417,27 @@ SELECT doc_id,
         % 9223372036854775808::HUGEINT)::BIGINT AS text_hash,
        length(text)::BIGINT AS n_chars
 FROM documents
+""",
+        "url_canon": f"""
+WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+{_CANON_SQL_CTE}
+SELECT doc_id, canon_url, host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM curl
+""",
+        "url_dedup": f"""
+WITH messy AS (SELECT doc_id, {_CRAWL_URL_SQL} AS url FROM documents),
+{_CANON_SQL_CTE}
+SELECT canon_url, max(doc_id) AS doc_id,
+       max(doc_id) + 1577836800 AS crawl_ts
+FROM curl GROUP BY canon_url
+""",
+        "host_stats": f"""
+WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+{_CANON_SQL_CTE}
+SELECT host, count(*) AS n_pages,
+       cast(sum(d.n_chars) AS bigint) AS total_chars
+FROM curl JOIN documents d USING (doc_id) GROUP BY host
 """,
         "fingerprint": f"""
 WITH RECURSIVE base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

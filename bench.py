@@ -232,7 +232,9 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # fourth continuation session: hybrid retrieval, LM
                  # quality, remaining exact-integer aggs
                  "rrf_hybrid", "unigram_ppl", "matrix_stats",
-                 "top_metrics", "mad"]:
+                 "top_metrics", "mad",
+                 # fifth continuation session: URL canonicalization family
+                 "url_canon", "url_dedup", "host_stats"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
