@@ -103,3 +103,53 @@ def test_canonical_url_dedup_keeps_newest(ray_session):
         "http://site1.ex.com/p/1": (1022, 22),
         "http://site2.ex.com/p/2": (1023, 23),
     }
+
+
+# --- SQL-mirror property: the DuckDB oracle replays the SAME RE2 op
+# sequence; prove byte-equality on arbitrary adversarial URLs, not just the
+# synthetic generators in __ray_entry__.py.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~:/?#[]@!$&'()*+,;=%é中 ",
+    min_size=0, max_size=40)
+_urls = st.one_of(
+    _url_chars,
+    st.builds(
+        lambda sch, host, port, path, q, f: f"{sch}://{host}{port}{path}{q}{f}",
+        st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", "hTTpS"]),
+        st.from_regex(r"[A-Za-z0-9.\-]{1,12}", fullmatch=True),
+        st.sampled_from(["", ":80", ":443", ":8080", ":0080"]),
+        st.from_regex(r"(/[A-Za-z0-9._~%/]{0,10}){0,3}/?", fullmatch=True),
+        st.sampled_from(["", "?utm_source=a", "?a=1&utm_b=2&b=2",
+                         "?utm_x=1&utm_y=2", "?&&a=1&", "?fbclid=x",
+                         "?gclid=1&msclkid=2&mc_eid=3"]),
+        st.sampled_from(["", "#f", "#a#b", "#utm_source=keep"])))
+
+
+def _sql_canon(urls: list[str]) -> list[str]:
+    import duckdb
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    con.register("messy_in", pa.table({
+        "doc_id": pa.array(range(len(urls)), pa.int64()),
+        "url": pa.array(urls, pa.string())}))
+    rows = con.execute(
+        "WITH messy AS (SELECT * FROM messy_in)," + e._CANON_SQL_CTE +
+        """
+        SELECT m.doc_id,
+               CASE WHEN regexp_matches(n.s, """ + e._URL_PARTS_SQL + """)
+                    THEN c.canon_url ELSE n.s END AS canon_url
+        FROM messy m JOIN noise n USING (doc_id) JOIN curl c USING (doc_id)
+        ORDER BY m.doc_id""").fetchall()
+    con.close()
+    return [r[1] for r in rows]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_urls, min_size=1, max_size=8))
+def test_sql_mirror_byte_equal(urls):
+    got = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
+    assert got == _sql_canon(urls)
