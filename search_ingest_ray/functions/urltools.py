@@ -123,11 +123,17 @@ def registered_domain_of(urls) -> pa.Array:
 def add_canonical_columns(batch: pa.Table, *, url_col: str = "url",
                           canon_col: str = "canon_url",
                           host_col: str | None = "host") -> pa.Table:
-    """``map_batches`` kernel: append canonical-url (+host) columns."""
+    """``map_batches`` kernel: append canonical-url (+host) columns
+    (replacing them if already present, so the kernel is idempotent)."""
+    def put(t: pa.Table, name: str, col) -> pa.Table:
+        if name in t.column_names:
+            return t.set_column(t.column_names.index(name), name, col)
+        return t.append_column(name, col)
+
     canon = canonicalize_urls(batch[url_col])
-    batch = batch.append_column(canon_col, canon)
+    batch = put(batch, canon_col, canon)
     if host_col:
-        batch = batch.append_column(host_col, host_of(canon))
+        batch = put(batch, host_col, host_of(canon))
     return batch
 
 
