@@ -2407,6 +2407,38 @@ def q_host_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_json_fields(sf_dir: str):
+    """Schema-on-read JSON projection (functions/jsonfields.py — the
+    reference's RethinkDB-JSON→typed-ES-fields job, schemas.cr
+    type_mapping): extract ``props.k`` as int64 with a vectorized Rust
+    JSONPath kernel, then per-bucket stats with in-batch partials before
+    the tiny groupby — payload bytes never reach the shuffle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from search_ingest_ray.functions.jsonfields import extract_json_fields
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = extract_json_fields(batch, json_col="props",
+                                fields={"k": ("$.k", "int64")})
+        t = pa.table({
+            "k_bucket": _pa_mod(b["k"], 10),
+            "value_micro": pc.cast(
+                pc.floor(pc.multiply(b["value"], pa.scalar(1e6))),
+                pa.int64()),
+        })
+        g = t.group_by("k_bucket").aggregate(
+            [([], "count_all"), ("value_micro", "sum")])
+        return g.rename_columns(["k_bucket", "n", "value_micro_sum"])
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["props", "value"])
+    g = ds.map_batches(partial, batch_format="pyarrow") \
+          .groupby("k_bucket").sum(["n", "value_micro_sum"])
+    return g.map_batches(
+        lambda t: t.rename_columns(["k_bucket", "n", "value_micro_sum"]),
+        batch_format="pyarrow")
+
+
 def q_webpage_build(sf_dir: str):
     """F0 corpus: extract html→text (byte-identity) + index build smoke on
     a small deterministic synthetic corpus (rows-only; the real assertions
@@ -2567,6 +2599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
+        "json_fields": q_json_fields,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -4438,6 +4471,13 @@ WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
 SELECT host, count(*) AS n_pages,
        cast(sum(d.n_chars) AS bigint) AS total_chars
 FROM curl JOIN documents d USING (doc_id) GROUP BY host
+""",
+        "json_fields": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       cast(sum(cast(floor(value * 1e6) AS bigint)) AS bigint)
+         AS value_micro_sum
+FROM events GROUP BY 1
 """,
         "fingerprint": f"""
 WITH RECURSIVE base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

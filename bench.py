@@ -234,7 +234,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "rrf_hybrid", "unigram_ppl", "matrix_stats",
                  "top_metrics", "mad",
                  # fifth continuation session: URL canonicalization family
-                 "url_canon", "url_dedup", "host_stats"]:
+                 # + schema-on-read JSON projection
+                 "url_canon", "url_dedup", "host_stats", "json_fields"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)
