@@ -1726,6 +1726,20 @@ def q_span_dedup(sf_dir: str):
     return span_dedup(_docs(sf_dir), span_tokens=SPAN_TOKENS)
 
 
+LINE_MIN_DOCS = 3  # RefinedWeb removes lines duplicated across ≥N docs
+
+
+def q_line_dedup(sf_dir: str):
+    """RefinedWeb-style boilerplate-line removal (Penedo et al. 2023):
+    every 3-token span occurring in ≥ LINE_MIN_DOCS distinct docs is cut
+    from EVERY doc (frequency-threshold removal — no surviving copy,
+    unlike span_dedup's C4 first-wins).  Same two partition-keyed
+    exchanges; the doc-frequency count is one reduceat per partition."""
+    from search_ingest_ray.functions.dedup import line_dedup
+    return line_dedup(_docs(sf_dir), span_tokens=SPAN_TOKENS,
+                      min_docs=LINE_MIN_DOCS)
+
+
 PHRASE_TERMS = ("scan", "merge")
 
 
@@ -2584,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "gopher_rules": q_gopher_rules,
         "span_dedup": q_span_dedup,
+        "line_dedup": q_line_dedup,
         "token_jaccard": q_token_jaccard,
         "phrase_match": q_phrase_match,
         "phrase_common": q_phrase_common,
@@ -4410,6 +4425,33 @@ ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
                      (row_number() OVER (PARTITION BY span
                         ORDER BY doc_id, span_no) = 1) AS keep
               FROM spans)
+            SELECT d.doc_id, coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(s.n_kept, 0) AS n_kept,
+                   coalesce(s.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, count(*) AS n_spans,
+                     count(*) FILTER (WHERE keep) AS n_kept,
+                     coalesce(string_agg(span, ' ' ORDER BY span_no)
+                              FILTER (WHERE keep), '') AS text_clean
+              FROM marked GROUP BY doc_id) s USING (doc_id)""",
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents),
+            spans AS (
+              SELECT doc_id, i AS span_no,
+                     array_to_string(
+                       tk[i*{SPAN_TOKENS}+1 : i*{SPAN_TOKENS}+{SPAN_TOKENS}],
+                       ' ') AS span
+              FROM toks,
+                   UNNEST(range(CAST(ceil(len(tk)/{SPAN_TOKENS}.0) AS BIGINT)))
+                     AS t(i)),
+            freq AS (
+              SELECT span, count(DISTINCT doc_id) AS df
+              FROM spans GROUP BY span),
+            marked AS (
+              SELECT s.doc_id, s.span_no, s.span,
+                     (f.df < {LINE_MIN_DOCS}) AS keep
+              FROM spans s JOIN freq f USING (span))
             SELECT d.doc_id, coalesce(s.n_spans, 0) AS n_spans,
                    coalesce(s.n_kept, 0) AS n_kept,
                    coalesce(s.text_clean, '') AS text_clean

@@ -209,6 +209,76 @@ def span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
 
 
+# -- RefinedWeb/CCNet-style frequency-threshold line removal -----------------
+#
+# Penedo et al. 2023 (RefinedWeb) / Wenzek et al. 2020 (CCNet): a LINE that
+# occurs in many documents is boilerplate (nav bars, cookie banners, footers)
+# and is removed from EVERY document — no copy survives, unlike span_dedup's
+# C4 first-wins election.  The synthetic corpus has no newlines, so the
+# "line" unit is the same fixed-token span as span_dedup; on real web text
+# pass pre-split lines.
+
+
+def _line_mark_partition(group: pa.Table, *, min_docs: int) -> pa.Table:
+    """Winner marking for one span-hash partition: a (h, span) run whose
+    DISTINCT doc count is ≥ ``min_docs`` is dropped from every doc (keep =
+    False on ALL its rows).  Grouping on the span text as well keeps the
+    result exact under a 64-bit hash collision.  Sentinel rows (unique
+    negative per-doc hashes) form singleton runs and always keep.  One
+    sort + two adjacent-compare masks + one reduceat — no per-row Python."""
+    group = group.combine_chunks()
+    if group.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "span_no": pa.array([], pa.int64()),
+                         "span": pa.array([], pa.string()),
+                         "keep": pa.array([], pa.bool_())})
+    group = group.take(pc.sort_indices(
+        group, sort_keys=[("h", "ascending"), ("span", "ascending"),
+                          ("doc_id", "ascending"), ("span_no", "ascending")]))
+    from ..stages.fold import _run_firsts_mask
+    grp_first = _run_firsts_mask(group, ["h", "span"])
+    doc_first = _run_firsts_mask(group, ["h", "span", "doc_id"])
+    starts = np.flatnonzero(grp_first)
+    # distinct docs per (h, span) run = doc-first markers summed per run
+    df = np.add.reduceat(doc_first.astype(np.int64), starts)
+    run_keep = df < min_docs
+    # broadcast the run verdict back to rows
+    run_id = np.cumsum(grp_first) - 1
+    keep = run_keep[run_id]
+    return pa.table({"doc_id": group["doc_id"], "span_no": group["span_no"],
+                     "span": group["span"], "keep": pa.array(keep)})
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               span_tokens: int = 3, min_docs: int = 2,
+               num_partitions: int = 32):
+    """RefinedWeb-style boilerplate-line removal over a document Dataset:
+    every occurrence of a line (fixed-token span) present in ≥ ``min_docs``
+    distinct documents is cut, and documents are reassembled from their
+    surviving lines.
+
+    Same two partition-keyed exchanges as :func:`span_dedup` (span
+    co-location for the doc-frequency count, doc co-location for
+    reassembly); the only new work per partition is one reduceat over
+    adjacent-compare masks.  Returns (doc_id, n_spans, n_kept,
+    text_clean), one row per input doc."""
+    rows = ds.map_batches(
+        functools.partial(_span_rows_batch, text_col=text_col, id_col=id_col,
+                          span_tokens=span_tokens,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    marked = rows.groupby(_PART_COL).map_groups(
+        functools.partial(_line_mark_partition, min_docs=min_docs),
+        batch_format="pyarrow")
+    tagged = marked.map_batches(
+        functools.partial(_tag_partition, key_cols=["doc_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(
+        lambda g: _span_reassemble_partition(g.drop_columns([_PART_COL])),
+        batch_format="pyarrow")
+
+
 # -- shared vectorized pair emission ----------------------------------------
 
 

@@ -548,6 +548,45 @@ def test_span_dedup_within_doc_repeat(rd):
     assert (r["n_spans"], r["n_kept"], r["text_clean"]) == (3, 1, "a b c")
 
 
+# -- RefinedWeb frequency-threshold line dedup --------------------------------
+
+
+def test_line_dedup_threshold_removes_all_copies(rd):
+    """A line in ≥ min_docs DISTINCT docs is removed from EVERY doc (no
+    first-wins survivor); below threshold every copy stays."""
+    from search_ingest_ray.functions.dedup import line_dedup
+    rows = [
+        (0, "nav bar x unique zero tail"),   # "nav bar x" in docs 0,1,2
+        (1, "nav bar x unique one tails"),
+        (2, "nav bar x"),                     # loses its only line
+        (3, "pair line y unique three t"),   # "pair line y" in docs 3,4 only
+        (4, "pair line y unique four tt"),
+        (5, ""),                              # zero tokens
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows])
+    got = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_clean"])
+           for r in line_dedup(ds, span_tokens=3, min_docs=3,
+                               num_partitions=4).take_all()}
+    assert got[0] == (2, 1, "unique zero tail")    # boilerplate cut from ALL
+    assert got[1] == (2, 1, "unique one tails")
+    assert got[2] == (1, 0, "")                    # no surviving copy anywhere
+    assert got[3] == (2, 2, "pair line y unique three t")  # df=2 < 3 → kept
+    assert got[4] == (2, 2, "pair line y unique four tt")
+    assert got[5] == (0, 0, "")
+
+
+def test_line_dedup_within_doc_repeats_count_once(rd):
+    """Doc-frequency is DISTINCT docs: a line repeated 3× inside one doc has
+    df=1 and survives intact (where span_dedup would cut the repeats)."""
+    from search_ingest_ray.functions.dedup import line_dedup
+    rows = [(7, "a b c a b c a b c")]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows])
+    (r,) = line_dedup(ds, span_tokens=3, min_docs=2,
+                      num_partitions=2).take_all()
+    assert (r["n_spans"], r["n_kept"], r["text_clean"]) == (
+        3, 3, "a b c a b c a b c")
+
+
 # -- Gopher rules -------------------------------------------------------------
 
 
