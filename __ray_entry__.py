@@ -520,6 +520,48 @@ def q_mad(sf_dir: str):
     return s.agg_mad(list(BM25_QUERY_TERMS), "n_chars")
 
 
+def q_boxplot(sf_dir: str):
+    """ES boxplot aggregation: min/q1/q2/q3/max of the match set's
+    n_chars docvalues, exact nearest-rank quartiles."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_boxplot(list(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_string_stats(sf_dir: str):
+    """ES string_stats aggregation over the match set's lang docvalue:
+    count, min/max/avg length (integer micro) and Shannon character
+    entropy in bits (sequential char-ascending IEEE sum, micro-floored —
+    mirrored literally by the oracle's running window sum)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.string_stats(list(BM25_QUERY_TERMS), "lang")
+
+
+def q_t_test(sf_dir: str):
+    """ES t_test aggregation (paired) between n_chars and doc_id over
+    the match set: exact bigint sufficient statistics + a fixed double
+    op sequence for the t statistic, micro-floored."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.t_test(list(BM25_QUERY_TERMS), "n_chars", "doc_id")
+
+
+SAMPLER_MAX_PER = 2
+SAMPLER_SHARD_SIZE = 7
+
+
+def q_sampler(sf_dir: str):
+    """ES diversified_sampler aggregation: at most SAMPLER_MAX_PER docs
+    per lang walking the match set in docid order, capped at
+    SAMPLER_SHARD_SIZE total."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.diversified_sampler(list(BM25_QUERY_TERMS), "lang",
+                                 max_per=SAMPLER_MAX_PER,
+                                 shard_size=SAMPLER_SHARD_SIZE)
+
+
 def q_agg_histogram(sf_dir: str):
     """ES histogram aggregation: n_chars bucketed at width 50 over the
     match set, empty buckets omitted (min_doc_count=1)."""
@@ -2537,6 +2579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": q_matrix_stats,
         "top_metrics": q_top_metrics,
         "mad": q_mad,
+        "boxplot": q_boxplot,
+        "string_stats": q_string_stats,
+        "t_test": q_t_test,
+        "sampler": q_sampler,
         "agg_histogram": q_agg_histogram,
         "date_histogram": q_date_histogram,
         "moving_avg": q_moving_avg,
@@ -3232,6 +3278,88 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             SELECT cast(c.n AS BIGINT) AS n, cast(med.med AS BIGINT) AS median,
                    cast(mad.mad AS BIGINT) AS mad
             FROM c, med, mad""",
+        "boxplot": f"""
+            WITH v AS (
+              SELECT n_chars AS x FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            c AS (SELECT count(*) AS n FROM v),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+            SELECT cast(c.n AS BIGINT) AS n,
+                   (SELECT cast(min(x) AS BIGINT) FROM v) AS min,
+                   (SELECT cast(x AS BIGINT) FROM r, c
+                    WHERE rn = greatest(cast(ceil(0.25 * c.n) AS BIGINT), 1))
+                     AS q1,
+                   (SELECT cast(x AS BIGINT) FROM r, c
+                    WHERE rn = greatest(cast(ceil(0.5 * c.n) AS BIGINT), 1))
+                     AS q2,
+                   (SELECT cast(x AS BIGINT) FROM r, c
+                    WHERE rn = greatest(cast(ceil(0.75 * c.n) AS BIGINT), 1))
+                     AS q3,
+                   (SELECT cast(max(x) AS BIGINT) FROM v) AS max
+            FROM c""",
+        "string_stats": f"""
+            WITH v AS (
+              SELECT lang AS s FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+                AND lang IS NOT NULL),
+            c AS (SELECT count(*) AS n, sum(length(s)) AS total_len,
+                         min(length(s)) AS min_len,
+                         max(length(s)) AS max_len FROM v),
+            ch AS (SELECT unnest(string_split(s, '')) AS ch FROM v),
+            cc AS (SELECT ch, count(*) AS cnt FROM ch GROUP BY ch),
+            tot AS (SELECT sum(cnt) AS t FROM cc),
+            terms AS (
+              SELECT ch, -((cnt / tot.t) * log2(cnt / tot.t)) AS term
+              FROM cc, tot),
+            ent AS (
+              SELECT sum(term) OVER (ORDER BY ch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS e,
+                     row_number() OVER (ORDER BY ch) AS rn,
+                     count(*) OVER () AS m
+              FROM terms)
+            SELECT cast(c.n AS BIGINT) AS n,
+                   cast(c.min_len AS BIGINT) AS min_len,
+                   cast(c.max_len AS BIGINT) AS max_len,
+                   cast((1000000 * c.total_len) // c.n AS BIGINT)
+                     AS avg_len_micro,
+                   cast(floor(ent.e * 1000000) AS BIGINT) AS entropy_micro
+            FROM c, ent WHERE ent.rn = ent.m""",
+        "t_test": f"""
+            WITH v AS (
+              SELECT cast(n_chars AS HUGEINT) - cast(doc_id AS HUGEINT) AS d
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+                AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            s AS (SELECT count(*) AS n, sum(d) AS sum_d,
+                         sum(d * d) AS sum_d2 FROM v)
+            SELECT cast(n AS BIGINT) AS n,
+                   cast(sum_d AS BIGINT) AS sum_d,
+                   cast(sum_d2 AS BIGINT) AS sum_d2,
+                   cast(floor(
+                     (cast(sum_d AS DOUBLE) / n)
+                     / sqrt(((cast(sum_d2 AS DOUBLE)
+                              - (cast(sum_d AS DOUBLE)
+                                 * cast(sum_d AS DOUBLE)) / n)
+                             / (n - 1)) / n)
+                     * 1000000) AS BIGINT) AS t_micro
+            FROM s""",
+        "sampler": f"""
+            WITH m AS (
+              SELECT doc_id, lang AS value FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+                AND lang IS NOT NULL),
+            r AS (SELECT doc_id, value,
+                         row_number() OVER (PARTITION BY value
+                                            ORDER BY doc_id) AS k
+                  FROM m),
+            s AS (SELECT doc_id, value FROM r WHERE k <= {SAMPLER_MAX_PER}
+                  ORDER BY doc_id LIMIT {SAMPLER_SHARD_SIZE})
+            SELECT doc_id, value FROM s ORDER BY doc_id""",
         "agg_histogram": f"""
             SELECT cast((n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL}
                         AS bigint) AS bucket,

@@ -1700,6 +1700,161 @@ class Searcher:
                          "mad": pa.array([int(dev[(n - 1) // 2])],
                                          pa.int64())})
 
+    def agg_boxplot(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``boxplot`` aggregation, exact nearest-rank flavor: min /
+        q1 / q2 / q3 / max of the match set's docvalues, quartiles at
+        1-based rank ``ceil(p/100 · n)`` (ES approximates with a
+        t-digest; nearest-rank is the deterministic exact analog — same
+        choice as agg_percentiles/agg_mad).  Returns one row
+        (n, min, q1, q2, q3, max), nulls dropped."""
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.int64()))
+        arr = np.sort(_int_docvals(vals))
+        n = int(arr.size)
+        if n == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()), "min": none,
+                             "q1": none, "q2": none, "q3": none,
+                             "max": none})
+
+        def q(p: int) -> int:
+            rank = int(np.ceil(p / 100 * n))
+            return int(arr[max(rank, 1) - 1])
+
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "min": pa.array([int(arr[0])], pa.int64()),
+                         "q1": pa.array([q(25)], pa.int64()),
+                         "q2": pa.array([q(50)], pa.int64()),
+                         "q3": pa.array([q(75)], pa.int64()),
+                         "max": pa.array([int(arr[-1])], pa.int64())})
+
+    def string_stats(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``string_stats`` aggregation over a string docvalue of the
+        match set: doc count, min/max length, integer-micro average
+        length, and Shannon entropy (bits) of the CHARACTER distribution
+        across all values.  Entropy is float by nature; SQL parity is
+        kept by fixing the IEEE op sequence (the geotile discipline):
+        per character ``term = -(p · log2 p)`` with ``p = c/total``
+        (exact ints → one double divide), then a SEQUENTIAL sum in
+        ascending character order (mirrored by the oracle's running
+        window sum), floored to micro.  Returns one row
+        (n, min_len, max_len, avg_len_micro, entropy_micro)."""
+        import math
+        docids = self._match_docids(terms)
+        vals = (self.fields.get(docids, [field])[field]
+                if docids.size else pa.array([], pa.string()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        n = len(vals)
+        if n == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "min_len": none, "max_len": none,
+                             "avg_len_micro": none, "entropy_micro": none})
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        total_len = int(lens.sum())
+        from collections import Counter
+        counts = Counter()
+        for s in vals.to_pylist():
+            counts.update(s)
+        total = sum(counts.values())
+        ent = 0.0
+        for ch in sorted(counts):           # sequential, char-ascending
+            p = counts[ch] / total
+            ent += -(p * math.log2(p))
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "min_len": pa.array([int(lens.min())], pa.int64()),
+            "max_len": pa.array([int(lens.max())], pa.int64()),
+            "avg_len_micro": pa.array([1_000_000 * total_len // n],
+                                      pa.int64()),
+            "entropy_micro": pa.array([math.floor(ent * 1_000_000)],
+                                      pa.int64()),
+        })
+
+    def t_test(self, terms: list[str], field_a: str,
+               field_b: str) -> pa.Table:
+        """ES ``t_test`` aggregation, ``"type": "paired"``: Student's t
+        over the per-doc differences ``a − b`` of two docvalue fields on
+        the match set (docs missing either field are dropped, as ES
+        does).  Sufficient statistics (n, Σd, Σd²) are exact Python
+        bigints; the t statistic is then a FIXED double op sequence —
+        ``mean = Σd/n``, ``var = (Σd² − (Σd·Σd)/n) / (n−1)``,
+        ``t = mean / sqrt(var/n)`` — mirrored literally by the SQL
+        oracle, floored to micro.  Returns one row
+        (n, sum_d, sum_d2, t_micro)."""
+        import math
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()), "sum_d": none,
+                             "sum_d2": none, "t_micro": none})
+        cols = self.fields.get(docids, [field_a, field_b])
+        a, aok = _int_docvals_aligned(cols[field_a])
+        b, bok = _int_docvals_aligned(cols[field_b])
+        ok = aok & bok
+        d = a[ok].astype(object) - b[ok].astype(object)  # Python bigints
+        n = int(ok.sum())
+        if n < 2:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([n], pa.int64()), "sum_d": none,
+                             "sum_d2": none, "t_micro": none})
+        sum_d = int(sum(d))
+        sum_d2 = int(sum(x * x for x in d))
+        # explicit float() casts mirror the oracle's CAST(.. AS DOUBLE)
+        # literally (Python's int/int true division rounds the exact
+        # quotient, which differs from double(cast)/n past 2^53)
+        sd, sd2 = float(sum_d), float(sum_d2)
+        mean = sd / n
+        var = (sd2 - (sd * sd) / n) / (n - 1)
+        t = mean / math.sqrt(var / n)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "sum_d": pa.array([sum_d], pa.int64()),
+                         "sum_d2": pa.array([sum_d2], pa.int64()),
+                         "t_micro": pa.array([math.floor(t * 1_000_000)],
+                                             pa.int64())})
+
+    def diversified_sampler(self, terms: list[str], field: str,
+                            max_per: int = 2,
+                            shard_size: int = 100) -> pa.Table:
+        """ES ``diversified_sampler`` aggregation, filter-context
+        deterministic flavor: walk the match set in docid order keeping
+        at most ``max_per`` docs per distinct ``field`` docvalue, capped
+        at ``shard_size`` total (ES de-dups by score order; filter
+        context has no score, so index order is the ES tie-break).
+        Vectorized: one stable sort + cumcount-per-value via
+        searchsorted arithmetic.  Returns (doc_id, value) in docid
+        order."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.string())})
+        vals = self.fields.get(docids, [field])[field]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        codes = vals.dictionary_encode()
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        code = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        null = ~vals.is_valid().to_numpy(zero_copy_only=False)
+        code[null] = -1                      # missing de-dup value: skipped
+        order = np.argsort(docids, kind="stable")
+        c_sorted = code[order]
+        # cumulative occurrence number of each value in docid order
+        seen = np.zeros_like(c_sorted)
+        for v in np.unique(c_sorted):
+            m = c_sorted == v
+            seen[m] = np.arange(m.sum())
+        keep = (c_sorted >= 0) & (seen < max_per)
+        idx = order[keep][:shard_size]
+        idx.sort()
+        return pa.table({
+            "doc_id": pa.array(docids[idx], pa.int64()),
+            "value": vals.take(pa.array(idx)),
+        })
+
     def agg_geotile(self, terms: list[str], field: str,
                     zoom: int = 4) -> pa.Table:
         """ES ``geotile_grid`` aggregation: bucket the match set's

@@ -361,6 +361,86 @@ def test_agg_percentiles_nearest_rank(stats_searcher):
         assert got[p] == exp, p
 
 
+def test_agg_boxplot_nearest_rank(stats_searcher):
+    t, s = stats_searcher
+    vals = sorted(_match_vals(t, ["merge", "scan"]))
+    n = len(vals)
+    out = s.agg_boxplot(["merge", "scan"], "n_chars").to_pylist()[0]
+    exp = {p: vals[max(int(np.ceil(p / 100 * n)), 1) - 1]
+           for p in (25, 50, 75)}
+    assert out == {"n": n, "min": vals[0], "q1": exp[25], "q2": exp[50],
+                   "q3": exp[75], "max": vals[-1]}
+    empty = s.agg_boxplot(["zzzznosuchterm"], "n_chars").to_pylist()[0]
+    assert empty["n"] == 0 and empty["q2"] is None
+
+
+def test_string_stats_entropy_vs_bruteforce(sf_dir, stats_searcher):
+    import math
+    t, s = stats_searcher
+    langs = [lg for txt, lg in zip(t["text"].to_pylist(),
+                                   t["lang"].to_pylist())
+             if any(x in set(tokenize_simple(txt or ""))
+                    for x in ("merge", "scan")) and lg is not None]
+    out = s.string_stats(["merge", "scan"], "lang").to_pylist()[0]
+    assert out["n"] == len(langs)
+    assert out["min_len"] == min(len(x) for x in langs)
+    assert out["max_len"] == max(len(x) for x in langs)
+    assert out["avg_len_micro"] == (
+        1_000_000 * sum(len(x) for x in langs) // len(langs))
+    cnt = Counter("".join(langs))
+    total = sum(cnt.values())
+    ent = 0.0
+    for ch in sorted(cnt):
+        p = cnt[ch] / total
+        ent += -(p * math.log2(p))
+    assert out["entropy_micro"] == math.floor(ent * 1_000_000)
+    # single distinct char ⇒ entropy exactly 0
+    one = s.string_stats(["zzzznosuchterm"], "lang").to_pylist()[0]
+    assert one["n"] == 0 and one["entropy_micro"] is None
+
+
+def test_t_test_paired_vs_bruteforce(wide_searcher):
+    import math
+    t, s = wide_searcher
+    ds = [v - d for txt, v, d in zip(t["text"].to_pylist(),
+                                     t["n_chars"].to_pylist(),
+                                     t["doc_id"].to_pylist())
+          if any(x in set(tokenize_simple(txt or ""))
+                 for x in ("merge", "scan"))]
+    out = s.t_test(["merge", "scan"], "n_chars", "doc_id").to_pylist()[0]
+    n, sum_d, sum_d2 = len(ds), sum(ds), sum(x * x for x in ds)
+    assert (out["n"], out["sum_d"], out["sum_d2"]) == (n, sum_d, sum_d2)
+    sd, sd2 = float(sum_d), float(sum_d2)
+    mean = sd / n
+    var = (sd2 - (sd * sd) / n) / (n - 1)
+    assert out["t_micro"] == math.floor(mean / math.sqrt(var / n) * 1e6)
+    assert s.t_test(["zzzznosuchterm"], "n_chars",
+                    "doc_id").to_pylist()[0]["t_micro"] is None
+
+
+def test_diversified_sampler_cap_semantics(stats_searcher):
+    t, s = stats_searcher
+    matched = sorted(
+        (d, lg) for txt, d, lg in zip(t["text"].to_pylist(),
+                                      t["doc_id"].to_pylist(),
+                                      t["lang"].to_pylist())
+        if any(x in set(tokenize_simple(txt or ""))
+               for x in ("merge", "scan")) and lg is not None)
+    seen: Counter = Counter()
+    want = []
+    for d, lg in matched:
+        if seen[lg] < 2:
+            seen[lg] += 1
+            want.append((d, lg))
+    want = want[:7]
+    out = s.diversified_sampler(["merge", "scan"], "lang",
+                                max_per=2, shard_size=7)
+    got = list(zip(out["doc_id"].to_pylist(), out["value"].to_pylist()))
+    assert got == want
+    # per-value cap holds
+    assert max(Counter(v for _, v in got).values()) <= 2
+
+
 def test_agg_top_hits_vs_bruteforce(sf_dir, stats_searcher):
     _, s = stats_searcher
     full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
