@@ -1188,6 +1188,32 @@ def q_date_histogram(sf_dir: str):
     return s.agg_date_histogram(["purchase"], "ts", HOUR_US)
 
 
+AUTO_DH_TARGET = 10
+
+
+def q_auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram over the purchase event stream: smallest
+    ladder interval whose potential bucket span fits AUTO_DH_TARGET
+    buckets, then exact bucket counts."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_auto_date_histogram(["purchase"], "ts",
+                                     target=AUTO_DH_TARGET)
+
+
+PINNED_IDS = (42, 7, 10**12)  # last id absent at every scale → dropped
+
+
+def q_pinned(sf_dir: str):
+    """ES pinned query: PINNED_IDS rank first in the given order (absent
+    ids dropped via one FieldStore.contains probe), then the organic
+    BM25 top-k excluding pinned ids."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.pinned(list(BM25_QUERY_TERMS), list(PINNED_IDS), k=BM25_K)
+
+
 MOVING_WINDOW = 3
 MOVING_MIN_N = 2
 
@@ -2585,6 +2611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler": q_sampler,
         "agg_histogram": q_agg_histogram,
         "date_histogram": q_date_histogram,
+        "auto_date_histogram": q_auto_date_histogram,
+        "pinned": q_pinned,
         "moving_avg": q_moving_avg,
         "facet_stats": q_facet_stats,
         "cardinality": q_cardinality,
@@ -3372,6 +3400,46 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY bucket ORDER BY bucket""",
+        "auto_date_histogram": f"""
+            WITH v AS (
+              SELECT epoch_us(ts) AS us FROM events
+              WHERE event_type = 'purchase'),
+            mm AS (SELECT min(us) AS lo, max(us) AS hi FROM v),
+            ladder(i) AS (VALUES
+              (1000000), (60000000), (300000000), (600000000),
+              (1800000000), (3600000000), (10800000000), (43200000000),
+              (86400000000), (604800000000), (2592000000000),
+              (7776000000000), (31536000000000)),
+            fit AS (SELECT i FROM ladder, mm
+                    WHERE hi // i - lo // i + 1 <= {AUTO_DH_TARGET}
+                    ORDER BY i LIMIT 1),
+            chosen AS (
+              SELECT coalesce((SELECT i FROM fit), 31536000000000) AS i)
+            SELECT cast(chosen.i AS BIGINT) AS interval_us,
+                   make_timestamp((us // chosen.i) * chosen.i) AS bucket,
+                   count(*) AS n
+            FROM v, chosen
+            GROUP BY 1, 2 ORDER BY bucket""",
+        "pinned": f"""
+            WITH {{bm25_ctes}},
+            pin(pid, pr) AS (VALUES
+              {", ".join(f"({i}, {r})"
+                         for r, i in enumerate(PINNED_IDS, 1))}),
+            kept AS (
+              SELECT pid, row_number() OVER (ORDER BY pr) AS krank
+              FROM pin WHERE pid IN (SELECT doc_id FROM documents)),
+            org AS (
+              SELECT scored.doc_id,
+                     row_number() OVER (ORDER BY s DESC, scored.doc_id)
+                       AS orank
+              FROM scored
+              WHERE scored.doc_id NOT IN (SELECT pid FROM kept)),
+            np AS (SELECT count(*) AS c FROM kept)
+            SELECT krank AS rank, pid AS doc_id, true AS pinned FROM kept
+            UNION ALL
+            SELECT orank + np.c, doc_id, false
+            FROM org, np WHERE orank <= {BM25_K}
+            ORDER BY rank""".replace("{bm25_ctes}", bm25_ctes),
         "moving_avg": f"""
 WITH h AS (
   SELECT date_trunc('hour', ts) AS bucket, count(*) AS n

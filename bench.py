@@ -235,7 +235,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "top_metrics", "mad",
                  # fifth continuation session: URL canonicalization family
                  # + schema-on-read JSON projection
-                 "url_canon", "url_dedup", "host_stats", "json_fields"]:
+                 "url_canon", "url_dedup", "host_stats", "json_fields",
+                 # sixth continuation session: RefinedWeb line dedup +
+                 # ES agg sweep completion
+                 "line_dedup", "boxplot", "string_stats", "t_test",
+                 "sampler"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -2056,6 +2056,71 @@ class Searcher:
             "n": pa.array(counts, pa.int64()),
         })
 
+    # ES auto_date_histogram rounding ladder (fixed-interval flavor of
+    # the calendar ladder {1s, 1m×{1,5,10,30}, 1h×{1,3,12}, 1d×{1,7}, …}),
+    # in microseconds, ascending
+    _AUTO_DH_LADDER = [
+        1_000_000, 60_000_000, 300_000_000, 600_000_000, 1_800_000_000,
+        3_600_000_000, 10_800_000_000, 43_200_000_000, 86_400_000_000,
+        604_800_000_000, 2_592_000_000_000, 7_776_000_000_000,
+        31_536_000_000_000]
+
+    def agg_auto_date_histogram(self, terms: list[str], field: str,
+                                target: int = 10) -> pa.Table:
+        """ES ``auto_date_histogram``: pick the SMALLEST ladder interval
+        whose potential bucket span ``max//i − min//i + 1`` over the
+        match set fits ``target`` buckets (ES's rounding-based estimate),
+        then bucket exactly like date_histogram.  The selection is a
+        scalar walk over min/max; deterministic, mirrored by the oracle's
+        ladder-VALUES scan.  Returns (interval_us, bucket, n), the chosen
+        interval repeated per row."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"interval_us": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64())})
+        vals = self.fields.get(docids, [field])[field]
+        if pa.types.is_floating(vals.type):
+            micros = _int_docvals(vals)
+        else:
+            if vals.type != pa.timestamp("us"):
+                vals = vals.cast(pa.timestamp("us"))
+            micros = _int_docvals(vals.cast(pa.int64()))
+        lo, hi = int(micros.min()), int(micros.max())
+        interval = self._AUTO_DH_LADDER[-1]
+        for i in self._AUTO_DH_LADDER:
+            if hi // i - lo // i + 1 <= target:
+                interval = i
+                break
+        buckets = (micros // interval) * interval
+        uniq, counts = np.unique(buckets, return_counts=True)
+        return pa.table({
+            "interval_us": pa.array([interval] * len(uniq), pa.int64()),
+            "bucket": pa.array(uniq, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    def pinned(self, terms: list[str], ids: list[int],
+               k: int = 10) -> pa.Table:
+        """ES ``pinned`` query: the given ids rank first (in the given
+        order, absent ids silently dropped — one
+        :meth:`FieldStore.contains` probe), then the organic BM25 top-k
+        EXCLUDING pinned ids.  Returns (rank, doc_id, pinned)."""
+        pin = list(dict.fromkeys(int(i) for i in ids))
+        arr = np.asarray(pin, dtype=np.int64)
+        present = (self.fields.contains(arr) if arr.size
+                   else np.zeros(0, dtype=bool))
+        kept = [i for i, ok in zip(pin, present) if ok]
+        d, _ = self.search_terms(terms, k=k + len(pin))
+        organic = [int(x) for x in d if int(x) not in set(kept)][:k]
+        out = kept + organic
+        return pa.table({
+            "rank": pa.array(range(1, len(out) + 1), pa.int64()),
+            "doc_id": pa.array(out, pa.int64()),
+            "pinned": pa.array([r < len(kept) for r in range(len(out))],
+                               pa.bool_()),
+        })
+
     def agg_moving_selected(self, terms: list[str], field: str,
                             interval_us: int, window: int,
                             min_n: int) -> pa.Table:

@@ -552,6 +552,62 @@ def test_agg_date_histogram_vs_bruteforce(ray_session, sf_dir):
     assert out["bucket"].cast("int64").to_pylist() == sorted(want)
 
 
+def test_auto_date_histogram_ladder(ray_session, tmp_path):
+    """The smallest ladder interval whose potential span fits the target
+    is chosen; extremes fall back to the ladder ends."""
+    import pyarrow as pa
+
+    from search_ingest_ray.index.build import build_index
+    # 90 events over ~45 minutes: 1s → 2700 potential buckets, 1m → 46,
+    # 5m → 10 — with target=10 the pick must be 5 minutes
+    vals = [i * 30_000_000 for i in range(90)]
+    t = pa.table({
+        "url": [f"u{i}" for i in range(len(vals))],
+        "text": ["alpha beta"] * len(vals),
+        "ts_us": pa.array(vals, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "docs.parquet")], root, analyzer="simple",
+                num_term_partitions=2, store_fields=["ts_us"])
+    s = Searcher(root)
+    out = s.agg_auto_date_histogram(["alpha"], "ts_us", target=10)
+    assert set(out["interval_us"].to_pylist()) == {300_000_000}
+    want = Counter((v // 300_000_000) * 300_000_000 for v in vals)
+    assert dict(zip(out["bucket"].cast("int64").to_pylist(),
+                    out["n"].to_pylist())) == dict(want)
+    assert sum(out["n"].to_pylist()) == len(vals)
+    # a huge target fits the smallest rung; a target of 1 forces year
+    fine = s.agg_auto_date_histogram(["alpha"], "ts_us", target=10**9)
+    assert set(fine["interval_us"].to_pylist()) == {1_000_000}
+    # target=1: the 45-min span first fits one bucket at the 1-hour rung
+    coarse = s.agg_auto_date_histogram(["alpha"], "ts_us", target=1)
+    assert set(coarse["interval_us"].to_pylist()) == {3_600_000_000}
+    assert coarse.num_rows == 1 and coarse["n"][0].as_py() == len(vals)
+    # empty match set → empty table, not an error
+    assert s.agg_auto_date_histogram(["zzz"], "ts_us").num_rows == 0
+
+
+def test_pinned_query_semantics(wide_searcher):
+    """Present pinned ids lead in the given order, absent ids drop, and
+    the organic tail is the BM25 top-k minus the pinned set."""
+    t, s = wide_searcher
+    organic, _ = s.search_terms(["merge", "scan"], k=10)
+    organic = [int(x) for x in organic]
+    pin = [organic[3], 10**12, organic[0]]  # absent id in the middle
+    out = s.pinned(["merge", "scan"], pin, k=10)
+    got = list(zip(out["rank"].to_pylist(), out["doc_id"].to_pylist(),
+                   out["pinned"].to_pylist()))
+    assert got[0] == (1, organic[3], True)
+    assert got[1] == (2, organic[0], True)
+    want_org = [d for d in organic if d not in (organic[0], organic[3])]
+    assert [d for _, d, p in got if not p][:len(want_org)] == want_org
+    assert all(r == i + 1 for i, (r, _, _) in enumerate(got))
+    # no pinned ids → pure organic
+    pure = s.pinned(["merge", "scan"], [], k=10)
+    assert pure["doc_id"].to_pylist() == organic
+
+
 def test_aggs_null_and_bigint_docvalues(ray_session, tmp_path):
     """Null docvalues must not break the aggs: top_hits skips docs whose
     group field is null (ES bucket semantics — and np.lexsort cannot
