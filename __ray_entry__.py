@@ -121,6 +121,40 @@ def q_bm25_topk(sf_dir: str):
     })
 
 
+def _q_similarity(sf_dir: str, similarity: str):
+    """Shared body of the similarity-module queries: same two-term query
+    and index as bm25_topk, scored under a non-BM25 similarity
+    (Searcher.search_similarity — the ES per-field `similarity` setting)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple")
+    s = Searcher(root)
+    d, sc = s.search_similarity(list(BM25_QUERY_TERMS), k=BM25_K,
+                                similarity=similarity)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
+def q_lmd_topk(sf_dir: str):
+    """LM Dirichlet similarity top-k (Lucene LMDirichletSimilarity,
+    mu=2000) — exact exhaustive scoring over the same index as
+    bm25_topk."""
+    return _q_similarity(sf_dir, "lmd")
+
+
+def q_lmjm_topk(sf_dir: str):
+    """LM Jelinek-Mercer similarity top-k (lambda=0.1)."""
+    return _q_similarity(sf_dir, "lmjm")
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Classic TF-IDF similarity top-k (Lucene ClassicSimilarity with
+    queryNorm dropped, as Lucene 8 did)."""
+    return _q_similarity(sf_dir, "classic")
+
+
 def q_bm25_sharded(sf_dir: str):
     """Scatter-gather sharded serving: the SAME top-k as bm25_topk, served
     by per-term-partition shard actors (each holding 1/P of the
@@ -2562,6 +2596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "bm25_topk": q_bm25_topk,
         "bm25_sharded": q_bm25_sharded,
+        "lmd_topk": q_lmd_topk,
+        "lmjm_topk": q_lmjm_topk,
+        "tfidf_topk": q_tfidf_topk,
         "bm25_chain": q_bm25_chain,
         "bool_chain": q_bool_chain,
         "suggest": q_suggest,
@@ -2764,6 +2801,48 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
 
     bm25 = bm25_sql()
 
+    # CTE prefix shared by the similarity-module oracles (lmd/lmjm/tfidf):
+    # identical toks/dl to bm25_ctes, plus per-term ttf (collection term
+    # frequency) and df over the SAME two query terms.  Each scored formula
+    # mirrors Searcher.search_similarity op-for-op (see its docstring).
+    sim_ctes = f"""toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks) AS t
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+ttf AS (SELECT term, cast(sum(tf) AS double) AS ttf,
+               count(*) AS df FROM tf GROUP BY term)"""
+
+    def sim_sql(score_expr: str) -> str:
+        return f"""
+WITH {sim_ctes},
+scored AS (
+  SELECT tf.doc_id, sum({score_expr}) AS s
+  FROM tf JOIN ttf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT scored.doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
+"""
+
+    mu, lam = 2000.0, 0.1
+    lmd = sim_sql(
+        f"greatest(0, ln(1 + tf.tf / ({mu} * ((ttf.ttf + 1) / (stats.t + 1))))"
+        f" + ln({mu} / (dl.dl + {mu})))")
+    lmjm = sim_sql(
+        f"ln(1 + ((1 - {lam}) * tf.tf / dl.dl)"
+        f" / ({lam} * ((ttf.ttf + 1) / (stats.t + 1))))")
+    tfidf = sim_sql(
+        "sqrt(tf.tf) * pow(1 + ln((stats.n + 1) / (ttf.df + 1)), 2)"
+        " / sqrt(dl.dl)")
+
     # -- constants for the hash-pipeline oracles (all data-independent:
     # interpolated as SQL literals, computed from the same seeds the engine
     # stages use) ------------------------------------------------------------
@@ -2874,6 +2953,9 @@ bands AS (
             GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
         "bm25_topk": bm25,
         "bm25_sharded": bm25,
+        "lmd_topk": lmd,
+        "lmjm_topk": lmjm,
+        "tfidf_topk": tfidf,
         "bm25_chain": f"""
 WITH final AS (
   SELECT doc_id,

@@ -239,7 +239,9 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # sixth continuation session: RefinedWeb line dedup +
                  # ES agg sweep completion
                  "line_dedup", "boxplot", "string_stats", "t_test",
-                 "sampler"]:
+                 "sampler",
+                 # seventh continuation session: similarity modules
+                 "lmd_topk", "lmjm_topk", "tfidf_topk"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

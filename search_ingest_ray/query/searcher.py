@@ -28,6 +28,7 @@ long-lived ES clients, /root/reference/src/search-ingest/elastic.cr:62-93).
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -566,6 +567,83 @@ class Searcher:
             # shard; downstream JSON encoders need real Arrow nulls
             cols[name] = _renull_int(vals)
         return pa.table(cols)
+
+    def search_similarity(self, terms: list[str], k: int = 10,
+                          similarity: str = "lmd", mu: float = 2000.0,
+                          lam: float = 0.1):
+        """Top-k under a non-BM25 similarity module — the engine-native
+        analog of ES's per-field ``similarity`` setting (``LMDirichlet``,
+        ``LMJelinekMercer``, ``classic`` TF-IDF, ``boolean``), selectable
+        per mapping field just as the reference's generated mappings could
+        (the reference delegates all scoring to ES; schemas.cr:211-222
+        declares the field types ES then scores).
+
+        Unlike :meth:`search_terms`, this decodes every query term's FULL
+        posting list: the segment's block-max metadata stores BM25 uppers,
+        which do not bound these score functions, so block pruning would be
+        unsound.  Exhaustive decode of |q| lists is exactly what Lucene pays
+        when impacts don't apply; the per-posting math is vectorized numpy,
+        and at scale each list decode is mmap-range-local to the serving
+        actor that owns its term partition.
+
+        Formulas (Lucene's; the SQL oracles mirror them op-for-op so the
+        driver check is exact at round-4-decimals):
+
+        - ``lmd``   p(t|C) = (ttf+1)/(T+1);
+                    s_t = max(0, ln(1 + tf/(mu·p)) + ln(mu/(dl+mu)))
+        - ``lmjm``  s_t = ln(1 + ((1-lam)·tf/dl) / (lam·p(t|C)))
+        - ``classic`` (queryNorm dropped, as Lucene 8 did):
+                    idf = 1 + ln((N+1)/(df+1));  s_t = √tf · idf² / √dl
+        - ``boolean``  s_t = 1 per matched term
+
+        ttf (collection term frequency) is derived exactly from the decoded
+        lists — salted sub-lists partition the docid space, so their
+        concatenation is the global list; T = the manifest's total_tokens.
+
+        Returns (docids int64[], scores float64[]) sorted by (-score, docid).
+        """
+        uniq = list(dict.fromkeys(terms))
+        rows = self._lookup(uniq)
+        n_docs = float(self.params.n_docs)
+        total_tokens = float(self.stats["total_tokens"])
+        acc_d: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        for t in uniq:
+            lists = rows.get(t) or []
+            if not lists:
+                continue
+            parts = [self._decode_list(r) for r in lists]
+            d = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            if similarity == "lmd":
+                p_c = (tf.sum() + 1.0) / (total_tokens + 1.0)
+                s = np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (dl + mu))
+                np.maximum(s, 0.0, out=s)
+            elif similarity == "lmjm":
+                p_c = (tf.sum() + 1.0) / (total_tokens + 1.0)
+                s = np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
+            elif similarity == "classic":
+                df = float(max(r["df"] for r in lists))
+                idf = 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+                s = np.sqrt(tf) * (idf * idf) / np.sqrt(dl)
+            elif similarity == "boolean":
+                s = np.ones_like(tf)
+            else:
+                raise ValueError(f"unknown similarity {similarity!r}")
+            mult = terms.count(t)  # duplicate query terms repeat the clause
+            acc_d.append(d)
+            acc_s.append(s * float(mult) if mult != 1 else s)
+        if not acc_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        d_all = np.concatenate(acc_d)
+        s_all = np.concatenate(acc_s)
+        order = np.argsort(d_all, kind="stable")
+        d_all, s_all = d_all[order], s_all[order]
+        uniq_d, starts = np.unique(d_all, return_index=True)
+        sums = np.add.reduceat(s_all, starts)
+        top = np.lexsort((uniq_d, -sums))[:min(k, uniq_d.size)]
+        return uniq_d[top], sums[top]
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Prefix completion over the term dictionary — the engine-native

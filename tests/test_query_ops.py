@@ -980,3 +980,70 @@ def test_geotile_known_points(ray_session, sf_dir):
                         / math.pi) / 2.0 * 16.0)
         want[(x, y)] += 1
     assert dict(want) == tiles
+
+
+# -- similarity modules (ES per-field `similarity` setting) ------------------
+
+def _similarity_reference(t, similarity, terms, k=10, mu=2000.0, lam=0.1):
+    """Brute-force per-doc scoring with the exact formulas of
+    Searcher.search_similarity (independent implementation: Counter +
+    per-doc loops, no shared vectorized code path)."""
+    import math
+    ids = t["doc_id"].to_numpy()
+    toks = [tokenize_simple(x or "") for x in t["text"].to_pylist()]
+    total_tokens = sum(len(tk) for tk in toks)
+    n_docs = len(toks)
+    counters = [Counter(tk) for tk in toks]
+    ttf = {q: sum(c.get(q, 0) for c in counters) for q in set(terms)}
+    df = {q: sum(1 for c in counters if q in c) for q in set(terms)}
+    scores = {}
+    for i, c in enumerate(counters):
+        dl = len(toks[i])
+        s = 0.0
+        matched = False
+        for q in terms:
+            tf = c.get(q, 0)
+            if tf == 0:
+                continue
+            matched = True
+            if similarity == "lmd":
+                p_c = (ttf[q] + 1.0) / (total_tokens + 1.0)
+                s += max(0.0, math.log(1.0 + tf / (mu * p_c))
+                         + math.log(mu / (dl + mu)))
+            elif similarity == "lmjm":
+                p_c = (ttf[q] + 1.0) / (total_tokens + 1.0)
+                s += math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
+            elif similarity == "classic":
+                idf = 1.0 + math.log((n_docs + 1.0) / (df[q] + 1.0))
+                s += math.sqrt(tf) * (idf * idf) / math.sqrt(dl)
+            elif similarity == "boolean":
+                s += 1.0
+        if matched:
+            scores[int(ids[i])] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked], [sc for _, sc in ranked]
+
+
+@pytest.mark.parametrize("similarity", ["lmd", "lmjm", "classic", "boolean"])
+def test_search_similarity_vs_bruteforce(docs_and_searcher, similarity):
+    t, s = docs_and_searcher
+    terms = ["merge", "scan"]
+    exp_d, exp_sc = _similarity_reference(t, similarity, terms, k=10)
+    got_d, got_sc = s.search_similarity(terms, k=10, similarity=similarity)
+    assert list(got_d) == exp_d, similarity
+    np.testing.assert_allclose(got_sc, exp_sc, rtol=1e-12, atol=1e-12)
+
+
+def test_search_similarity_duplicate_terms_multiply(docs_and_searcher):
+    _, s = docs_and_searcher
+    d1, sc1 = s.search_similarity(["merge"], k=200, similarity="lmjm")
+    d2, sc2 = s.search_similarity(["merge", "merge"], k=200,
+                                  similarity="lmjm")
+    assert list(d1) == list(d2)
+    np.testing.assert_allclose(sc2, 2.0 * sc1, rtol=1e-12)
+
+
+def test_search_similarity_unknown_raises(docs_and_searcher):
+    _, s = docs_and_searcher
+    with pytest.raises(ValueError):
+        s.search_similarity(["merge"], similarity="nope")
