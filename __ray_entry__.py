@@ -155,6 +155,24 @@ def q_tfidf_topk(sf_dir: str):
     return _q_similarity(sf_dir, "classic")
 
 
+def q_lmd_sharded(sf_dir: str):
+    """LM Dirichlet top-k via the scatter-gather sharded serving path:
+    per-term-partition shard actors hold the dictionaries + posting mmaps
+    and ShardedSearcher._lookup gathers only the query terms' lists, so
+    search_similarity's exhaustive decode runs on shard-fetched rows —
+    proven identical to lmd_topk by the shared SQL oracle."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.sharded import ShardedSearcher
+    root = documents_index(sf_dir, analyzer="simple")
+    s = ShardedSearcher(root)
+    d, sc = s.search_similarity(list(BM25_QUERY_TERMS), k=BM25_K,
+                                similarity="lmd")
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
 def q_bm25_sharded(sf_dir: str):
     """Scatter-gather sharded serving: the SAME top-k as bm25_topk, served
     by per-term-partition shard actors (each holding 1/P of the
@@ -323,6 +341,38 @@ def q_geo_distance(sf_dir: str):
     lat0, lon0 = GEO_CENTER
     d = s.filter_docs({"geo": ("geo_distance", lat0, lon0, GEO_RADIUS_M)})
     return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
+IP_CIDR = "10.16.0.0/12"
+MBP_PREFIX = "sca"
+
+
+def q_ip_cidr(sf_dir: str):
+    """ES `ip`-typed CIDR filter as a driver query (previously pytest-only):
+    docs whose synthetic dotted-quad ip ("10.{7i%256}.{13i%256}.{i%256}")
+    falls in 10.16.0.0/12.  A /12 keeps the first octet and the top 4 bits
+    of the second, so membership ⇔ second octet ∈ [16, 32) — the SQL
+    oracle tests the octet arithmetic directly while the engine parses the
+    stored strings through FieldStore's cidr mask."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    d = s.filter_docs({"ip": ("cidr", IP_CIDR)})
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: 'merge' as a scored bool SHOULD term clause +
+    trailing prefix 'sca' as a constant-score prefix query (+1e6 micro for
+    docs containing any dictionary term with the prefix)."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_index(sf_dir, analyzer="simple"))
+    d, m = s.match_bool_prefix([BM25_QUERY_TERMS[0]], MBP_PREFIX, k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score_micro": pa.array(m, pa.int64()),
+    })
 
 
 GEOTILE_ZOOM = 4
@@ -1873,6 +1923,25 @@ def q_phrase_common(sf_dir: str):
     return pa.table({"doc_id": pa.array(np.sort(d), pa.int64())})
 
 
+INTERVALS_GAPS = 3
+
+
+def q_intervals(sf_dir: str):
+    """ES ``intervals`` query (all_of, UNORDERED, max_gaps=3) over the
+    positional index: docs where 'merge' and 'scan' co-occur in either
+    order within 3 interior positions (Searcher.intervals_match — one
+    flattened searchsorted per direction across all candidate docs).  The
+    SQL oracle tests pairwise position distance, which equals the
+    nearest-neighbor test the engine performs."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d = s.intervals_match(*BM25_QUERY_TERMS, max_gaps=INTERVALS_GAPS,
+                          ordered=False)
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_phrase_slop(sf_dir: str):
     """Sloppy phrase (ordered, total gap ≤ slop) via the positional index;
     the SQL oracle is a bounded-gap regex over the space-separated tokens."""
@@ -2597,6 +2666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_sharded": q_bm25_sharded,
         "lmd_topk": q_lmd_topk,
+        "lmd_sharded": q_lmd_sharded,
         "lmjm_topk": q_lmjm_topk,
         "tfidf_topk": q_tfidf_topk,
         "bm25_chain": q_bm25_chain,
@@ -2625,6 +2695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fold_partial": q_events_fold_partial,
         "keyword_exact": q_keyword_exact,
         "geo_distance": q_geo_distance,
+        "ip_cidr": q_ip_cidr,
+        "match_bool_prefix": q_match_bool_prefix,
         "geo_bbox": q_geo_bbox,
         "geotile": q_geotile,
         "random_score": q_random_score,
@@ -2714,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": q_phrase_match,
         "phrase_common": q_phrase_common,
         "phrase_slop": q_phrase_slop,
+        "intervals": q_intervals,
         # SQL-oracled via md5-low64 token hashes (util.tok_hash_sql) +
         # hugeint mod-2^64 arithmetic in DuckDB
         "minhash_pairs": q_minhash_pairs,
@@ -2954,6 +3027,7 @@ bands AS (
         "bm25_topk": bm25,
         "bm25_sharded": bm25,
         "lmd_topk": lmd,
+        "lmd_sharded": lmd,
         "lmjm_topk": lmjm,
         "tfidf_topk": tfidf,
         "bm25_chain": f"""
@@ -3130,6 +3204,42 @@ SELECT s.doc_id, s.score_micro FROM scored s
 WHERE NOT EXISTS (SELECT 1 FROM toks t
                   WHERE t.doc_id = s.doc_id AND t.term = 'spark')
 ORDER BY s.score_micro DESC, s.doc_id LIMIT {BM25_K}
+""",
+        "ip_cidr": """
+            SELECT doc_id FROM documents
+            WHERE ((doc_id * 7) % 256) BETWEEN 16 AND 31""",
+        "match_bool_prefix": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term = '{t1}' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {bool_micro} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm AS (SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM per GROUP BY doc_id),
+pd AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{MBP_PREFIX}%'),
+ids AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM pd),
+scored AS (
+  SELECT ids.doc_id,
+         coalesce(bm.m, 0)
+         + CASE WHEN pd.doc_id IS NOT NULL THEN 1000000 ELSE 0 END
+           AS score_micro
+  FROM ids LEFT JOIN bm ON ids.doc_id = bm.doc_id
+           LEFT JOIN pd ON ids.doc_id = pd.doc_id
+)
+SELECT doc_id, score_micro FROM scored
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
 """,
         "bool_query": f"""
 WITH toks AS (
@@ -4610,6 +4720,15 @@ ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
             SELECT doc_id FROM documents
             WHERE regexp_matches(' ' || lower(text) || ' ',
                 ' {PHRASE_TERMS[0]}( [a-z0-9]+){{0,{PHRASE_SLOP}}} {PHRASE_TERMS[1]} ')""",
+        "intervals": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM base),
+            p1 AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+            p2 AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}')
+            SELECT DISTINCT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
+            WHERE abs(p1.pos - p2.pos) - 1 <= {INTERVALS_GAPS}
+            ORDER BY doc_id""",
         "token_jaccard": f"""
             WITH dt AS (
               SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -240,8 +240,10 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # ES agg sweep completion
                  "line_dedup", "boxplot", "string_stats", "t_test",
                  "sampler",
-                 # seventh continuation session: similarity modules
-                 "lmd_topk", "lmjm_topk", "tfidf_topk"]:
+                 # seventh continuation session: similarity modules,
+                 # intervals, typed-ip CIDR, match_bool_prefix
+                 "lmd_topk", "lmjm_topk", "tfidf_topk", "lmd_sharded",
+                 "intervals", "ip_cidr", "match_bool_prefix"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

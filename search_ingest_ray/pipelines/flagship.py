@@ -102,7 +102,7 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{doc_path}:simple:v2-termdict-bin:geo-v3".encode()).hexdigest()[:16]
+        f"{doc_path}:simple:v2-termdict-bin:geo-v4".encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"documents-geo-{key}")
     marker = os.path.join(root, "_BUILT")
     if os.path.exists(marker):
@@ -119,7 +119,13 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
         alt = pa.array(np.where(did % 5 == 0, None,
                                 (did % 9000 - 1000).astype(object)),
                        pa.int64())
-        return (t.append_column("geo_lat", pa.array(lat, pa.float64()))
+        # deterministic synthetic IPv4 (ES `ip` type fixture): the cidr
+        # filter's dotted-quad parse must reproduce these octets exactly,
+        # so the SQL oracle can test the octet arithmetic directly
+        ip = pa.array([f"10.{(i * 7) % 256}.{(i * 13) % 256}.{i % 256}"
+                       for i in did.tolist()], pa.string())
+        return (t.append_column("ip", ip)
+                 .append_column("geo_lat", pa.array(lat, pa.float64()))
                  .append_column("geo_lon", pa.array(lon, pa.float64()))
                  .append_column("shape_lat_min", pa.array(a, pa.float64()))
                  .append_column("shape_lat_max", pa.array(b, pa.float64()))
@@ -133,7 +139,7 @@ def documents_geo_index(sf_dir: str, cache_base: str = _CACHE_BASE) -> str:
     build_index(sorted(glob.glob(os.path.join(src_dir, "*.parquet"))), root,
                 text_col="text", id_col="doc_id", id_is_int=True,
                 analyzer="simple", num_term_partitions=4, chunk_files=2,
-                store_fields=["geo_lat", "geo_lon", "lang", "alt_m",
+                store_fields=["geo_lat", "geo_lon", "lang", "alt_m", "ip",
                               "shape_lat_min", "shape_lat_max",
                               "shape_lon_min", "shape_lon_max"],
                 hot_df_threshold=10**9)

@@ -896,6 +896,36 @@ class Searcher:
             lambda t: self._term_postings_micro(rows.get(t, [])),
             must, should, must_not, k)
 
+    def match_bool_prefix(self, terms: list[str], prefix: str, k: int = 10,
+                          max_expansions: int = 10 ** 9):
+        """ES ``match_bool_prefix``: every full term is a bool SHOULD
+        clause (integer micro BM25 per matched term, exactly as
+        :meth:`search_bool`); the trailing ``prefix`` rewrites to a
+        constant-score prefix query (Lucene's CONSTANT_SCORE rewrite), so
+        docs containing ANY dictionary term with the prefix earn a flat
+        +1.0 == +1_000_000 micro.  A doc matches if it matches any clause
+        (pure should semantics).
+
+        Returns (docids int64[], score_micro int64[]) by (-score, docid)."""
+        if terms:
+            d_b, m_b = self.search_bool([], should=terms, k=10 ** 9)
+        else:
+            d_b = np.empty(0, np.int64)
+            m_b = np.empty(0, np.int64)
+        exps = [t for t, _ in self._vocab_agg("prefix", prefix,
+                                              k=max_expansions)]
+        p_d = self._match_docids(exps) if exps else np.empty(0, np.int64)
+        all_d = np.union1d(d_b, p_d)
+        if all_d.size == 0:
+            return all_d.astype(np.int64), np.empty(0, np.int64)
+        micro = np.zeros(all_d.size, dtype=np.int64)
+        if d_b.size:
+            micro[np.searchsorted(all_d, d_b)] += m_b
+        if p_d.size:
+            micro[np.searchsorted(all_d, p_d)] += 1_000_000
+        top = np.lexsort((all_d, -micro))[:k]
+        return all_d[top], micro[top]
+
     def _match_docids(self, terms: list[str]) -> np.ndarray:
         """Filter-context match set of the OR query: sorted unique int64
         docids containing ANY of the terms — postings decode only, no
@@ -2282,6 +2312,82 @@ class Searcher:
             md, ms = md[m], ms[m]
         top = np.lexsort((md, -ms))[:k]
         return md[top], ms[top]
+
+    def intervals_match(self, t1: str, t2: str, max_gaps: int = 2,
+                        ordered: bool = False) -> np.ndarray:
+        """ES ``intervals`` query — two ``match`` clauses under ``all_of``
+        with ``max_gaps``: sorted docids containing both terms within a
+        minimal interval of at most ``max_gaps`` interior positions.
+
+        ``ordered=True`` is exactly the sloppy-phrase gap DP
+        (:meth:`phrase_match_docs` with slop=max_gaps).  The unordered case
+        checks, for every position of ``t2``, its nearest ``t1`` position
+        on EITHER side within the same doc — one flattened
+        (docrank<<32 | pos) searchsorted per direction over ALL candidate
+        docs at once, the same zero-per-doc-Python layout as
+        :meth:`_phrase_impl`.  Nearest-only is exact: if the nearest ``t1``
+        exceeds the gap budget, every farther one does too.  Stacked
+        same-position tokens (preserve_original) yield gap −1 and match any
+        non-negative ``max_gaps``, as Lucene's overlapping intervals do.
+
+        Requires positions (``build_index(with_positions=True)``)."""
+        if ordered:
+            return np.sort(self.phrase_match_docs([t1, t2], slop=max_gaps))
+        rows_by_term = self._lookup([t1, t2])
+        per: dict[str, dict] = {}
+        for t in (t1, t2):
+            rows = rows_by_term.get(t) or []
+            if not rows:
+                return np.empty(0, dtype=np.int64)
+            docs, counts, flats = [], [], []
+            for row in rows:
+                if "pos_blob" not in row:
+                    raise ValueError(
+                        "index was built without positions; rebuild with "
+                        "with_positions=True for intervals queries")
+                d, tf, _dl = self._decode_list(row)
+                plists = self._decode_positions(row, tf)
+                docs.append(d.astype(np.int64))
+                counts.append(tf.astype(np.int64))
+                flats.append(np.concatenate(plists) if plists
+                             else np.empty(0, dtype=np.int64))
+            ent = {"docs": np.concatenate(docs),
+                   "counts": np.concatenate(counts),
+                   "flat": np.concatenate(flats).astype(np.int64)}
+            ent["cum"] = np.concatenate(
+                [[0], np.cumsum(ent["counts"])]).astype(np.int64)
+            ent["order"] = np.argsort(ent["docs"], kind="stable")
+            ent["sorted_docs"] = ent["docs"][ent["order"]]
+            per[t] = ent
+        cand = np.intersect1d(per[t1]["sorted_docs"], per[t2]["sorted_docs"])
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+
+        def flat_keys(t: str) -> np.ndarray:
+            ent = per[t]
+            pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
+            lens = ent["counts"][pi]
+            starts = ent["cum"][pi]
+            total = int(lens.sum())
+            seg = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            out = np.repeat(starts - seg, lens) + np.arange(total)
+            dr = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            return dr * self._PHRASE_K + ent["flat"][out]
+
+        k1, k2 = flat_keys(t1), flat_keys(t2)
+        pos_mask = self._PHRASE_K - 1
+        dr2, pos2 = k2 >> 32, k2 & pos_mask
+        # nearest t1 at-or-before each t2 position (same doc)
+        il = np.searchsorted(k1, k2, side="right") - 1
+        ilc = np.maximum(il, 0)
+        ok = ((il >= 0) & ((k1[ilc] >> 32) == dr2)
+              & (pos2 - (k1[ilc] & pos_mask) - 1 <= max_gaps))
+        # nearest t1 at-or-after
+        ir = np.searchsorted(k1, k2, side="left")
+        irc = np.minimum(ir, k1.size - 1)
+        ok |= ((ir < k1.size) & ((k1[irc] >> 32) == dr2)
+               & ((k1[irc] & pos_mask) - pos2 - 1 <= max_gaps))
+        return cand[np.unique(dr2[ok])]
 
     # (docrank << 32) | position keys make the concatenation of all
     # candidates' per-doc sorted position lists GLOBALLY sorted, so one

@@ -1047,3 +1047,63 @@ def test_search_similarity_unknown_raises(docs_and_searcher):
     _, s = docs_and_searcher
     with pytest.raises(ValueError):
         s.search_similarity(["merge"], similarity="nope")
+
+
+# -- intervals query (positions, unordered max_gaps) --------------------------
+
+def _intervals_reference(t, t1, t2, max_gaps, ordered):
+    out = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tokenize_simple(txt or "")
+        p1 = [i for i, x in enumerate(toks) if x == t1]
+        p2 = [i for i, x in enumerate(toks) if x == t2]
+        hit = False
+        for a in p1:
+            for b in p2:
+                gap = (b - a - 1) if ordered else (abs(b - a) - 1)
+                if (not ordered or b > a) and gap <= max_gaps:
+                    hit = True
+        if hit:
+            out.append(did)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+@pytest.mark.parametrize("gaps", [0, 1, 3])
+def test_intervals_match_vs_bruteforce(docs_and_searcher, ordered, gaps):
+    t, s = docs_and_searcher
+    got = s.intervals_match("merge", "scan", max_gaps=gaps, ordered=ordered)
+    exp = _intervals_reference(t, "merge", "scan", gaps, ordered)
+    assert list(got) == exp, (ordered, gaps)
+
+
+def test_intervals_match_absent_term(docs_and_searcher):
+    _, s = docs_and_searcher
+    assert s.intervals_match("merge", "zzzznotaterm").size == 0
+
+
+# -- match_bool_prefix --------------------------------------------------------
+
+def test_match_bool_prefix_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    terms, prefix = ["merge"], "sca"
+    bool_ref = dict(_bool_reference(t, s.params, [], terms, [], k=10**9))
+    ids = t["doc_id"].to_pylist()
+    prefix_docs = {did for did, txt in zip(ids, t["text"].to_pylist())
+                   if any(tok.startswith(prefix)
+                          for tok in tokenize_simple(txt or ""))}
+    exp = sorted(((did, bool_ref.get(did, 0)
+                   + (1_000_000 if did in prefix_docs else 0))
+                  for did in set(bool_ref) | prefix_docs),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    d, m = s.match_bool_prefix(terms, prefix, k=10)
+    assert list(zip(d.tolist(), m.tolist())) == exp
+
+
+def test_match_bool_prefix_prefix_only(docs_and_searcher):
+    """No full terms: pure constant-score prefix query — every match at
+    exactly 1e6 micro, tie-broken by docid."""
+    t, s = docs_and_searcher
+    d, m = s.match_bool_prefix([], "sca", k=5)
+    assert set(m.tolist()) <= {1_000_000}
+    assert list(d) == sorted(d)
