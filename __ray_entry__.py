@@ -1302,6 +1302,28 @@ MOVING_WINDOW = 3
 MOVING_MIN_N = 2
 
 
+SERIAL_LAG = 3
+
+
+def q_derivative(sf_dir: str):
+    """ES derivative + serial_diff (lag=3) pipeline aggs over the hourly
+    purchase date_histogram, densified with insert_zeros gap policy
+    (Searcher.agg_derivative)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_derivative(["purchase"], "ts", HOUR_US, lag=SERIAL_LAG)
+
+
+def q_max_bucket(sf_dir: str):
+    """ES max_bucket sibling agg: the hourly purchase bucket(s) with the
+    maximum count (ties all returned, ES keys-list semantics)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_max_bucket(["purchase"], "ts", HOUR_US)
+
+
 def q_moving_avg(sf_dir: str):
     """ES moving_fn + bucket_selector pipeline aggs over the hourly
     purchase date_histogram: previous-3-bucket moving average (exact
@@ -2723,6 +2745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_date_histogram": q_auto_date_histogram,
         "pinned": q_pinned,
         "moving_avg": q_moving_avg,
+        "derivative": q_derivative,
+        "max_bucket": q_max_bucket,
         "facet_stats": q_facet_stats,
         "cardinality": q_cardinality,
         "agg_range": q_agg_range,
@@ -3592,6 +3616,31 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
             SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY bucket ORDER BY bucket""",
+        "derivative": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket
+            ),
+            mm AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+            allb AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS bucket FROM mm
+            ),
+            dense AS (
+              SELECT f.bucket, coalesce(h.n, 0) AS n
+              FROM allb f LEFT JOIN h ON f.bucket = h.bucket
+            )
+            SELECT bucket, n,
+                   n - lag(n, 1) OVER (ORDER BY bucket) AS deriv,
+                   n - lag(n, {SERIAL_LAG}) OVER (ORDER BY bucket) AS sdiff
+            FROM dense ORDER BY bucket""",
+        "max_bucket": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket
+            )
+            SELECT bucket, n FROM h WHERE n = (SELECT max(n) FROM h)
+            ORDER BY bucket""",
         "auto_date_histogram": f"""
             WITH v AS (
               SELECT epoch_us(ts) AS us FROM events

@@ -2164,6 +2164,52 @@ class Searcher:
             "n": pa.array(counts, pa.int64()),
         })
 
+    def agg_derivative(self, terms: list[str], field: str,
+                       interval_us: int, lag: int = 1) -> pa.Table:
+        """ES ``derivative`` + ``serial_diff`` pipeline aggs over a
+        DENSIFIED date_histogram (empty buckets between the first and last
+        present bucket count 0 — ES gap_policy=insert_zeros): per bucket,
+        ``deriv = n[i] − n[i−1]`` (first bucket NULL) and
+        ``sdiff = n[i] − n[i−lag]`` (first ``lag`` buckets NULL).
+        O(buckets) numpy on the tiny bucket vector."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        if hist.num_rows == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                             "n": e64, "deriv": e64, "sdiff": e64})
+        b = hist["bucket"].cast(pa.int64()).to_numpy()
+        n = hist["n"].to_numpy()
+        full = np.arange(b[0], b[-1] + interval_us, interval_us,
+                         dtype=np.int64)
+        dense = np.zeros(full.size, dtype=np.int64)
+        dense[np.searchsorted(full, b)] = n
+        deriv = np.empty(full.size, dtype=object)
+        deriv[0] = None
+        deriv[1:] = (dense[1:] - dense[:-1]).astype(object)
+        sdiff = np.empty(full.size, dtype=object)
+        sdiff[:lag] = None
+        sdiff[lag:] = (dense[lag:] - dense[:-lag]).astype(object)
+        return pa.table({
+            "bucket": pa.array(full, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(dense, pa.int64()),
+            "deriv": pa.array(deriv.tolist(), pa.int64()),
+            "sdiff": pa.array(sdiff.tolist(), pa.int64()),
+        })
+
+    def agg_max_bucket(self, terms: list[str], field: str,
+                       interval_us: int) -> pa.Table:
+        """ES ``max_bucket`` sibling agg: the bucket key(s) with the
+        maximum count over the (sparse) date_histogram — ties ALL
+        returned (ES's keys-list response), one row per tied key,
+        sorted by bucket."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        if hist.num_rows == 0:
+            return hist
+        n = hist["n"].to_numpy()
+        mask = pa.array(n == n.max())
+        return pa.table({"bucket": hist["bucket"].filter(mask),
+                         "n": hist["n"].filter(mask)})
+
     # ES auto_date_histogram rounding ladder (fixed-interval flavor of
     # the calendar ladder {1s, 1m×{1,5,10,30}, 1h×{1,3,12}, 1d×{1,7}, …}),
     # in microseconds, ascending
