@@ -1457,6 +1457,19 @@ def q_unigram_ppl(sf_dir: str):
     return unigram_ppl(ds, vocab_k=20)
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier: per-doc exact
+    int64 milli-score under a broadcast hashed-bag-of-words weight table
+    (bucket = md5_low64(tok) % 4096), keep = score > 0 — the
+    model-scoring filter stage of GPT-3/LLaMA-class pipelines, zero
+    corpus shuffle (functions/textstats.py hashed_linear_score)."""
+    import ray.data as rd
+    from search_ingest_ray.functions.textstats import hashed_linear_score
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return hashed_linear_score(ds, concurrency=_pool(2))
+
+
 def q_bpe_pairs(sf_dir: str):
     """Adjacent-character pair frequencies over the corpus word vocab —
     the statistics the first BPE merge maximizes and the SQL-exact
@@ -2706,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_plan": q_pack_plan,
         "oov_rate": q_oov_rate,
         "unigram_ppl": q_unigram_ppl,
+        "quality_classifier": q_quality_classifier,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -4570,6 +4584,23 @@ GROUP BY s.doc_id ORDER BY s.doc_id""",
                    CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
                         THEN a.ssum // a.n_tokens ELSE 0 END AS BIGINT)
                      AS ce_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "quality_classifier": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     ((md5_number_lower(w)::HUGEINT % 4096) * 2654435761)
+                       % 2001 - 1000 AS wt
+              FROM toks),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(wt) AS BIGINT) AS score_milli
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.score_milli, 0) AS BIGINT) AS score_milli,
+                   coalesce(a.score_milli, 0) > 0 AS keep
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "bpe_pairs": f"""
             WITH wc AS (

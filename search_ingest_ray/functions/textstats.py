@@ -430,6 +430,85 @@ def unigram_ppl(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           concurrency=2)
 
 
+# -- hashed linear quality classifier (fastText-style filter) ------------------
+
+CLS_DIM = 4096          # hashed bag-of-words feature buckets
+CLS_MIX = 2654435761    # Knuth multiplicative constant for the weight table
+
+
+def hashed_linear_score(ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", concurrency: int = 2):
+    """fastText-style hashed bag-of-words linear classifier scoring — the
+    quality-filter shape of GPT-3/LLaMA-class data pipelines (train a
+    small linear model on curated-vs-crawl text, score every crawl doc,
+    keep the positives).  Per doc:
+
+        bucket(tok)  = md5_low64(tok) % CLS_DIM       (util.tok_hash_sql)
+        w(bucket)    = (bucket * CLS_MIX) % 2001 − 1000   (milli-units)
+        score_milli  = Σ_tokens w(bucket(tok))        (exact int64)
+        keep         = score_milli > 0
+
+    The weight table here is a deterministic function of the bucket index
+    (no image/text models ship in this container), which keeps the DuckDB
+    oracle pure-SQL and bit-exact; a TRAINED weight vector would flow
+    through the identical plumbing — built once on the driver, broadcast
+    via ``ray.put``, fetched in each actor's ``__init__``.
+
+    Scale shape: broadcast model + pure map stage, ZERO corpus shuffle at
+    any size; per-actor token→bucket md5 cache so each distinct token
+    hashes once per actor (the ShingleHasher pattern); scoring is one
+    np.take + segment reduceat per batch.  Emits one row per input doc
+    (token-less docs score 0 / keep=False)."""
+    import ray
+
+    from ..util import tok_hash_sql
+
+    weights = ((np.arange(CLS_DIM, dtype=np.int64) * CLS_MIX) % 2001
+               - 1000).astype(np.int64)
+    model_ref = ray.put(weights)
+
+    class _Score:
+        def __init__(self):
+            self.w = ray.get(model_ref)
+            self._bucket_cache: dict[str, int] = {}
+
+        def _buckets(self, uniq_toks: np.ndarray) -> np.ndarray:
+            cache = self._bucket_cache
+            out = np.empty(uniq_toks.size, dtype=np.int64)
+            for i, t in enumerate(uniq_toks.tolist()):
+                b = cache.get(t)
+                if b is None:
+                    if len(cache) > 2_000_000:   # bound actor memory
+                        cache.clear()
+                    b = cache[t] = tok_hash_sql(t) % CLS_DIM
+                out[i] = b
+            return out
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nt = np.empty(len(batch), dtype=np.int64)
+            toks_all: list[str] = []
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                toks = tokenize_simple(t or "")
+                nt[i] = len(toks)
+                toks_all.extend(toks)
+            if toks_all:
+                arr = np.asarray(toks_all)
+                uniq, inv = np.unique(arr, return_inverse=True)
+                w_tok = self.w[self._buckets(uniq)][inv]
+                bounds = np.concatenate([[0], np.cumsum(nt)[:-1]])
+                ssum = np.add.reduceat(np.concatenate([w_tok, [0]]), bounds)
+                ssum = np.where(nt > 0, ssum, 0).astype(np.int64)
+            else:
+                ssum = np.zeros(len(batch), dtype=np.int64)
+            return pa.table({id_col: batch[id_col],
+                             "n_tokens": pa.array(nt),
+                             "score_milli": pa.array(ssum),
+                             "keep": pa.array(ssum > 0)})
+
+    return ds.map_batches(_Score, batch_format="pyarrow", batch_size=512,
+                          concurrency=concurrency)
+
+
 # -- percolation (reverse search) ----------------------------------------------
 
 class PercolateStage:

@@ -806,3 +806,25 @@ def test_unigram_ppl_matches_bruteforce(rd):
         assert got[d["doc_id"]] == (len(toks), ce), d
     # ranking sanity: the all-common doc is lower-surprisal than all-OOV
     assert got[0][1] < got[3][1]
+
+
+def test_hashed_linear_score_matches_bruteforce(rd):
+    from search_ingest_ray.analyzer import tokenize_simple
+    from search_ingest_ray.functions.textstats import (CLS_DIM, CLS_MIX,
+                                                       hashed_linear_score)
+    from search_ingest_ray.util import tok_hash_sql
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox the the"},
+        {"doc_id": 1, "text": "merge scan window"},
+        {"doc_id": 2, "text": ""},               # token-less → 0 / drop
+        {"doc_id": 3, "text": "zzz zzz zzz"},    # repeated token
+    ]
+    out = hashed_linear_score(rd.from_items(docs)).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["score_milli"], r["keep"])
+           for r in out}
+    assert len(got) == 4
+    for d in docs:
+        toks = tokenize_simple(d["text"])
+        s = sum((tok_hash_sql(w) % CLS_DIM) * CLS_MIX % 2001 - 1000
+                for w in toks)
+        assert got[d["doc_id"]] == (len(toks), s, s > 0), d
