@@ -155,6 +155,24 @@ def q_tfidf_topk(sf_dir: str):
     return _q_similarity(sf_dir, "classic")
 
 
+def q_lmd_chain(sf_dir: str):
+    """LM Dirichlet top-k over a DELTA CHAIN (the bm25_chain fixture:
+    epoch-0 backfill + synthetic update/delete delta), served by
+    MultiEpochSearcher.search_similarity with dead-docid suppression and
+    exact current chain stats — identical to a full rebuild by the
+    shared-formula SQL oracle over the final corpus."""
+    from search_ingest_ray.pipelines.flagship import documents_chain_index
+    from search_ingest_ray.query.multi import MultiEpochSearcher
+    root = documents_chain_index(sf_dir, analyzer="simple")
+    ms = MultiEpochSearcher(root)
+    d, sc = ms.search_similarity(list(BM25_QUERY_TERMS), k=BM25_K,
+                                 similarity="lmd")
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
 def q_lmd_sharded(sf_dir: str):
     """LM Dirichlet top-k via the scatter-gather sharded serving path:
     per-term-partition shard actors hold the dictionaries + posting mmaps
@@ -2702,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sharded": q_bm25_sharded,
         "lmd_topk": q_lmd_topk,
         "lmd_sharded": q_lmd_sharded,
+        "lmd_chain": q_lmd_chain,
         "lmjm_topk": q_lmjm_topk,
         "tfidf_topk": q_tfidf_topk,
         "bm25_chain": q_bm25_chain,
@@ -2917,11 +2936,11 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
     # frequency) and df over the SAME two query terms.  Each scored formula
     # mirrors Searcher.search_similarity op-for-op (see its docstring).
     sim_ctes = f"""toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKS}) AS term FROM {{src}}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM {{src}}) AS n,
          (SELECT cast(count(*) AS double) FROM toks) AS t
 ),
 tf AS (
@@ -2931,9 +2950,10 @@ tf AS (
 ttf AS (SELECT term, cast(sum(tf) AS double) AS ttf,
                count(*) AS df FROM tf GROUP BY term)"""
 
-    def sim_sql(score_expr: str) -> str:
+    def sim_sql(score_expr: str, src: str = "documents",
+                prefix: str = "") -> str:
         return f"""
-WITH {sim_ctes},
+WITH {prefix}{sim_ctes.format(src=src)},
 scored AS (
   SELECT tf.doc_id, sum({score_expr}) AS s
   FROM tf JOIN ttf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
@@ -2953,6 +2973,19 @@ ORDER BY s DESC, scored.doc_id LIMIT {BM25_K}
     tfidf = sim_sql(
         "sqrt(tf.tf) * pow(1 + ln((stats.n + 1) / (ttf.df + 1)), 2)"
         " / sqrt(dl.dl)")
+    # the chain variant scores the SAME lmd formula over bm25_chain's
+    # final corpus (update/delete delta applied)
+    lmd_chain = sim_sql(
+        f"greatest(0, ln(1 + tf.tf / ({mu} * ((ttf.ttf + 1) / (stats.t + 1))))"
+        f" + ln({mu} / (dl.dl + {mu})))",
+        src="final",
+        prefix=f"""final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN text || '{_CHAIN_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5
+),
+""")
 
     # -- constants for the hash-pipeline oracles (all data-independent:
     # interpolated as SQL literals, computed from the same seeds the engine
@@ -3066,6 +3099,7 @@ bands AS (
         "bm25_sharded": bm25,
         "lmd_topk": lmd,
         "lmd_sharded": lmd,
+        "lmd_chain": lmd_chain,
         "lmjm_topk": lmjm,
         "tfidf_topk": tfidf,
         "bm25_chain": f"""

@@ -244,7 +244,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # intervals, typed-ip CIDR, match_bool_prefix
                  "lmd_topk", "lmjm_topk", "tfidf_topk", "lmd_sharded",
                  "intervals", "ip_cidr", "match_bool_prefix",
-                 "derivative", "max_bucket", "quality_classifier"]:
+                 "derivative", "max_bucket", "quality_classifier",
+                 "lmd_chain"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

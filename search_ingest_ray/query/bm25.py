@@ -50,6 +50,41 @@ def term_scores(tf: np.ndarray, dl: np.ndarray, df: int, p: BM25Params) -> np.nd
     return idf(df, p.n_docs) * tf_norm(tf, dl, p)
 
 
+def similarity_scores(tf: np.ndarray, dl: np.ndarray, df: float, ttf: float,
+                      n_docs: float, total_tokens: float, similarity: str,
+                      mu: float = 2000.0, lam: float = 0.1) -> np.ndarray:
+    """Per-posting score contributions of one term under a non-BM25
+    similarity module (ES per-field ``similarity`` setting; Lucene's
+    formulas).  Shared by ``Searcher.search_similarity`` and
+    ``MultiEpochSearcher.search_similarity`` so single-epoch and chain
+    serving are op-for-op identical — and the op ORDER is mirrored by the
+    DuckDB oracles in ``__ray_entry__``, so keep it stable:
+
+    - ``lmd``   p(t|C) = (ttf+1)/(T+1);
+                s = max(0, ln(1 + tf/(mu·p)) + ln(mu/(dl+mu)))
+    - ``lmjm``  s = ln(1 + ((1−lam)·tf/dl) / (lam·p(t|C)))
+    - ``classic`` idf = 1 + ln((N+1)/(df+1));  s = √tf · idf² / √dl
+    - ``boolean`` s = 1
+    """
+    import math
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    if similarity == "lmd":
+        p_c = (ttf + 1.0) / (total_tokens + 1.0)
+        s = np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (dl + mu))
+        np.maximum(s, 0.0, out=s)
+        return s
+    if similarity == "lmjm":
+        p_c = (ttf + 1.0) / (total_tokens + 1.0)
+        return np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
+    if similarity == "classic":
+        idf_c = 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+        return np.sqrt(tf) * (idf_c * idf_c) / np.sqrt(dl)
+    if similarity == "boolean":
+        return np.ones_like(tf)
+    raise ValueError(f"unknown similarity {similarity!r}")
+
+
 def oracle_topk(texts, ids, query_terms, k: int, p_k1: float = K1_DEFAULT,
                 b: float = B_DEFAULT, analyzer: str = "standard"):
     """Brute-force in-memory BM25 oracle (the test reference the engine must

@@ -298,6 +298,40 @@ class MultiEpochSearcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         return self.search_terms(self.analyze(query), k=k, filters=filters)
 
+    def search_similarity(self, terms: list[str], k: int = 10,
+                          similarity: str = "lmd", mu: float = 2000.0,
+                          lam: float = 0.1):
+        """Chain-wide similarity modules (ES per-field ``similarity``),
+        exact over the LIVE doc set: ``_surviving_lists`` supplies each
+        term's dead-suppressed postings (every docid at most once — its
+        live version), so ttf = Σ surviving tf and df = surviving count
+        are the CURRENT corpus statistics; N / total_tokens come from the
+        chain's exact cumulative stats.  Scores share the op-for-op kernel
+        (:func:`bm25.similarity_scores`) with the single-epoch path, so a
+        delta chain serves results identical to a full rebuild — proven by
+        the shared SQL oracle of ``lmd_chain`` / ``bm25_chain``'s final
+        corpus.  No pruning anywhere on this path (the baked BM25 block
+        maxes don't bound these score functions), matching
+        ``Searcher.search_similarity``'s exhaustive-decode contract."""
+        from .bm25 import similarity_scores
+        mult: dict[str, int] = {}
+        for t in terms:
+            mult[t] = mult.get(t, 0) + 1
+        n_docs = float(self.params.n_docs)
+        total_tokens = float(self.stats["total_tokens"])
+        all_d: list[np.ndarray] = []
+        all_s: list[np.ndarray] = []
+        for t, m in mult.items():
+            d, tf, dl, df = self._surviving_lists(t)
+            if d.size == 0 or df <= 0:
+                continue
+            s = similarity_scores(tf, dl, float(df), float(np.asarray(
+                tf, dtype=np.float64).sum()), n_docs, total_tokens,
+                similarity, mu=mu, lam=lam)
+            all_d.append(d.astype(np.int64))
+            all_s.append(s * float(m) if m != 1 else s)
+        return _topk_from_parts(all_d, all_s, k)
+
     def _term_micro(self, t: str):
         """One term's chain-wide surviving postings as sorted (docids,
         integer micro scores) under the exact CURRENT stats — the chain

@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from ..analyzer import get_analyzer
 from ..codec import BLOCK, decode_varint
 from ..util import read_json, term_partition
-from .bm25 import BM25Params, term_scores
+from .bm25 import BM25Params, similarity_scores, term_scores
 
 
 def _isin_sorted_i64(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
@@ -616,21 +616,9 @@ class Searcher:
             d = np.concatenate([p[0] for p in parts]).astype(np.int64)
             tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
             dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
-            if similarity == "lmd":
-                p_c = (tf.sum() + 1.0) / (total_tokens + 1.0)
-                s = np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (dl + mu))
-                np.maximum(s, 0.0, out=s)
-            elif similarity == "lmjm":
-                p_c = (tf.sum() + 1.0) / (total_tokens + 1.0)
-                s = np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
-            elif similarity == "classic":
-                df = float(max(r["df"] for r in lists))
-                idf = 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
-                s = np.sqrt(tf) * (idf * idf) / np.sqrt(dl)
-            elif similarity == "boolean":
-                s = np.ones_like(tf)
-            else:
-                raise ValueError(f"unknown similarity {similarity!r}")
+            df = float(max(r["df"] for r in lists))
+            s = similarity_scores(tf, dl, df, float(tf.sum()), n_docs,
+                                  total_tokens, similarity, mu=mu, lam=lam)
             mult = terms.count(t)  # duplicate query terms repeat the clause
             acc_d.append(d)
             acc_s.append(s * float(mult) if mult != 1 else s)
