@@ -1309,8 +1309,9 @@ PINNED_IDS = (42, 7, 10**12)  # last id absent at every scale → dropped
 
 def q_pinned(sf_dir: str):
     """ES pinned query: PINNED_IDS rank first in the given order (absent
-    ids dropped via one FieldStore.contains probe), then the organic
-    BM25 top-k excluding pinned ids."""
+    ids dropped via one FieldStore.contains probe), then organic BM25
+    hits excluding pinned ids fill the remaining slots — pinned hits
+    count against the requested size, total <= k (ES semantics)."""
     from search_ingest_ray.query.searcher import Searcher
     s = Searcher(_fields_index(sf_dir))
     return s.pinned(list(BM25_QUERY_TERMS), list(PINNED_IDS), k=BM25_K)
@@ -3725,9 +3726,10 @@ ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
               WHERE scored.doc_id NOT IN (SELECT pid FROM kept)),
             np AS (SELECT count(*) AS c FROM kept)
             SELECT krank AS rank, pid AS doc_id, true AS pinned FROM kept
+            WHERE krank <= {BM25_K}
             UNION ALL
             SELECT orank + np.c, doc_id, false
-            FROM org, np WHERE orank <= {BM25_K}
+            FROM org, np WHERE orank + np.c <= {BM25_K}
             ORDER BY rank""".replace("{bm25_ctes}", bm25_ctes),
         "moving_avg": f"""
 WITH h AS (

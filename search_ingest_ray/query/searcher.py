@@ -1905,12 +1905,19 @@ class Searcher:
         sd, sd2 = float(sum_d), float(sum_d2)
         mean = sd / n
         var = (sd2 - (sd * sd) / n) / (n - 1)
-        t = mean / math.sqrt(var / n)
+        # var == 0 (all paired differences equal): the oracle's
+        # x / sqrt(0/n) is a double division by zero, which DuckDB
+        # NULL-propagates; a slightly NEGATIVE var from float
+        # cancellation would raise in both engines — guard both to the
+        # oracle-visible NULL.
+        if var <= 0:
+            t_micro = None
+        else:
+            t_micro = math.floor(mean / math.sqrt(var / n) * 1_000_000)
         return pa.table({"n": pa.array([n], pa.int64()),
                          "sum_d": pa.array([sum_d], pa.int64()),
                          "sum_d2": pa.array([sum_d2], pa.int64()),
-                         "t_micro": pa.array([math.floor(t * 1_000_000)],
-                                             pa.int64())})
+                         "t_micro": pa.array([t_micro], pa.int64())})
 
     def diversified_sampler(self, terms: list[str], field: str,
                             max_per: int = 2,
@@ -1938,11 +1945,17 @@ class Searcher:
         code[null] = -1                      # missing de-dup value: skipped
         order = np.argsort(docids, kind="stable")
         c_sorted = code[order]
-        # cumulative occurrence number of each value in docid order
-        seen = np.zeros_like(c_sorted)
-        for v in np.unique(c_sorted):
-            m = c_sorted == v
-            seen[m] = np.arange(m.sum())
+        # cumulative occurrence number of each value in docid order,
+        # vectorized: stable-sort by value code, number each run from
+        # its start, scatter back (the _run_firsts/cumsum pattern)
+        byval = np.argsort(c_sorted, kind="stable")
+        cs = c_sorted[byval]
+        new = np.ones(cs.size, dtype=bool)
+        new[1:] = cs[1:] != cs[:-1]
+        run_start = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        seen = np.empty(cs.size, dtype=np.int64)
+        seen[byval] = np.arange(cs.size, dtype=np.int64) - run_start[run_id]
         keep = (c_sorted >= 0) & (seen < max_per)
         idx = order[keep][:shard_size]
         idx.sort()
@@ -2228,6 +2241,10 @@ class Searcher:
             if vals.type != pa.timestamp("us"):
                 vals = vals.cast(pa.timestamp("us"))
             micros = _int_docvals(vals.cast(pa.int64()))
+        if micros.size == 0:        # non-empty match set, all-null field
+            return pa.table({"interval_us": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64())})
         lo, hi = int(micros.min()), int(micros.max())
         interval = self._AUTO_DH_LADDER[-1]
         for i in self._AUTO_DH_LADDER:
@@ -2246,15 +2263,18 @@ class Searcher:
                k: int = 10) -> pa.Table:
         """ES ``pinned`` query: the given ids rank first (in the given
         order, absent ids silently dropped — one
-        :meth:`FieldStore.contains` probe), then the organic BM25 top-k
-        EXCLUDING pinned ids.  Returns (rank, doc_id, pinned)."""
+        :meth:`FieldStore.contains` probe), then organic BM25 hits
+        EXCLUDING pinned ids fill the remaining slots; pinned hits count
+        against the requested ``k`` (ES size semantics — total hits
+        ``<= k``).  Returns (rank, doc_id, pinned)."""
         pin = list(dict.fromkeys(int(i) for i in ids))
         arr = np.asarray(pin, dtype=np.int64)
         present = (self.fields.contains(arr) if arr.size
                    else np.zeros(0, dtype=bool))
-        kept = [i for i, ok in zip(pin, present) if ok]
+        kept = [i for i, ok in zip(pin, present) if ok][:k]
         d, _ = self.search_terms(terms, k=k + len(pin))
-        organic = [int(x) for x in d if int(x) not in set(kept)][:k]
+        organic = [int(x) for x in d
+                   if int(x) not in set(kept)][:k - len(kept)]
         out = kept + organic
         return pa.table({
             "rank": pa.array(range(1, len(out) + 1), pa.int64()),

@@ -600,8 +600,12 @@ def test_pinned_query_semantics(wide_searcher):
                    out["pinned"].to_pylist()))
     assert got[0] == (1, organic[3], True)
     assert got[1] == (2, organic[0], True)
-    want_org = [d for d in organic if d not in (organic[0], organic[3])]
-    assert [d for _, d, p in got if not p][:len(want_org)] == want_org
+    # ES size semantics: pinned hits count against k — total == k, the
+    # organic tail is the top-k minus the pinned set, truncated to fit
+    assert len(got) == 10
+    want_org = [d for d in organic
+                if d not in (organic[0], organic[3])][:10 - 2]
+    assert [d for _, d, p in got if not p] == want_org
     assert all(r == i + 1 for i, (r, _, _) in enumerate(got))
     # no pinned ids → pure organic
     pure = s.pinned(["merge", "scan"], [], k=10)
@@ -1107,3 +1111,83 @@ def test_match_bool_prefix_prefix_only(docs_and_searcher):
     d, m = s.match_bool_prefix([], "sca", k=5)
     assert set(m.tolist()) <= {1_000_000}
     assert list(d) == sorted(d)
+
+
+# -- round-5 edge guards ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def edge_searcher(ray_session, tmp_path_factory):
+    """Tiny index exercising the degenerate-input guards: a constant
+    paired difference (t_test var=0), an all-null timestamp field, and a
+    high-cardinality de-dup field."""
+    import pyarrow as pa
+
+    from search_ingest_ray.index.build import build_index
+    tmp_path = tmp_path_factory.mktemp("edge")
+    n = 40
+    t = pa.table({
+        "url": [f"u{i}" for i in range(n)],
+        "text": ["alpha beta"] * n,
+        "a": pa.array([i + 7 for i in range(n)], pa.int64()),
+        "b": pa.array(list(range(n)), pa.int64()),
+        "ts_null": pa.array([None] * n, pa.int64()),
+        "uniq": pa.array([f"v{i:03d}" for i in range(n)], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "docs.parquet")], root, analyzer="simple",
+                num_term_partitions=2,
+                store_fields=["a", "b", "ts_null", "uniq"])
+    return t, Searcher(root)
+
+
+def test_t_test_zero_variance_yields_null(edge_searcher):
+    """All paired differences equal → var=0 → the oracle's double
+    division by zero NULL-propagates; the engine must return None, not
+    raise ZeroDivisionError."""
+    _, s = edge_searcher
+    out = s.t_test(["alpha"], "a", "b").to_pylist()[0]
+    assert out["n"] == 40 and out["sum_d"] == 40 * 7
+    assert out["t_micro"] is None
+
+
+def test_auto_date_histogram_all_null_field(edge_searcher):
+    """Non-empty match set whose field values are ALL null: null-drop
+    leaves zero samples — return the empty table like the empty-match
+    branch, not min() of an empty array."""
+    _, s = edge_searcher
+    out = s.agg_auto_date_histogram(["alpha"], "ts_null", target=10)
+    assert out.num_rows == 0
+    assert out.column_names == ["interval_us", "bucket", "n"]
+
+
+def test_pinned_counts_against_size(edge_searcher):
+    """ES pinned semantics: pinned hits count against k — total <= k
+    even when the pin list alone exceeds k."""
+    t, s = edge_searcher
+    ids = t["doc_id"].to_pylist() if "doc_id" in t.column_names else None
+    organic, _ = s.search_terms(["alpha"], k=5)
+    organic = [int(x) for x in organic]
+    pins = organic[:3][::-1]
+    out = s.pinned(["alpha"], pins, k=5)
+    assert out.num_rows == 5
+    assert out["doc_id"].to_pylist()[:3] == pins
+    assert out["pinned"].to_pylist() == [True] * 3 + [False] * 2
+    # pin list longer than k → truncated to k, all pinned
+    big = s.pinned(["alpha"], organic[:5][::-1] + [10 ** 12], k=3)
+    assert big.num_rows == 3
+    assert big["pinned"].to_pylist() == [True] * 3
+    assert big["doc_id"].to_pylist() == organic[:5][::-1][:3]
+
+
+def test_diversified_sampler_high_cardinality(edge_searcher):
+    """Every doc has a distinct de-dup value: the vectorized cumcount
+    must keep all of them (each value's first occurrence), in docid
+    order, capped by shard_size."""
+    t, s = edge_searcher
+    out = s.diversified_sampler(["alpha"], "uniq", max_per=1,
+                                shard_size=25)
+    assert out.num_rows == 25
+    ids = out["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+    assert len(set(out["value"].to_pylist())) == 25
