@@ -294,13 +294,23 @@ def _old_version_stats(prev_files, delta_ids, *, id_col, text_col, html_col,
     if patch_dir is not None:
         ds = ds.materialize()  # consumed twice below; O(delta) rows
     emitter = DoclenEmitter(text_col, id_col, id_is_int, analyzer)
-    rows = ds.map_batches(emitter, batch_format="pyarrow").take_all()
+
+    def emit_dl(t: pa.Table) -> pa.Table:
+        # chaos point: a WORKER dies mid old-version retokenize (delta
+        # epochs only) — Ray task retry must reproduce identical stats
+        chaos_kill_once("old_dl")
+        return emitter(t)
+
+    rows = ds.map_batches(emit_dl, batch_format="pyarrow").take_all()
     docids = np.array(sorted(int(r["docid"]) for r in rows), dtype=np.int64)
     sum_dl = int(sum(int(r["dl"]) for r in rows))
     if patch_dir is not None:
         pe = PostingEmitter(text_col, id_col, id_is_int, analyzer)
 
         def partial_counts(t: pa.Table) -> pa.Table:
+            # chaos point: a WORKER dies mid dead-term-patch counting —
+            # the retried task must leave the groupby-sum patch exact
+            chaos_kill_once("df_patch")
             # one posting row per distinct (term, doc) → rows-per-term is
             # the batch-partial dead-doc count
             posts = pe(t)

@@ -241,7 +241,10 @@ def test_epoch_apply_driver_crashes_resume_identically(tmp_path):
     chaos = _run_until_done(str(tmp_path / "w_chaos"), chaos_dir)
     for flag in ("killed_snapshot_e0", "killed_epoch_prebuild_e0",
                  "killed_snapshot_e1", "killed_epoch_prebuild_e1",
-                 "killed_delta_meta_e2", "killed_snapshot_e2"):
+                 "killed_delta_meta_e2", "killed_snapshot_e2",
+                 # delta-epoch WORKER deaths (old-version retokenize and
+                 # dead-term-patch counting) — Ray task retry, not rerun
+                 "killed_old_dl", "killed_df_patch"):
         assert flag in chaos["killed"], chaos["killed"]
     assert clean["killed"] == []
     assert chaos["stats"] == clean["stats"]

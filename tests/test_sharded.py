@@ -116,3 +116,25 @@ def test_shard_actor_death_self_heals(pair):
     assert s0.tolist() == s1.tolist()
     # expansions (shard-side dictionary scans) also survive the restart
     assert local.suggest("me", 5) == sharded.suggest("me", 5)
+
+
+def test_shard_actor_death_mid_serving_recovers_identically(pair):
+    """Chaos: a shard actor is killed (restart allowed — the moral
+    equivalent of a lost serving node); `max_restarts`/`max_task_retries`
+    must transparently restart it, the shard reloads ONLY its partition
+    lazily, and post-kill results are bit-identical to pre-kill."""
+    import ray
+    local, sharded = pair
+    terms = ["merge", "scan"]
+    d0, s0 = local.search_terms(terms, k=25)
+    # warm, then kill one populated shard actor with restart enabled
+    d1, s1 = sharded.search_terms(terms, k=25)
+    np.testing.assert_array_equal(d0, d1)
+    victim_tp = next(tp for tp, parts in
+                     sharded.shard_loaded_partitions().items() if parts)
+    ray.kill(sharded._shards[victim_tp], no_restart=False)
+    d2, s2 = sharded.search_terms(terms, k=25)
+    np.testing.assert_array_equal(d0, d2)
+    np.testing.assert_array_equal(s0, s2)
+    # the restarted actor holds only its own partition again
+    assert sharded.shard_loaded_partitions()[victim_tp] == [victim_tp]
