@@ -1354,6 +1354,75 @@ def q_moving_avg(sf_dir: str):
                                  MOVING_WINDOW, MOVING_MIN_N)
 
 
+def q_weighted_avg_filter(sf_dir: str):
+    """ES weighted_avg aggregation in FILTER context over the match set:
+    value = n_chars, weight = doc_id; exact Python-bigint
+    (sum v*w * 1e6) // sum w (the oracle sums in HUGEINT).  The
+    dataset-level per-group flavor is the separate weighted_avg entry."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.agg_weighted_avg(list(BM25_QUERY_TERMS), "n_chars", "doc_id")
+
+
+def q_geo_bounds(sf_dir: str):
+    """ES geo_bounds aggregation: the covering box of the match set's
+    geo_points — min/max of IEEE doubles, bit-identical to the oracle."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    return s.agg_geo_bounds(list(BM25_QUERY_TERMS), "geo")
+
+
+def q_geo_centroid(sf_dir: str):
+    """ES geo_centroid aggregation: exact-integer mean of the match set's
+    millidegree-quantized geo_points in micro units (float sums would be
+    order-sensitive; both sides recover millidegrees with
+    floor(x*1000+0.5) and divide truncated like DuckDB //)."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    return s.agg_geo_centroid(list(BM25_QUERY_TERMS), "geo")
+
+
+def q_stats_bucket(sf_dir: str):
+    """ES stats_bucket pipeline agg (subsumes avg/sum/min/max_bucket
+    values) over the hourly purchase date_histogram's bucket counts."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_stats_bucket(["purchase"], "ts", HOUR_US)
+
+
+def q_normalize_agg(sf_dir: str):
+    """ES normalize pipeline agg (rescale_0_1) over the hourly purchase
+    date_histogram: per bucket (n-min)*1e6 // (max-min)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_normalize(["purchase"], "ts", HOUR_US)
+
+
+def q_bucket_script(sf_dir: str):
+    """ES bucket_script pipeline agg: hourly purchase/click count ratio in
+    exact integer micro per bucket present in EITHER stream (missing side
+    counts 0; n_b = 0 → NULL ratio, the painless division-by-zero)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_bucket_script(["purchase"], ["click"], "ts", HOUR_US)
+
+
+def q_cumulative_cardinality(sf_dir: str):
+    """ES cumulative_cardinality pipeline agg: per hourly purchase bucket,
+    the exact number of distinct user_ids seen so far ("new users per
+    period" shape)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_cumulative_cardinality(["purchase"], "ts", "user_id",
+                                        HOUR_US)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -2779,6 +2848,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_date_histogram": q_auto_date_histogram,
         "pinned": q_pinned,
         "moving_avg": q_moving_avg,
+        "weighted_avg_filter": q_weighted_avg_filter,
+        "geo_bounds": q_geo_bounds,
+        "geo_centroid": q_geo_centroid,
+        "stats_bucket": q_stats_bucket,
+        "normalize_agg": q_normalize_agg,
+        "bucket_script": q_bucket_script,
+        "cumulative_cardinality": q_cumulative_cardinality,
         "derivative": q_derivative,
         "max_bucket": q_max_bucket,
         "facet_stats": q_facet_stats,
@@ -3746,6 +3822,96 @@ SELECT bucket, cast(n AS bigint) AS n,
        cast(CASE WHEN wcnt > 0 THEN wsum * 1000000 // wcnt END AS bigint)
          AS mov_avg_micro
 FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
+        "weighted_avg_filter": f"""
+            WITH v AS (
+              SELECT cast(n_chars AS HUGEINT) AS v,
+                     cast(doc_id AS HUGEINT) AS w
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0
+                AND n_chars IS NOT NULL AND doc_id IS NOT NULL)
+            SELECT cast(count(*) AS BIGINT) AS n,
+                   cast(sum(w) AS BIGINT) AS sum_w,
+                   cast(CASE WHEN sum(w) <> 0
+                        THEN (sum(v * w) * 1000000) // sum(w) END
+                        AS BIGINT) AS wavg_micro
+            FROM v""",
+        "geo_bounds": f"""
+            WITH g AS (
+              SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0)
+            SELECT cast(count(*) AS BIGINT) AS n,
+                   max(lat) AS top_left_lat, min(lon) AS top_left_lon,
+                   min(lat) AS bottom_right_lat,
+                   max(lon) AS bottom_right_lon
+            FROM g""",
+        "geo_centroid": f"""
+            WITH g AS (
+              SELECT cast(floor({_GEO_LAT} * 1000.0 + 0.5) AS BIGINT)
+                       AS lat_mil,
+                     cast(floor({_GEO_LON} * 1000.0 + 0.5) AS BIGINT)
+                       AS lon_mil
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0)
+            SELECT cast(count(*) AS BIGINT) AS n,
+                   cast((sum(lat_mil) * 1000) // count(*) AS BIGINT)
+                     AS lat_micro,
+                   cast((sum(lon_mil) * 1000) // count(*) AS BIGINT)
+                     AS lon_micro
+            FROM g""",
+        "stats_bucket": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket)
+            SELECT cast(count(*) AS BIGINT) AS n_buckets,
+                   cast(min(n) AS BIGINT) AS min_n,
+                   cast(max(n) AS BIGINT) AS max_n,
+                   cast(sum(n) AS BIGINT) AS sum_n,
+                   cast((sum(n) * 1000000) // count(*) AS BIGINT)
+                     AS avg_micro
+            FROM h""",
+        "normalize_agg": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+            mm AS (SELECT min(n) AS lo, max(n) AS hi FROM h)
+            SELECT bucket, cast(n AS BIGINT) AS n,
+                   cast(CASE WHEN hi <> lo
+                        THEN ((n - lo) * 1000000) // (hi - lo) END
+                        AS BIGINT) AS norm_micro
+            FROM h, mm ORDER BY bucket""",
+        "bucket_script": """
+            WITH a AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+            b AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'click' GROUP BY bucket),
+            u AS (SELECT bucket FROM a UNION SELECT bucket FROM b)
+            SELECT u.bucket,
+                   cast(coalesce(a.n, 0) AS BIGINT) AS n_a,
+                   cast(coalesce(b.n, 0) AS BIGINT) AS n_b,
+                   cast(CASE WHEN coalesce(b.n, 0) <> 0
+                        THEN (coalesce(a.n, 0) * 1000000) // b.n END
+                        AS BIGINT) AS ratio_micro
+            FROM u LEFT JOIN a ON u.bucket = a.bucket
+                   LEFT JOIN b ON u.bucket = b.bucket
+            ORDER BY u.bucket""",
+        "cumulative_cardinality": """
+            WITH p AS (
+              SELECT date_trunc('hour', ts) AS bucket, user_id
+              FROM events WHERE event_type = 'purchase'
+                AND ts IS NOT NULL AND user_id IS NOT NULL),
+            h AS (SELECT bucket, count(*) AS n FROM p GROUP BY bucket),
+            f AS (SELECT user_id, min(bucket) AS first_b FROM p
+                  GROUP BY user_id)
+            SELECT h.bucket, cast(h.n AS BIGINT) AS n,
+                   cast((SELECT count(*) FROM f
+                         WHERE f.first_b <= h.bucket) AS BIGINT)
+                     AS cum_card
+            FROM h ORDER BY h.bucket""",
         "facet_stats": f"""
             SELECT lang,
                    cast(count(*) AS bigint) AS n,

@@ -2315,6 +2315,218 @@ class Searcher:
                 pa.int64()),
         })
 
+    def agg_weighted_avg(self, terms: list[str], value_field: str,
+                         weight_field: str) -> pa.Table:
+        """ES ``weighted_avg`` aggregation in filter context: over the
+        match set's (value, weight) integer docvalue pairs (docs missing
+        EITHER field are skipped — ES skips docs without a value and
+        treats missing weight as skip when no ``missing`` param is set),
+        ``wavg_micro = (Σ v·w · 1e6) // Σ w`` in exact Python-bigint
+        arithmetic (the oracle uses HUGEINT; Σ v·w·1e6 can exceed int64).
+        Returns one row (n, sum_w, wavg_micro)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "sum_w": none, "wavg_micro": none})
+        cols = self.fields.get(docids, [value_field, weight_field])
+        v, vok = _int_docvals_aligned(cols[value_field])
+        w, wok = _int_docvals_aligned(cols[weight_field])
+        ok = vok & wok
+        n = int(ok.sum())
+        if n == 0 or int(w[ok].astype(object).sum()) == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "sum_w": none, "wavg_micro": none})
+        vw = (v[ok].astype(object) * w[ok].astype(object)).sum()
+        sum_w = int(w[ok].astype(object).sum())
+        wavg = int(vw) * 1_000_000 // sum_w
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "sum_w": pa.array([sum_w], pa.int64()),
+                         "wavg_micro": pa.array([wavg], pa.int64())})
+
+    def _geo_latlon(self, docids: np.ndarray,
+                    field: str) -> tuple[np.ndarray, np.ndarray]:
+        got = self.fields.get(docids, [f"{field}_lat", f"{field}_lon"])
+        lat = np.asarray(got[f"{field}_lat"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lon = np.asarray(got[f"{field}_lon"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        return lat[ok], lon[ok]
+
+    def agg_geo_bounds(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``geo_bounds`` aggregation: the smallest box covering the
+        match set's geo_points — top_left = (max lat, min lon),
+        bottom_right = (min lat, max lon).  min/max of IEEE doubles is
+        arithmetic-free, so the values are bit-identical to the SQL
+        oracle's min/max over the same coordinate expression.  One row;
+        all-null/empty → NULL corners (n = 0)."""
+        docids = self._match_docids(terms)
+        lat, lon = (self._geo_latlon(docids, field) if docids.size
+                    else (np.empty(0), np.empty(0)))
+        if lat.size == 0:
+            nonef = pa.array([None], pa.float64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "top_left_lat": nonef, "top_left_lon": nonef,
+                             "bottom_right_lat": nonef,
+                             "bottom_right_lon": nonef})
+        return pa.table({
+            "n": pa.array([int(lat.size)], pa.int64()),
+            "top_left_lat": pa.array([float(lat.max())], pa.float64()),
+            "top_left_lon": pa.array([float(lon.min())], pa.float64()),
+            "bottom_right_lat": pa.array([float(lat.min())], pa.float64()),
+            "bottom_right_lon": pa.array([float(lon.max())], pa.float64()),
+        })
+
+    @staticmethod
+    def _tdiv(a: int, b: int) -> int:
+        """Integer division TRUNCATED toward zero — DuckDB's ``//`` on
+        integer operands (Python's ``//`` floors, which differs on
+        negative sums; geo centroids can be negative)."""
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def agg_geo_centroid(self, terms: list[str], field: str) -> pa.Table:
+        """ES ``geo_centroid`` aggregation: arithmetic mean of the match
+        set's geo_points.  Float summation is order-sensitive, so the mean
+        is computed EXACTLY: each coordinate is recovered to integer
+        millidegrees (``floor(x·1000 + 0.5)`` — the synthetic fixture is
+        millidegree-quantized, and the oracle applies the identical
+        expression), summed as int64, and divided in integer micro
+        (truncated like DuckDB ``//``).  One row (n, lat_micro,
+        lon_micro)."""
+        docids = self._match_docids(terms)
+        lat, lon = (self._geo_latlon(docids, field) if docids.size
+                    else (np.empty(0), np.empty(0)))
+        if lat.size == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lat_micro": none, "lon_micro": none})
+        lat_mil = np.floor(lat * 1000.0 + 0.5).astype(np.int64)
+        lon_mil = np.floor(lon * 1000.0 + 0.5).astype(np.int64)
+        n = int(lat.size)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "lat_micro": pa.array(
+                [self._tdiv(int(lat_mil.sum()) * 1000, n)], pa.int64()),
+            "lon_micro": pa.array(
+                [self._tdiv(int(lon_mil.sum()) * 1000, n)], pa.int64()),
+        })
+
+    def agg_stats_bucket(self, terms: list[str], field: str,
+                         interval_us: int) -> pa.Table:
+        """ES ``stats_bucket`` pipeline aggregation (subsumes avg_bucket /
+        sum_bucket / min_bucket-value / max_bucket-value): stats over the
+        sibling date_histogram's PRESENT bucket counts.  One row
+        (n_buckets, min_n, max_n, sum_n, avg_micro); avg in exact integer
+        micro."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        if n.size == 0:
+            none = pa.array([None], pa.int64())
+            return pa.table({"n_buckets": pa.array([0], pa.int64()),
+                             "min_n": none, "max_n": none, "sum_n": none,
+                             "avg_micro": none})
+        s = int(n.sum())
+        return pa.table({
+            "n_buckets": pa.array([int(n.size)], pa.int64()),
+            "min_n": pa.array([int(n.min())], pa.int64()),
+            "max_n": pa.array([int(n.max())], pa.int64()),
+            "sum_n": pa.array([s], pa.int64()),
+            "avg_micro": pa.array([s * 1_000_000 // int(n.size)],
+                                  pa.int64()),
+        })
+
+    def agg_normalize(self, terms: list[str], field: str,
+                      interval_us: int) -> pa.Table:
+        """ES ``normalize`` pipeline aggregation (``rescale_0_1``) over a
+        date_histogram's bucket counts: per present bucket,
+        ``(n − min) · 1e6 // (max − min)`` in exact integer micro; a
+        single-valued histogram (max == min) yields NULL (the rescale is
+        undefined — ES emits 0/0)."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        if n.size == 0:
+            return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64()),
+                             "norm_micro": pa.array([], pa.int64())})
+        lo, hi = int(n.min()), int(n.max())
+        if hi == lo:
+            norm = pa.array([None] * n.size, pa.int64())
+        else:
+            norm = pa.array((n - lo) * 1_000_000 // (hi - lo), pa.int64())
+        return pa.table({"bucket": hist["bucket"], "n": hist["n"],
+                         "norm_micro": norm})
+
+    def agg_bucket_script(self, terms_a: list[str], terms_b: list[str],
+                          field: str, interval_us: int) -> pa.Table:
+        """ES ``bucket_script`` pipeline aggregation over a date_histogram
+        with two ``filters`` sub-counts: per bucket PRESENT in the union
+        match set, ``ratio_micro = n_a · 1e6 // n_b`` (NULL when n_b = 0 —
+        the script's division by zero, which ES/painless propagates as an
+        empty value).  Returns (bucket, n_a, n_b, ratio_micro) sorted."""
+        ha = self.agg_date_histogram(terms_a, field, interval_us)
+        hb = self.agg_date_histogram(terms_b, field, interval_us)
+        ba = ha["bucket"].cast(pa.int64()).to_numpy()
+        bb = hb["bucket"].cast(pa.int64()).to_numpy()
+        na, nb = ha["n"].to_numpy(), hb["n"].to_numpy()
+        buckets = np.union1d(ba, bb)
+        a_full = np.zeros(buckets.size, dtype=np.int64)
+        a_full[np.searchsorted(buckets, ba)] = na
+        b_full = np.zeros(buckets.size, dtype=np.int64)
+        b_full[np.searchsorted(buckets, bb)] = nb
+        ratio = [int(x) * 1_000_000 // int(y) if y else None
+                 for x, y in zip(a_full, b_full)]
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()).cast(pa.timestamp("us")),
+            "n_a": pa.array(a_full, pa.int64()),
+            "n_b": pa.array(b_full, pa.int64()),
+            "ratio_micro": pa.array(ratio, pa.int64()),
+        })
+
+    def agg_cumulative_cardinality(self, terms: list[str], date_field: str,
+                                   key_field: str,
+                                   interval_us: int) -> pa.Table:
+        """ES ``cumulative_cardinality`` pipeline aggregation: per present
+        date_histogram bucket, the number of DISTINCT ``key_field`` values
+        seen in that bucket or any earlier one (exact, not HLL — the agg's
+        documented use is "new users per period").  Vectorized: each key's
+        FIRST bucket via lexsort-firsts, then one searchsorted of the
+        sorted firsts against the bucket edges.  Docs missing either field
+        are skipped.  Returns (bucket, n, cum_card) sorted."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64()),
+                             "cum_card": pa.array([], pa.int64())})
+        cols = self.fields.get(docids, [date_field, key_field])
+        dv = cols[date_field]
+        if not pa.types.is_floating(dv.type) and dv.type != pa.int64():
+            dv = dv.cast(pa.timestamp("us")).cast(pa.int64())
+        ts, tok = _int_docvals_aligned(dv)
+        key, kok = _int_docvals_aligned(cols[key_field])
+        ok = tok & kok
+        if not ok.any():
+            return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64()),
+                             "cum_card": pa.array([], pa.int64())})
+        bucket = (ts[ok] // interval_us) * interval_us
+        key = key[ok]
+        # each key's first bucket: sort by (key, bucket), take run firsts
+        order = np.lexsort((bucket, key))
+        ks, bs = key[order], bucket[order]
+        first = np.ones(ks.size, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        firsts = np.sort(bs[first])
+        uniq, counts = np.unique(bucket, return_counts=True)
+        cum = np.searchsorted(firsts, uniq, side="right")
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(counts, pa.int64()),
+            "cum_card": pa.array(cum.astype(np.int64), pa.int64()),
+        })
+
     def filter_docs(self, filters: dict, k: int | None = None) -> np.ndarray:
         """Filter-context-ONLY query: docids (sorted ascending) whose
         stored fields satisfy ``filters`` — the ES ``constant_score``

@@ -1191,3 +1191,126 @@ def test_diversified_sampler_high_cardinality(edge_searcher):
     ids = out["doc_id"].to_pylist()
     assert ids == sorted(ids)
     assert len(set(out["value"].to_pylist())) == 25
+
+
+# -- round-5 pipeline/metric aggs --------------------------------------------
+
+def test_weighted_avg_filter_vs_bruteforce(wide_searcher):
+    t, s = wide_searcher
+    pairs = [(v, d) for txt, v, d in zip(t["text"].to_pylist(),
+                                         t["n_chars"].to_pylist(),
+                                         t["doc_id"].to_pylist())
+             if any(x in set(tokenize_simple(txt or ""))
+                    for x in ("merge", "scan"))
+             and v is not None and d is not None]
+    out = s.agg_weighted_avg(["merge", "scan"],
+                             "n_chars", "doc_id").to_pylist()[0]
+    sum_w = sum(w for _, w in pairs)
+    assert out["n"] == len(pairs) and out["sum_w"] == sum_w
+    assert out["wavg_micro"] == \
+        sum(v * w for v, w in pairs) * 1_000_000 // sum_w
+    empty = s.agg_weighted_avg(["zzznosuch"], "n_chars",
+                               "doc_id").to_pylist()[0]
+    assert empty["n"] == 0 and empty["wavg_micro"] is None
+
+
+def test_geo_bounds_and_centroid_vs_bruteforce(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import (documents_geo_index,
+                                                      geo_coords)
+    s = Searcher(documents_geo_index(sf_dir))
+    terms = ["merge", "scan"]
+    docids = s._match_docids(terms)
+    lat, lon = geo_coords(docids)
+    b = s.agg_geo_bounds(terms, "geo").to_pylist()[0]
+    assert b["n"] == docids.size
+    assert (b["top_left_lat"], b["top_left_lon"]) == (lat.max(), lon.min())
+    assert (b["bottom_right_lat"], b["bottom_right_lon"]) == \
+        (lat.min(), lon.max())
+    c = s.agg_geo_centroid(terms, "geo").to_pylist()[0]
+    lat_mil = np.floor(lat * 1000.0 + 0.5).astype(np.int64)
+    lon_mil = np.floor(lon * 1000.0 + 0.5).astype(np.int64)
+
+    def tdiv(a, b_):
+        q = abs(a) // abs(b_)
+        return -q if (a < 0) != (b_ < 0) else q
+
+    assert c["n"] == docids.size
+    assert c["lat_micro"] == tdiv(int(lat_mil.sum()) * 1000, docids.size)
+    assert c["lon_micro"] == tdiv(int(lon_mil.sum()) * 1000, docids.size)
+    # empty match set → NULL corners / centroid
+    eb = s.agg_geo_bounds(["zzznosuch"], "geo").to_pylist()[0]
+    ec = s.agg_geo_centroid(["zzznosuch"], "geo").to_pylist()[0]
+    assert eb["n"] == 0 and eb["top_left_lat"] is None
+    assert ec["n"] == 0 and ec["lat_micro"] is None
+
+
+@pytest.fixture(scope="module")
+def pipeline_searcher(ray_session, tmp_path_factory):
+    """Tiny two-event-stream index for the pipeline aggs: hour buckets
+    with known purchase/click counts and repeating user ids."""
+    import pyarrow as pa
+
+    from search_ingest_ray.index.build import build_index
+    tmp_path = tmp_path_factory.mktemp("pipeagg")
+    HOUR = 3_600_000_000
+    rows = []   # (event_type, hour_idx, user)
+    #   hour0: 3 purchases (users 1,1,2), 1 click
+    #   hour1: 1 purchase (user 2), 0 clicks
+    #   hour2: 0 purchases, 4 clicks
+    #   hour3: 2 purchases (users 3,1), 2 clicks
+    rows += [("purchase", 0, 1), ("purchase", 0, 1), ("purchase", 0, 2),
+             ("click", 0, 9), ("purchase", 1, 2), ("click", 2, 9),
+             ("click", 2, 9), ("click", 2, 9), ("click", 2, 9),
+             ("purchase", 3, 3), ("purchase", 3, 1), ("click", 3, 9),
+             ("click", 3, 9)]
+    t = pa.table({
+        "url": [f"e{i}" for i in range(len(rows))],
+        "text": [r[0] for r in rows],
+        "ts_us": pa.array([r[1] * HOUR + 17 for r in rows], pa.int64()),
+        "user": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "ev.parquet"))
+    root = str(tmp_path / "idx")
+    build_index([str(tmp_path / "ev.parquet")], root, analyzer="simple",
+                num_term_partitions=2, store_fields=["ts_us", "user"])
+    return Searcher(root), HOUR
+
+
+def test_stats_bucket_and_normalize(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    # purchase histogram: h0=3, h1=1, h3=2
+    sb = s.agg_stats_bucket(["purchase"], "ts_us", HOUR).to_pylist()[0]
+    assert sb == {"n_buckets": 3, "min_n": 1, "max_n": 3, "sum_n": 6,
+                  "avg_micro": 2_000_000}
+    nm = s.agg_normalize(["purchase"], "ts_us", HOUR)
+    assert nm["n"].to_pylist() == [3, 1, 2]
+    assert nm["norm_micro"].to_pylist() == [1_000_000, 0, 500_000]
+    # single-bucket histogram → NULL rescale
+    one = s.agg_normalize(["zzznosuch"], "ts_us", HOUR)
+    assert one.num_rows == 0
+    sb0 = s.agg_stats_bucket(["zzznosuch"], "ts_us", HOUR).to_pylist()[0]
+    assert sb0["n_buckets"] == 0 and sb0["avg_micro"] is None
+
+
+def test_bucket_script_ratio(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    out = s.agg_bucket_script(["purchase"], ["click"], "ts_us", HOUR)
+    got = list(zip(out["n_a"].to_pylist(), out["n_b"].to_pylist(),
+                   out["ratio_micro"].to_pylist()))
+    # h0: 3/1, h1: 1/0 → NULL, h2: 0/4, h3: 2/2
+    assert got == [(3, 1, 3_000_000), (1, 0, None), (0, 4, 0),
+                   (2, 2, 1_000_000)]
+    buckets = out["bucket"].cast("int64").to_pylist()
+    assert buckets == [i * HOUR for i in range(4)]
+
+
+def test_cumulative_cardinality(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    out = s.agg_cumulative_cardinality(["purchase"], "ts_us", "user", HOUR)
+    # purchase users: h0 {1,2} → 2, h1 {2} → 2, h3 {3,1} → 3
+    assert out["n"].to_pylist() == [3, 1, 2]
+    assert out["cum_card"].to_pylist() == [2, 2, 3]
+    assert out["bucket"].cast("int64").to_pylist() == \
+        [0, HOUR, 3 * HOUR]
+    empty = s.agg_cumulative_cardinality(["zzz"], "ts_us", "user", HOUR)
+    assert empty.num_rows == 0
