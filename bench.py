@@ -245,7 +245,11 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "lmd_topk", "lmjm_topk", "tfidf_topk", "lmd_sharded",
                  "intervals", "ip_cidr", "match_bool_prefix",
                  "derivative", "max_bucket", "quality_classifier",
-                 "lmd_chain"]:
+                 "lmd_chain",
+                 # round 5: geo aggs + pipeline-agg sweep completion
+                 "weighted_avg_filter", "geo_bounds", "geo_centroid",
+                 "stats_bucket", "normalize_agg", "bucket_script",
+                 "cumulative_cardinality", "pinned"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -93,6 +93,23 @@ def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
     return uniq, out
 
 
+def _cumcount(codes: np.ndarray) -> np.ndarray:
+    """Per-element cumulative occurrence number of its value, in array
+    order (pandas ``groupby.cumcount``), fully vectorized: stable-sort by
+    value, number each run from its start, scatter back (the
+    _run_firsts/cumsum pattern from dedup.py).  O(n log n), no per-value
+    Python loop — property-tested against a Counter reference."""
+    byval = np.argsort(codes, kind="stable")
+    cs = codes[byval]
+    new = np.ones(cs.size, dtype=bool)
+    new[1:] = cs[1:] != cs[:-1]
+    run_start = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    out = np.empty(cs.size, dtype=np.int64)
+    out[byval] = np.arange(cs.size, dtype=np.int64) - run_start[run_id]
+    return out
+
+
 def _int_docvals(vals) -> np.ndarray:
     """Match-set docvalues → exact int64 with missing entries dropped —
     the one ingestion path for the integer aggregations.  "Missing" shows
@@ -1945,17 +1962,7 @@ class Searcher:
         code[null] = -1                      # missing de-dup value: skipped
         order = np.argsort(docids, kind="stable")
         c_sorted = code[order]
-        # cumulative occurrence number of each value in docid order,
-        # vectorized: stable-sort by value code, number each run from
-        # its start, scatter back (the _run_firsts/cumsum pattern)
-        byval = np.argsort(c_sorted, kind="stable")
-        cs = c_sorted[byval]
-        new = np.ones(cs.size, dtype=bool)
-        new[1:] = cs[1:] != cs[:-1]
-        run_start = np.flatnonzero(new)
-        run_id = np.cumsum(new) - 1
-        seen = np.empty(cs.size, dtype=np.int64)
-        seen[byval] = np.arange(cs.size, dtype=np.int64) - run_start[run_id]
+        seen = _cumcount(c_sorted)
         keep = (c_sorted >= 0) & (seen < max_per)
         idx = order[keep][:shard_size]
         idx.sort()

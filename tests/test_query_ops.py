@@ -1314,3 +1314,26 @@ def test_cumulative_cardinality(pipeline_searcher):
         [0, HOUR, 3 * HOUR]
     empty = s.agg_cumulative_cardinality(["zzz"], "ts_us", "user", HOUR)
     assert empty.num_rows == 0
+
+
+def test_cumcount_property_vs_counter():
+    from collections import Counter as _Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_ingest_ray.query.searcher import _cumcount
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-2, max_value=8), max_size=200))
+    def check(vals):
+        arr = np.asarray(vals, dtype=np.int64)
+        got = _cumcount(arr)
+        seen: _Counter = _Counter()
+        want = []
+        for v in vals:
+            want.append(seen[v])
+            seen[v] += 1
+        assert got.tolist() == want
+
+    check()
