@@ -2065,6 +2065,23 @@ def q_intervals(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+SPAN_NOT_PRE, SPAN_NOT_POST = 2, 2
+
+
+def q_span_not(sf_dir: str):
+    """ES span_not query (single-term spans): docs with at least one
+    'merge' occurrence that has NO 'scan' within SPAN_NOT_PRE tokens
+    before / SPAN_NOT_POST after (docs without 'scan' match outright).
+    Vectorized nearest-exclude searchsorteds per side over the flattened
+    (docrank, pos) keys — Searcher.span_not."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d = s.span_not(*BM25_QUERY_TERMS, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST)
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_phrase_slop(sf_dir: str):
     """Sloppy phrase (ordered, total gap ≤ slop) via the positional index;
     the SQL oracle is a bounded-gap regex over the space-separated tokens."""
@@ -2921,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_common": q_phrase_common,
         "phrase_slop": q_phrase_slop,
         "intervals": q_intervals,
+        "span_not": q_span_not,
         # SQL-oracled via md5-low64 token hashes (util.tok_hash_sql) +
         # hugeint mod-2^64 arithmetic in DuckDB
         "minhash_pairs": q_minhash_pairs,
@@ -5010,6 +5028,18 @@ ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
             p2 AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}')
             SELECT DISTINCT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
             WHERE abs(p1.pos - p2.pos) - 1 <= {INTERVALS_GAPS}
+            ORDER BY doc_id""",
+        "span_not": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM base),
+            p1 AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+            p2 AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}')
+            SELECT DISTINCT p1.doc_id FROM p1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p2 WHERE p2.doc_id = p1.doc_id
+                AND p2.pos >= p1.pos - {SPAN_NOT_PRE}
+                AND p2.pos <= p1.pos + {SPAN_NOT_POST})
             ORDER BY doc_id""",
         "token_jaccard": f"""
             WITH dt AS (

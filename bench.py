@@ -249,7 +249,7 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # round 5: geo aggs + pipeline-agg sweep completion
                  "weighted_avg_filter", "geo_bounds", "geo_centroid",
                  "stats_bucket", "normalize_agg", "bucket_script",
-                 "cumulative_cardinality", "pinned"]:
+                 "cumulative_cardinality", "pinned", "span_not"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

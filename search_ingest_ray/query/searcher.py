@@ -2609,45 +2609,15 @@ class Searcher:
         rows_by_term = self._lookup([t1, t2])
         per: dict[str, dict] = {}
         for t in (t1, t2):
-            rows = rows_by_term.get(t) or []
-            if not rows:
+            ent = self._pos_entry(rows_by_term.get(t) or [])
+            if ent is None:
                 return np.empty(0, dtype=np.int64)
-            docs, counts, flats = [], [], []
-            for row in rows:
-                if "pos_blob" not in row:
-                    raise ValueError(
-                        "index was built without positions; rebuild with "
-                        "with_positions=True for intervals queries")
-                d, tf, _dl = self._decode_list(row)
-                plists = self._decode_positions(row, tf)
-                docs.append(d.astype(np.int64))
-                counts.append(tf.astype(np.int64))
-                flats.append(np.concatenate(plists) if plists
-                             else np.empty(0, dtype=np.int64))
-            ent = {"docs": np.concatenate(docs),
-                   "counts": np.concatenate(counts),
-                   "flat": np.concatenate(flats).astype(np.int64)}
-            ent["cum"] = np.concatenate(
-                [[0], np.cumsum(ent["counts"])]).astype(np.int64)
-            ent["order"] = np.argsort(ent["docs"], kind="stable")
-            ent["sorted_docs"] = ent["docs"][ent["order"]]
             per[t] = ent
         cand = np.intersect1d(per[t1]["sorted_docs"], per[t2]["sorted_docs"])
         if cand.size == 0:
             return np.empty(0, dtype=np.int64)
-
-        def flat_keys(t: str) -> np.ndarray:
-            ent = per[t]
-            pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
-            lens = ent["counts"][pi]
-            starts = ent["cum"][pi]
-            total = int(lens.sum())
-            seg = np.concatenate([[0], np.cumsum(lens)])[:-1]
-            out = np.repeat(starts - seg, lens) + np.arange(total)
-            dr = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
-            return dr * self._PHRASE_K + ent["flat"][out]
-
-        k1, k2 = flat_keys(t1), flat_keys(t2)
+        k1 = self._flat_pos_keys(per[t1], cand)
+        k2 = self._flat_pos_keys(per[t2], cand)
         pos_mask = self._PHRASE_K - 1
         dr2, pos2 = k2 >> 32, k2 & pos_mask
         # nearest t1 at-or-before each t2 position (same doc)
@@ -2661,6 +2631,89 @@ class Searcher:
         ok |= ((ir < k1.size) & ((k1[irc] >> 32) == dr2)
                & ((k1[irc] & pos_mask) - pos2 - 1 <= max_gaps))
         return cand[np.unique(dr2[ok])]
+
+    def _pos_entry(self, rows: list[dict]) -> dict | None:
+        """Gather a term's postings + positions across salted sub-lists
+        into one flat layout (docs, per-doc counts, concatenated position
+        lists, docid sort order) — the shared substrate of the positional
+        set operators (intervals, span_not).  None if the term is absent."""
+        if not rows:
+            return None
+        docs, counts, flats = [], [], []
+        for row in rows:
+            if "pos_blob" not in row:
+                raise ValueError(
+                    "index was built without positions; rebuild with "
+                    "with_positions=True for positional queries")
+            d, tf, _dl = self._decode_list(row)
+            plists = self._decode_positions(row, tf)
+            docs.append(d.astype(np.int64))
+            counts.append(tf.astype(np.int64))
+            flats.append(np.concatenate(plists) if plists
+                         else np.empty(0, dtype=np.int64))
+        ent = {"docs": np.concatenate(docs),
+               "counts": np.concatenate(counts),
+               "flat": np.concatenate(flats).astype(np.int64)}
+        ent["cum"] = np.concatenate(
+            [[0], np.cumsum(ent["counts"])]).astype(np.int64)
+        ent["order"] = np.argsort(ent["docs"], kind="stable")
+        ent["sorted_docs"] = ent["docs"][ent["order"]]
+        return ent
+
+    def _flat_pos_keys(self, ent: dict, cand: np.ndarray) -> np.ndarray:
+        """(docrank << 32) | position keys for the candidate docs, globally
+        sorted — one searchsorted then serves every candidate at once."""
+        pi = ent["order"][np.searchsorted(ent["sorted_docs"], cand)]
+        lens = ent["counts"][pi]
+        starts = ent["cum"][pi]
+        total = int(lens.sum())
+        seg = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        out = np.repeat(starts - seg, lens) + np.arange(total)
+        dr = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        return dr * self._PHRASE_K + ent["flat"][out]
+
+    def span_not(self, include: str, exclude: str, pre: int = 0,
+                 post: int = 0) -> np.ndarray:
+        """ES ``span_not`` query (single-term spans): sorted docids with at
+        least one occurrence of ``include`` that has NO ``exclude``
+        occurrence within ``pre`` tokens before or ``post`` tokens after
+        (``pre = post = 0`` blocks only same-position overlap — stacked
+        preserve_original tokens).  Docs containing ``include`` but not
+        ``exclude`` match outright.  Vectorized like
+        :meth:`intervals_match`: per include occurrence, the nearest
+        exclude position on each side via two searchsorteds over the
+        flattened (docrank, pos) keys; nearest-only is exact — if the
+        nearest exclude is outside the window, all farther ones are too.
+
+        Requires positions (``build_index(with_positions=True)``)."""
+        rows_by_term = self._lookup([include, exclude])
+        inc = self._pos_entry(rows_by_term.get(include) or [])
+        if inc is None:
+            return np.empty(0, dtype=np.int64)
+        exc = self._pos_entry(rows_by_term.get(exclude) or [])
+        inc_docs = np.unique(inc["sorted_docs"])
+        if exc is None:
+            return inc_docs
+        both = np.intersect1d(inc_docs, exc["sorted_docs"])
+        only = np.setdiff1d(inc_docs, both, assume_unique=True)
+        if both.size == 0:
+            return only
+        k1 = self._flat_pos_keys(inc, both)   # include occurrences
+        k2 = self._flat_pos_keys(exc, both)   # exclude occurrences
+        pos_mask = self._PHRASE_K - 1
+        dr1, pos1 = k1 >> 32, k1 & pos_mask
+        # nearest exclude at-or-before each include position
+        il = np.searchsorted(k2, k1, side="right") - 1
+        ilc = np.maximum(il, 0)
+        blocked = ((il >= 0) & ((k2[ilc] >> 32) == dr1)
+                   & (pos1 - (k2[ilc] & pos_mask) <= pre))
+        # nearest exclude at-or-after
+        ir = np.searchsorted(k2, k1, side="left")
+        irc = np.minimum(ir, k2.size - 1)
+        blocked |= ((ir < k2.size) & ((k2[irc] >> 32) == dr1)
+                    & ((k2[irc] & pos_mask) - pos1 <= post))
+        surv = both[np.unique(dr1[~blocked])]
+        return np.union1d(only, surv)
 
     # (docrank << 32) | position keys make the concatenation of all
     # candidates' per-doc sorted position lists GLOBALLY sorted, so one

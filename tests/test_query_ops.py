@@ -1337,3 +1337,31 @@ def test_cumcount_property_vs_counter():
         assert got.tolist() == want
 
     check()
+
+
+# -- span_not -----------------------------------------------------------------
+
+def _span_not_ref(t, include, exclude, pre, post):
+    out = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tokenize_simple(txt or "")
+        p1 = [i for i, x in enumerate(toks) if x == include]
+        p2 = [i for i, x in enumerate(toks) if x == exclude]
+        if any(all(not (p - pre <= q <= p + post) for q in p2) for p in p1):
+            out.append(did)
+    return sorted(out)
+
+
+def test_span_not_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+    for pre, post in ((0, 0), (2, 2), (0, 3), (5, 1)):
+        got = s.span_not("merge", "scan", pre=pre, post=post)
+        assert got.tolist() == _span_not_ref(t, "merge", "scan", pre, post), \
+            (pre, post)
+    # exclude term absent → all docs containing include
+    all_inc = sorted({d for d, txt in zip(t["doc_id"].to_pylist(),
+                                          t["text"].to_pylist())
+                      if "merge" in tokenize_simple(txt or "")})
+    assert s.span_not("merge", "zzznosuch").tolist() == all_inc
+    # include absent → empty
+    assert s.span_not("zzznosuch", "merge").size == 0
