@@ -225,6 +225,25 @@ def q_bm25_chain(sf_dir: str):
     })
 
 
+def q_bm25_compacted(sf_dir: str):
+    """BM25 top-k after CHAIN COMPACTION (epochs.compact_chain — the ES
+    force-merge analog): the same backfill+delta chain as bm25_chain,
+    rolled into a new single FULL epoch (buckets untouched by the delta
+    hard-link-reuse their postings from epoch 0).  Serving collapses to
+    one epoch — no dead-docid masks or df patches — and results must be
+    bit-identical to the live chain's, so the SQL oracle is shared with
+    bm25_chain."""
+    from search_ingest_ray.pipelines.flagship import documents_chain_index
+    from search_ingest_ray.query.multi import MultiEpochSearcher
+    root = documents_chain_index(sf_dir, analyzer="simple", compact=True)
+    ms = MultiEpochSearcher(root)
+    d, sc = ms.search_terms(list(BM25_QUERY_TERMS), k=BM25_K)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "score": pa.array(np.round(sc, 4), pa.float64()),
+    })
+
+
 def q_bool_chain(sf_dir: str):
     """Bool query (must/should/must_not, integer micro scores) over the
     DELTA CHAIN — the shared bool_combine fed by chain-wide suppressed
@@ -2811,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmjm_topk": q_lmjm_topk,
         "tfidf_topk": q_tfidf_topk,
         "bm25_chain": q_bm25_chain,
+        "bm25_compacted": q_bm25_compacted,
         "bool_chain": q_bool_chain,
         "suggest": q_suggest,
         "bm25_filtered": q_bm25_filtered,
@@ -3171,7 +3191,7 @@ bands AS (
                   f" / (tf.tf + {k1} * ((1 - {b}) + ({b} * dl.dl) / stats.avgdl)))"
                   f" * 1e6) AS bigint)")
 
-    return {
+    sql = {
         "doc_count_by_lang":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "token_count":
@@ -5305,3 +5325,8 @@ SELECT s AS doc_id, cast(min(d) AS bigint) AS cluster
 FROM reach GROUP BY s
 """,
     }
+    # the compacted chain serves the SAME logical corpus as the live
+    # chain — one oracle proves both (chain = suppression path,
+    # compacted = force-merged single-epoch path)
+    sql["bm25_compacted"] = sql["bm25_chain"]
+    return sql

@@ -189,6 +189,8 @@ def warm_aux_indexes(sf_dir: str) -> dict:
             sf_dir, analyzer="simple", with_positions=True)),
         ("chain", lambda: flagship.documents_chain_index(
             sf_dir, analyzer="simple")),
+        ("chain_compacted", lambda: flagship.documents_chain_index(
+            sf_dir, analyzer="simple", compact=True)),
         ("geo", lambda: flagship.documents_geo_index(sf_dir)),
         ("events", lambda: flagship.events_index(sf_dir)),
     ]:
@@ -249,7 +251,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  # round 5: geo aggs + pipeline-agg sweep completion
                  "weighted_avg_filter", "geo_bounds", "geo_centroid",
                  "stats_bucket", "normalize_agg", "bucket_script",
-                 "cumulative_cardinality", "pinned", "span_not"]:
+                 "cumulative_cardinality", "pinned", "span_not",
+                 "bm25_compacted"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

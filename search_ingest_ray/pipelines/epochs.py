@@ -134,6 +134,22 @@ def _update_snapshot(index_root: str, delta_paths, epoch: int, *,
             prev_versions = meta["epochs"].get(str(epoch - 1), {})
             versions = {str(b): int(prev_versions.get(str(b), -1)) + 1
                         for b in range(num_buckets)}
+        elif delta_paths is None:
+            # compaction epoch: no new rows — hard-link EVERY bucket from
+            # the previous snapshot with versions UNCHANGED, so the full
+            # build's chunk fingerprints still match the last full epoch's
+            # and untouched buckets re-link their postings
+            prev_sd = snapshot_dir(index_root, epoch - 1)
+            prev_versions = meta["epochs"][str(epoch - 1)]
+            versions = {str(b): int(prev_versions[str(b)])
+                        for b in range(num_buckets)}
+            for b in range(num_buckets):
+                files = _bucket_files(prev_sd, b)
+                if files:
+                    dstd = os.path.join(sd, f"{_BUCKET_COL}={b}")
+                    os.makedirs(dstd, exist_ok=True)
+                    for f in files:
+                        _link_file(f, os.path.join(dstd, os.path.basename(f)))
         else:
             prev_sd = snapshot_dir(index_root, epoch - 1)
             prev_versions = meta["epochs"][str(epoch - 1)]
@@ -202,7 +218,8 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
                       html_col: str | None = None, id_is_int: bool = False,
                       analyzer: str = "standard",
                       base_paths=None, num_buckets: int = 16,
-                      mode: str = "full", **build_kwargs) -> dict:
+                      mode: str = "full", reuse_from: int | None = None,
+                      **build_kwargs) -> dict:
     """Fold a delta onto the previous snapshot and build the epoch's index.
 
     ``base_paths``: input for epoch 0 (the backfill); later epochs read the
@@ -238,7 +255,8 @@ def apply_delta_epoch(index_root: str, delta_paths, epoch: int, *,
         chunks, index_root, epoch=epoch, id_col=id_col, text_col=text_col,
         html_col=html_col, id_is_int=id_is_int, analyzer=analyzer,
         chunk_fingerprints=fps,
-        reuse_from_epoch=epoch - 1 if epoch > 0 else None,
+        reuse_from_epoch=(reuse_from if reuse_from is not None
+                          else (epoch - 1 if epoch > 0 else None)),
         **build_kwargs)
     _record_chain(index_root, epoch, "full")
     return manifest
@@ -461,6 +479,40 @@ def epoch_chain(index_root: str) -> list[tuple[int, str]]:
     last_full = max((i for i, (_, m) in enumerate(out) if m == "full"),
                     default=0)
     return out[last_full:]
+
+
+def compact_chain(index_root: str, *, id_col: str = "url",
+                  text_col: str = "text", html_col: str | None = None,
+                  id_is_int: bool = False, analyzer: str = "standard",
+                  **build_kwargs) -> dict:
+    """Roll the current delta chain into a NEW full epoch — the ES
+    force-merge analog (the reference delegates segment merging to ES;
+    /root/reference/src/search-ingest/elastic.cr keeps one live index per
+    table and lets ES compact it).
+
+    The latest bucketed snapshot already holds the folded logical state
+    (every delta epoch advances it), so compaction is a no-delta full
+    apply at ``latest + 1``: all buckets hard-link from the previous
+    snapshot with their versions UNCHANGED, and the full build re-links
+    postings for every bucket untouched since the LAST FULL epoch
+    (``reuse_from``) — stage 1 is O(rows changed since the last full
+    build), stage 2 rebuilds segments with exact stored block-max bounds
+    and NO dead-docid suppression.  After compaction
+    :func:`epoch_chain` starts at the new epoch, so
+    :class:`~search_ingest_ray.query.multi.MultiEpochSearcher` collapses
+    to single-epoch serving (no per-query dead-set masks or df patches).
+    Idempotent/resumable through the same snapshot + manifest markers as
+    any full epoch.  No-op (returns the latest manifest) when the chain
+    is already a single full epoch."""
+    chain = epoch_chain(index_root)
+    last_full, latest = chain[0][0], chain[-1][0]
+    if latest == last_full:
+        return read_json(os.path.join(epoch_dir(index_root, latest),
+                                      "manifest.json"))
+    return apply_delta_epoch(
+        index_root, None, latest + 1, id_col=id_col, text_col=text_col,
+        html_col=html_col, id_is_int=id_is_int, analyzer=analyzer,
+        mode="full", reuse_from=last_full, **build_kwargs)
 
 
 def watch_deltas(index_root: str, feed_dir: str, *, poll_sec: float = 1.0,

@@ -173,7 +173,8 @@ CHAIN_UPDATE_SUFFIX = " freshly updated merge scan notes"
 
 
 def documents_chain_index(sf_dir: str, analyzer: str = "simple",
-                          cache_base: str = _CACHE_BASE) -> str:
+                          cache_base: str = _CACHE_BASE,
+                          compact: bool = False) -> str:
     """Delta-chain index over the sf documents table (built once, cached):
     epoch 0 = full backfill of the base table; epoch 1 = a DETERMINISTIC
     synthetic delta applied in ``mode="delta"`` — every ``doc_id % 7 == 3``
@@ -188,8 +189,9 @@ def documents_chain_index(sf_dir: str, analyzer: str = "simple",
     from .epochs import apply_delta_epoch
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = "chain-v1-compacted" if compact else "chain-v1"
     key = hashlib.sha1(
-        f"{doc_path}:{analyzer}:chain-v1".encode()).hexdigest()[:16]
+        f"{doc_path}:{analyzer}:{tag}".encode()).hexdigest()[:16]
     root = os.path.join(cache_base, f"docchain-{key}")
     marker = os.path.join(root, "_BUILT")
     if os.path.exists(marker):
@@ -228,6 +230,10 @@ def documents_chain_index(sf_dir: str, analyzer: str = "simple",
               hot_df_threshold=10**9)
     apply_delta_epoch(root, None, 0, base_paths=[doc_path], **kw)
     apply_delta_epoch(root, delta_files, 1, mode="delta", **kw)
+    if compact:
+        from .epochs import compact_chain
+        compact_chain(root, **{k: v for k, v in kw.items()
+                               if k != "num_buckets"})
     with open(marker, "w") as f:
         f.write("ok")
     return root
