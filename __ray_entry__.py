@@ -426,6 +426,20 @@ def q_geotile(sf_dir: str):
     return s.agg_geotile(list(BM25_QUERY_TERMS), "geo", zoom=GEOTILE_ZOOM)
 
 
+def q_geo_sort(sf_dir: str):
+    """ES sort-by-_geo_distance (asc): the match set's top-k nearest
+    geo_points to GEO_CENTER by haversine; the engine's IEEE op sequence
+    mirrors the SQL oracle exactly (FieldStore._geo_mask discipline), so
+    the ORDER is deterministic — millidegree-quantized fixtures keep
+    distinct points far past trig ulp skew."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    lat0, lon0 = GEO_CENTER
+    return s.sort_by_geo_distance(list(BM25_QUERY_TERMS), "geo",
+                                  lat0, lon0, k=BM25_K)
+
+
 def q_random_score(sf_dir: str):
     """ES function_score random_score (seeded, deterministic): per-doc
     md5-low64('<seed>:'||doc_id) % 1e6 over the match set, top-10 —
@@ -2751,6 +2765,52 @@ def q_host_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+BLOCKED_HOSTS = ("host3.example.com", "host17.example.com",
+                 "host42.example.com")
+
+
+def q_url_blocklist(sf_dir: str):
+    """Domain-blocklist filtering (the Dolma/CCNet URL-filter stage):
+    drop every page whose canonical host is on a blocklist.  The
+    blocklist is broadcast ONCE (ray.put → read per task), the filter is
+    one vectorized pc.is_in inside map_batches — zero shuffle; at 100 TB
+    the blocklist (even millions of hosts) rides the object store while
+    pages stream through untouched.  Returns surviving (doc_id, host)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from search_ingest_ray.functions.urltools import (canonicalize_urls,
+                                                      host_of)
+    blocked_ref = ray.put(pa.array(list(BLOCKED_HOSTS), pa.string()))
+
+    def kern(batch: pa.Table) -> pa.Table:
+        urls, _ = _messy_urls(batch["doc_id"])
+        host = host_of(canonicalize_urls(urls))
+        keep = pc.invert(pc.is_in(host, value_set=ray.get(blocked_ref)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "host": host}).filter(keep)
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+CHUNK_MAX_TOKENS, CHUNK_STRIDE = 128, 96
+
+
+def q_chunk_plan(sf_dir: str):
+    """Sliding-window context chunking (functions/packing.py chunk_plan):
+    per doc, one chunk per CHUNK_STRIDE-token window start with
+    n_toks = min(CHUNK_MAX_TOKENS, n − start) — the overlapping-window
+    layout for cutting long documents into model-context training
+    examples.  Metadata-only plan, embarrassingly parallel, no shuffle."""
+    from search_ingest_ray.functions.packing import chunk_plan
+    from search_ingest_ray.functions.textstats import token_count_batch
+    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+          .map_batches(token_count_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "n_tokens"]))
+    return chunk_plan(ds, CHUNK_MAX_TOKENS, CHUNK_STRIDE)
+
+
 def q_json_fields(sf_dir: str):
     """Schema-on-read JSON projection (functions/jsonfields.py — the
     reference's RethinkDB-JSON→typed-ES-fields job, schemas.cr
@@ -2861,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bool_prefix": q_match_bool_prefix,
         "geo_bbox": q_geo_bbox,
         "geotile": q_geotile,
+        "geo_sort": q_geo_sort,
         "random_score": q_random_score,
         "geo_polygon": q_geo_polygon,
         "geo_shape": q_geo_shape,
@@ -2970,6 +3031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
+        "url_blocklist": q_url_blocklist,
+        "chunk_plan": q_chunk_plan,
         "json_fields": q_json_fields,
         # rows-only (non-SQL-expressible)
         "embedding_near_dup": q_embedding_near_dup,
@@ -3874,6 +3937,33 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
                         THEN (sum(v * w) * 1000000) // sum(w) END
                         AS BIGINT) AS wavg_micro
             FROM v""",
+        "geo_sort": f"""
+            WITH g AS (
+              SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0),
+            h AS (
+              SELECT doc_id,
+                     sin((lat - {GEO_CENTER[0]!r}) * 0.017453292519943295
+                         / 2.0) AS sdlat,
+                     sin((lon - {GEO_CENTER[1]!r}) * 0.017453292519943295
+                         / 2.0) AS sdlon,
+                     cos({GEO_CENTER[0]!r} * 0.017453292519943295)
+                       * cos(lat * 0.017453292519943295) AS cc
+              FROM g),
+            d AS (
+              SELECT doc_id,
+                     2.0 * 6371000.0 * asin(sqrt(least(
+                       sdlat * sdlat + cc * sdlon * sdlon, 1.0))) AS dist
+              FROM h),
+            r AS (
+              SELECT doc_id, dist,
+                     row_number() OVER (ORDER BY dist, doc_id) AS rank
+              FROM d)
+            SELECT cast(rank AS BIGINT) AS rank, doc_id,
+                   cast(floor(dist) AS BIGINT) AS dist_m
+            FROM r WHERE rank <= {BM25_K} ORDER BY rank""",
         "geo_bounds": f"""
             WITH g AS (
               SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents
@@ -5243,6 +5333,27 @@ SELECT host, count(*) AS n_pages,
        cast(sum(d.n_chars) AS bigint) AS total_chars
 FROM curl JOIN documents d USING (doc_id) GROUP BY host
 """,
+        "url_blocklist": f"""
+WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+{_CANON_SQL_CTE}
+SELECT doc_id, host FROM curl
+WHERE host NOT IN ({", ".join(f"'{h}'" for h in BLOCKED_HOSTS)})
+ORDER BY doc_id
+""",
+        "chunk_plan": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS}) AS n FROM documents),
+            c AS (
+              SELECT doc_id, n,
+                     unnest(range(0, cast(n AS BIGINT), {CHUNK_STRIDE}))
+                       AS start_tok
+              FROM t WHERE n > 0)
+            SELECT doc_id,
+                   cast(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                   cast(start_tok AS BIGINT) AS start_tok,
+                   cast(least({CHUNK_MAX_TOKENS}, n - start_tok) AS BIGINT)
+                     AS n_toks
+            FROM c ORDER BY doc_id, chunk_idx""",
         "json_fields": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        count(*) AS n,

@@ -252,7 +252,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "weighted_avg_filter", "geo_bounds", "geo_centroid",
                  "stats_bucket", "normalize_agg", "bucket_script",
                  "cumulative_cardinality", "pinned", "span_not",
-                 "bm25_compacted"]:
+                 "bm25_compacted", "geo_sort", "url_blocklist",
+                 "chunk_plan"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -130,3 +130,49 @@ def pack_sequences(ds, max_tokens: int, *, nshards: int = 32,
         functools.partial(_pack_group, key_col=key_col, len_col=len_col,
                           max_tokens=max_tokens),
         batch_format="pyarrow")
+
+
+def chunk_plan_batch(batch: pa.Table, *, max_tokens: int, stride: int,
+                     key_col: str = "doc_id",
+                     len_col: str = "n_tokens") -> pa.Table:
+    """Sliding-window chunk plan for one batch: per doc of ``n`` tokens,
+    one chunk per window start ``0, stride, 2·stride, …  < n`` with
+    ``n_toks = min(max_tokens, n − start)`` (the overlapping-context
+    layout used to cut long documents into model-context windows;
+    ``stride == max_tokens`` degenerates to disjoint chunks).  Zero-token
+    docs emit no chunks.  Fully vectorized repeat/arange expansion — the
+    plan is metadata-only (doc_id, chunk_idx, start_tok, n_toks); the
+    text/token slicing itself is a map-side gather at training-data
+    export time, so no shuffle is ever needed."""
+    did = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.where(n > 0, (n + stride - 1) // stride, 0)
+    tot = int(cnt.sum())
+    if tot == 0:
+        empty = pa.array([], pa.int64())
+        return pa.table({"doc_id": empty, "chunk_idx": empty,
+                         "start_tok": empty, "n_toks": empty})
+    seg = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    idx = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
+    start = idx * stride
+    n_rep = np.repeat(n, cnt)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(did, cnt), pa.int64()),
+        "chunk_idx": pa.array(idx, pa.int64()),
+        "start_tok": pa.array(start, pa.int64()),
+        "n_toks": pa.array(np.minimum(max_tokens, n_rep - start),
+                           pa.int64()),
+    })
+
+
+def chunk_plan(ds, max_tokens: int, stride: int | None = None, *,
+               key_col: str = "doc_id", len_col: str = "n_tokens"):
+    """Dataset-level sliding-window chunk plan (see
+    :func:`chunk_plan_batch`) — embarrassingly parallel map_batches, no
+    shuffle; at 100 TB each input block expands independently."""
+    import functools as _ft
+    stride = max_tokens if stride is None else stride
+    return ds.map_batches(
+        _ft.partial(chunk_plan_batch, max_tokens=max_tokens, stride=stride,
+                    key_col=key_col, len_col=len_col),
+        batch_format="pyarrow")

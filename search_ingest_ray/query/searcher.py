@@ -2421,6 +2421,44 @@ class Searcher:
                 [self._tdiv(int(lon_mil.sum()) * 1000, n)], pa.int64()),
         })
 
+    def sort_by_geo_distance(self, terms: list[str], field: str,
+                             lat0: float, lon0: float,
+                             k: int = 10) -> pa.Table:
+        """ES ``sort: _geo_distance`` (asc): the match set's top-k nearest
+        geo_points to ``(lat0, lon0)`` by haversine arc distance on the
+        6,371,000 m sphere, ties broken by docid.  The distance expression
+        mirrors :meth:`FieldStore._geo_mask`'s IEEE op sequence (and the
+        SQL oracle's) exactly; millidegree-quantized fixtures keep
+        distinct points well past ulp skew, so the ORDER is
+        deterministic across engines.  Returns (rank, doc_id, dist_m —
+        floor meters; boundary-exact for points with margin from integer
+        meters, same discipline as the geo filters)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            return pa.table({"rank": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dist_m": pa.array([], pa.int64())})
+        got = self.fields.get(docids, [f"{field}_lat", f"{field}_lon"])
+        lat = np.asarray(got[f"{field}_lat"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lon = np.asarray(got[f"{field}_lon"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        docids, lat, lon = docids[ok], lat[ok], lon[ok]
+        RAD = 0.017453292519943295
+        sdlat = np.sin((lat - lat0) * RAD / 2.0)
+        sdlon = np.sin((lon - lon0) * RAD / 2.0)
+        cc = np.cos(lat0 * RAD) * np.cos(lat * RAD)
+        h = sdlat * sdlat + cc * sdlon * sdlon
+        dist = 2.0 * 6371000.0 * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+        order = np.lexsort((docids, dist))[:k]
+        return pa.table({
+            "rank": pa.array(range(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(docids[order], pa.int64()),
+            "dist_m": pa.array(np.floor(dist[order]).astype(np.int64),
+                               pa.int64()),
+        })
+
     def agg_stats_bucket(self, terms: list[str], field: str,
                          interval_us: int) -> pa.Table:
         """ES ``stats_bucket`` pipeline aggregation (subsumes avg_bucket /

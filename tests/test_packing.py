@@ -115,3 +115,39 @@ def test_pack_invariants(ray_session):
             run += n
     for s, bs in per_shard.items():
         assert bs == set(range(len(bs))), s
+
+
+def test_chunk_plan_batch_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    from search_ingest_ray.functions.packing import chunk_plan_batch
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # 0 tokens → no chunks; 5 < stride → one short chunk; exact
+        # multiple; one over; long doc
+        "n_tokens": pa.array([0, 5, 96, 97, 300], pa.int64()),
+    })
+    out = chunk_plan_batch(batch, max_tokens=128, stride=96)
+    rows = list(zip(out["doc_id"].to_pylist(), out["chunk_idx"].to_pylist(),
+                    out["start_tok"].to_pylist(), out["n_toks"].to_pylist()))
+    want = [
+        (2, 0, 0, 5),
+        (3, 0, 0, 96),
+        (4, 0, 0, 97), (4, 1, 96, 1),
+        (5, 0, 0, 128), (5, 1, 96, 128), (5, 2, 192, 108),
+        (5, 3, 288, 12),
+    ]
+    assert rows == want
+    # every token of every doc is covered by at least one chunk
+    for did, n in zip((2, 3, 4, 5), (5, 96, 97, 300)):
+        cov = set()
+        for d, _, s, k in rows:
+            if d == did:
+                cov.update(range(s, s + k))
+        assert cov == set(range(n)), did
+    # all-empty batch
+    empty = chunk_plan_batch(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "n_tokens": pa.array([0], pa.int64())}), max_tokens=8, stride=8)
+    assert empty.num_rows == 0

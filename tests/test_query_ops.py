@@ -1365,3 +1365,32 @@ def test_span_not_vs_bruteforce(docs_and_searcher):
     assert s.span_not("merge", "zzznosuch").tolist() == all_inc
     # include absent → empty
     assert s.span_not("zzznosuch", "merge").size == 0
+
+
+def test_geo_sort_vs_bruteforce(ray_session, sf_dir):
+    import math
+
+    from search_ingest_ray.pipelines.flagship import (documents_geo_index,
+                                                      geo_coords)
+    s = Searcher(documents_geo_index(sf_dir))
+    terms = ["merge", "scan"]
+    docids = s._match_docids(terms)
+    lat, lon = geo_coords(docids)
+    lat0, lon0 = 37.7749, -122.4194
+    RAD = 0.017453292519943295
+
+    def hav(la, lo):
+        sdlat = math.sin((la - lat0) * RAD / 2.0)
+        sdlon = math.sin((lo - lon0) * RAD / 2.0)
+        cc = math.cos(lat0 * RAD) * math.cos(la * RAD)
+        return 2.0 * 6371000.0 * math.asin(
+            math.sqrt(min(sdlat * sdlat + cc * sdlon * sdlon, 1.0)))
+
+    ref = sorted((hav(la, lo), int(d))
+                 for d, la, lo in zip(docids, lat, lon))[:10]
+    out = s.sort_by_geo_distance(terms, "geo", lat0, lon0, k=10)
+    assert out["doc_id"].to_pylist() == [d for _, d in ref]
+    assert out["dist_m"].to_pylist() == [math.floor(x) for x, _ in ref]
+    assert out["rank"].to_pylist() == list(range(1, 11))
+    assert s.sort_by_geo_distance(["zzznosuch"], "geo", lat0, lon0,
+                                  k=10).num_rows == 0
