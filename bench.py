@@ -354,6 +354,30 @@ def _burn(n):
     return x
 
 
+def _memcpy_worker(args) -> float:
+    size_mb, reps = args
+    return host_mem_bandwidth_gbps(size_mb, reps)
+
+
+def host_mem_parallel_x(procs: int = 4, size_mb: int = 96,
+                        reps: int = 3) -> tuple[float, float, float]:
+    """Aggregate memcpy bandwidth at 1 vs ``procs`` concurrent processes —
+    the MEMORY-side host scaling bound (the burn probe sees only CPU-cycle
+    grants; a streaming build is partly bandwidth-bound, and on a shared
+    bus one core can already consume most of the grant, so even perfect
+    software cannot scale the memory-bound fraction by ``procs``×).
+    Returns (bw_1proc, bw_aggregate_at_procs, parallel_x = agg / bw_1)."""
+    import multiprocessing as mp
+    bw1 = host_mem_bandwidth_gbps(size_mb, reps)
+    with mp.Pool(procs) as p:
+        p.map(_memcpy_worker, [(16, 1)] * procs)  # warm the pool
+        t0 = time.perf_counter()
+        bws = p.map(_memcpy_worker, [(size_mb, reps)] * procs)
+        _ = time.perf_counter() - t0
+    agg = sum(bws)
+    return round(bw1, 2), round(agg, 2), round(agg / bw1, 2)
+
+
 def host_mem_bandwidth_gbps(size_mb: int = 128, reps: int = 5) -> float:
     """Single-thread memcpy bandwidth (GB/s, best of ``reps``).  The burn
     probe only sees CPU-cycle grants; a noisy neighbor on the memory bus
@@ -422,6 +446,10 @@ def run_scaling() -> dict:
         ceil_lo = host_parallel_ceiling(lo)
         ceil_hi = host_parallel_ceiling(hi)
         host_bound = ceil_hi / (ceil_lo * (hi / lo))
+        # memory-side bound: aggregate memcpy at `hi` procs vs one proc —
+        # on a shared bus one core can already consume most of the grant,
+        # so the memory-bound fraction of the build cannot scale past this
+        mem1, mem_agg, mem_x = host_mem_parallel_x(hi)
         runs.append({
             "eff": round(tput_hi / (tput_lo * (hi / lo)), 3),
             "docs_per_sec_lo": tput_lo, "docs_per_sec_hi": tput_hi,
@@ -429,6 +457,9 @@ def run_scaling() -> dict:
             "build_sec_hi": r_hi["build"]["build_sec"],
             "host_ceiling_lo_x": ceil_lo, "host_ceiling_hi_x": ceil_hi,
             "host_bound_efficiency": round(host_bound, 3),
+            "mem_bw_1proc_gbps": mem1, "mem_bw_agg_gbps": mem_agg,
+            "mem_parallel_x": mem_x,
+            "mem_bound_efficiency": round(mem_x / (hi / lo), 3),
             # qps_lo/hi are apples-vs-oranges (1 cpu = inline warmed
             # searcher; >=2 = cold Ray-Data pool incl. actor spawn);
             # serve_qps_* is the steady-state warmed-pool number on BOTH
