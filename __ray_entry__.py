@@ -865,6 +865,19 @@ def q_function_score(sf_dir: str):
                                    k=BM25_K)
 
 
+def q_function_score_gauss(sf_dir: str):
+    """ES function_score with GAUSS decay (decay=0.5 at `scale`):
+    micro-scored disjunction × exp(-(n_chars-origin)²/(2σ²)),
+    σ² = scale²/(2·ln2); floor to micro — double expression mirrors the
+    SQL oracle op-for-op (libm exp discipline, like the geotile
+    ln/tan oracle)."""
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(_fields_index(sf_dir))
+    return s.function_score_gauss(list(BM25_QUERY_TERMS), "n_chars",
+                                  origin=FS_ORIGIN, scale=FS_SCALE,
+                                  k=BM25_K)
+
+
 DIS_MAX_TB = (3, 10)
 BOOSTING_NEG = "window"
 BOOSTING_NB = (1, 2)
@@ -2765,6 +2778,16 @@ def q_host_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_compression_ratio(sf_dir: str):
+    """Compressibility quality signal (functions/textstats.py
+    compression_ratio_batch): per-doc zlib ratio in integer micro —
+    boilerplate collapses, noise stays near 1e6.  Rows-only (no SQL
+    zlib); deterministic for the fixed level, pytest-anchored."""
+    from search_ingest_ray.functions.textstats import compression_ratio_batch
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(compression_ratio_batch, batch_format="pyarrow"))
+
+
 BLOCKED_HOSTS = ("host3.example.com", "host17.example.com",
                  "host42.example.com")
 
@@ -2962,6 +2985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ext_stats": q_ext_stats,
         "composite": q_composite,
         "function_score": q_function_score,
+        "function_score_gauss": q_function_score_gauss,
         "dis_max": q_dis_max,
         "boosting": q_boosting,
         "rank_feature": q_rank_feature,
@@ -3035,6 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_plan": q_chunk_plan,
         "json_fields": q_json_fields,
         # rows-only (non-SQL-expressible)
+        "compression_ratio": q_compression_ratio,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "ann_lsh": q_ann_lsh,
@@ -4532,6 +4557,41 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
 """,
+        "function_score_gauss": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT cast(count(*) AS double) FROM toks)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, {{bool_micro}} AS micro
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, cast(sum(micro) AS bigint) AS m FROM per GROUP BY doc_id
+)
+SELECT s.doc_id,
+       cast(floor(cast(s.m AS DOUBLE) * exp(
+         -((cast(coalesce(d.n_chars,
+                          {FS_ORIGIN + 4 * FS_SCALE}) AS DOUBLE)
+            - {float(FS_ORIGIN)!r})
+           * (cast(coalesce(d.n_chars,
+                            {FS_ORIGIN + 4 * FS_SCALE}) AS DOUBLE)
+              - {float(FS_ORIGIN)!r}))
+         / (2.0 * (({float(FS_SCALE)!r} * {float(FS_SCALE)!r})
+                   / (2.0 * ln(2.0)))))) AS BIGINT) AS score_micro
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY score_micro DESC, s.doc_id LIMIT {BM25_K}
+""".replace("{bool_micro}", bool_micro),
         "dis_max": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents

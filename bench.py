@@ -253,7 +253,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "stats_bucket", "normalize_agg", "bucket_script",
                  "cumulative_cardinality", "pinned", "span_not",
                  "bm25_compacted", "geo_sort", "url_blocklist",
-                 "chunk_plan"]:
+                 "chunk_plan", "function_score_gauss",
+                 "compression_ratio"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -583,3 +583,29 @@ def percolate(ds, queries: list[tuple], *, text_col: str = "text",
                           fn_constructor_kwargs={"queries": queries,
                                                  "text_col": text_col,
                                                  "id_col": id_col})
+
+
+def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio in integer micro-units —
+    ``len(compress(utf8)) · 1e6 // max(len(utf8), 1)`` — the
+    compressibility quality signal from web-corpus filtering (highly
+    repetitive/boilerplate pages compress far below prose; random noise
+    compresses above it).  Deterministic for a fixed zlib level; the
+    compressor is C-speed so the Python loop is I/O shaping only, not
+    the bottleneck.  No SQL analog (zlib), so the driver entry is
+    rows-only; the pytest asserts the discriminative ordering
+    repetitive < prose < noise."""
+    import zlib
+    ratios = []
+    for t in batch[text_col].to_pylist():
+        raw = (t or "").encode("utf-8")
+        ratios.append(len(zlib.compress(raw, level)) * 1_000_000
+                      // max(len(raw), 1))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bytes": pa.array(
+            [len((t or "").encode("utf-8"))
+             for t in batch[text_col].to_pylist()], pa.int64()),
+        "compression_micro": pa.array(ratios, pa.int64()),
+    })

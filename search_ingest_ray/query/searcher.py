@@ -1261,6 +1261,41 @@ class Searcher:
         np.maximum.at(x0, inv, m_all)
         return d0, s0, x0
 
+    def function_score_gauss(self, terms: list[str], field: str,
+                             origin: int, scale: int,
+                             k: int = 10) -> pa.Table:
+        """ES ``function_score`` with a ``gauss`` decay on a numeric
+        docvalue: decay(v) = exp(−(v−origin)² / (2·σ²)) with
+        σ² = scale² / (2·ln 2) (ES's parametrization — decay = 0.5 at
+        ``scale``), applied to the micro-scored disjunction as
+        ``adj = floor(score_micro · decay)``.  The double expression
+        mirrors the SQL oracle op-for-op (same libm exp discipline as the
+        geotile ln/tan oracle); floor-boundary collisions need ~1e-16
+        relative coincidence.  Docs missing the field decay as if at
+        origin + 4·scale (≈0, ES ``missing`` pinned far).  Returns
+        (doc_id, score_micro) by (-score, doc_id)."""
+        uniq = list(dict.fromkeys(terms))
+        d0, m0 = self._union_micro(self._lookup(uniq), uniq)
+        if d0.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        vals = self.fields.get(d0, [field])[field]
+        arr = vals.to_numpy(zero_copy_only=False)
+        null = vals.is_null().to_numpy(zero_copy_only=False) \
+            if vals.null_count else np.zeros(d0.size, dtype=bool)
+        if arr.dtype != np.int64:
+            null |= np.isnan(arr)
+            arr = np.where(null, 0, arr)
+        v = np.where(null, origin + 4 * scale,
+                     arr.astype(np.int64, copy=False)).astype(np.float64)
+        sigma2 = (float(scale) * float(scale)) / (2.0 * np.log(2.0))
+        dv = v - float(origin)
+        decay = np.exp(-(dv * dv) / (2.0 * sigma2))
+        adj = np.floor(m0.astype(np.float64) * decay).astype(np.int64)
+        top = np.lexsort((d0, -adj))[:k]
+        return pa.table({"doc_id": pa.array(d0[top], pa.int64()),
+                         "score_micro": pa.array(adj[top], pa.int64())})
+
     def dis_max(self, terms: list[str], k: int = 10,
                 tie_breaker: tuple[int, int] = (3, 10)) -> pa.Table:
         """ES ``dis_max`` query: score = best per-term score plus

@@ -828,3 +828,32 @@ def test_hashed_linear_score_matches_bruteforce(rd):
         s = sum((tok_hash_sql(w) % CLS_DIM) * CLS_MIX % 2001 - 1000
                 for w in toks)
         assert got[d["doc_id"]] == (len(toks), s, s > 0), d
+
+
+def test_compression_ratio_discriminates():
+    import pyarrow as pa
+
+    from search_ingest_ray.functions.textstats import compression_ratio_batch
+    import numpy as np
+    rng = np.random.default_rng(3)
+    noise = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["spam " * 400,                      # repetitive
+                 ("the quick brown fox jumps over the lazy dog and then "
+                  "discusses merge strategies for distributed indexes. ")
+                 * 20,                               # prose
+                 noise,                              # incompressible
+                 None],                              # null → 0 bytes
+    })
+    out = compression_ratio_batch(batch)
+    r = dict(zip(out["doc_id"].to_pylist(),
+                 out["compression_micro"].to_pylist()))
+    assert r[1] < r[2] < r[3]
+    assert r[3] > 800_000          # noise barely compresses
+    assert r[1] < 50_000           # pure repetition collapses
+    nb = dict(zip(out["doc_id"].to_pylist(), out["n_bytes"].to_pylist()))
+    assert nb[4] == 0
+    # deterministic across calls
+    again = compression_ratio_batch(batch)
+    assert out.equals(again)

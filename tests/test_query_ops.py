@@ -1394,3 +1394,33 @@ def test_geo_sort_vs_bruteforce(ray_session, sf_dir):
     assert out["rank"].to_pylist() == list(range(1, 11))
     assert s.sort_by_geo_distance(["zzznosuch"], "geo", lat0, lon0,
                                   k=10).num_rows == 0
+
+
+def test_function_score_gauss_vs_bruteforce(wide_searcher):
+    import math
+    t, s = wide_searcher
+    # independent micro-disjunction reference (shared helper) × gauss decay
+    base = dict(_bool_reference(t, s.params, [], ["merge", "scan"], [],
+                                k=10**9))
+    chars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    origin, scale = 300, 250
+    sigma2 = (float(scale) * float(scale)) / (2.0 * math.log(2.0))
+    exp = []
+    for did, m in base.items():
+        v = float(chars[did] if chars[did] is not None
+                  else origin + 4 * scale)
+        dv = v - float(origin)
+        exp.append((did, math.floor(m * math.exp(-(dv * dv)
+                                                 / (2.0 * sigma2)))))
+    exp.sort(key=lambda kv: (-kv[1], kv[0]))
+    out = s.function_score_gauss(["merge", "scan"], "n_chars",
+                                 origin=origin, scale=scale, k=10)
+    got = list(zip(out["doc_id"].to_pylist(),
+                   out["score_micro"].to_pylist()))
+    assert got == exp[:10]
+    # decay=0.5 at |v-origin|==scale (within 1 micro of floor boundary)
+    full = dict(exp)
+    at_scale = [d for d in full if chars.get(d) is not None
+                and abs(chars[d] - origin) == scale]
+    for d in at_scale:
+        assert abs(full[d] - base[d] // 2) <= 1
