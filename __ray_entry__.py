@@ -2778,6 +2778,31 @@ def q_host_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+KEYWORDS_TOP = 3
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords (textstats.KeywordExtractor): exact
+    global df aggregated once, broadcast via ray.put, read per actor —
+    the broadcast-join shape; docs stream embarrassingly parallel.
+    Scores in the more_like_this tf·idf micro units (bit-identical SQL
+    oracle)."""
+    import ray
+
+    from search_ingest_ray.functions.textstats import KeywordExtractor
+    dfr = _postings(sf_dir).groupby("term").count().take_all()
+    df = {r["term"]: int(r["count()"]) for r in dfr}
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    df_ref = ray.put(df)
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        KeywordExtractor, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(df_ref=df_ref, n_docs=n_docs,
+                                   top=KEYWORDS_TOP),
+        concurrency=_pool(2))
+
+
 def q_compression_ratio(sf_dir: str):
     """Compressibility quality signal (functions/textstats.py
     compression_ratio_batch): per-doc zlib ratio in integer micro —
@@ -3058,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "chunk_plan": q_chunk_plan,
         "json_fields": q_json_fields,
+        "doc_keywords": q_doc_keywords,
         # rows-only (non-SQL-expressible)
         "compression_ratio": q_compression_ratio,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5400,6 +5426,28 @@ SELECT doc_id, host FROM curl
 WHERE host NOT IN ({", ".join(f"'{h}'" for h in BLOCKED_HOSTS)})
 ORDER BY doc_id
 """,
+        "doc_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                   GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     cast(floor(tf * ln(1 + (cast(nn.n AS DOUBLE) - df.df
+                                             + 0.5) / (df.df + 0.5))
+                                * 1000000.0) AS BIGINT) AS score_micro
+              FROM tf JOIN df USING (term) CROSS JOIN nn),
+            r AS (
+              SELECT doc_id, term, score_micro,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_micro DESC, term)
+                       AS rank
+              FROM scored)
+            SELECT doc_id, cast(rank AS BIGINT) AS rank, term, score_micro
+            FROM r WHERE rank <= {KEYWORDS_TOP} ORDER BY doc_id, rank""",
         "chunk_plan": f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n FROM documents),

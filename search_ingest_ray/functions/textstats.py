@@ -609,3 +609,52 @@ def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
              for t in batch[text_col].to_pylist()], pa.int64()),
         "compression_micro": pa.array(ratios, pa.int64()),
     })
+
+
+class KeywordExtractor:
+    """Per-doc top-k TF-IDF keyword extraction with a BROADCAST global-df
+    side table — the canonical broadcast-join shape: the (term → df) map
+    is `ray.put` once and read in each actor's ``__init__`` (never
+    re-shipped per batch); documents stream through embarrassingly
+    parallel.  Vocabulary is Heaps-sublinear in corpus size, and a 100-TB
+    deployment would cap the broadcast at the top-M terms by df (rare
+    terms are always keywords; treat df_min as 1) — the synthetic vocab
+    fits whole.
+
+    Scoring mirrors :meth:`Searcher.more_like_this`'s tf·idf micro units
+    op-for-op — ``floor(tf · ln(1 + (N − df + 0.5)/(df + 0.5)) · 1e6)``
+    — so the DuckDB oracle is bit-identical.  Emits
+    (doc_id, rank, term, score_micro), rank 1..top by (−score, term)."""
+
+    def __init__(self, df_ref, n_docs: int, top: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+        self.df = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
+        self.n = int(n_docs)
+        self.top = top
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+        from collections import Counter
+        dids, ranks, terms, scores = [], [], [], []
+        for did, txt in zip(batch[self.id_col].to_pylist(),
+                            batch[self.text_col].to_pylist()):
+            c = Counter(tokenize_simple(txt or ""))
+            scored = sorted(
+                (-math.floor(tf * math.log(
+                    1 + (self.n - self.df.get(t, 1) + 0.5)
+                    / (self.df.get(t, 1) + 0.5)) * 1_000_000), t)
+                for t, tf in c.items())[:self.top]
+            for r, (neg, t) in enumerate(scored, 1):
+                dids.append(did)
+                ranks.append(r)
+                terms.append(t)
+                scores.append(-neg)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "score_micro": pa.array(scores, pa.int64()),
+        })

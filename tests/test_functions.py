@@ -857,3 +857,36 @@ def test_compression_ratio_discriminates():
     # deterministic across calls
     again = compression_ratio_batch(batch)
     assert out.equals(again)
+
+
+def test_doc_keywords_vs_bruteforce(ray_session, sf_dir):
+    import math
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from search_ingest_ray.analyzer import tokenize_simple
+    from search_ingest_ray.functions.textstats import KeywordExtractor
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    n = t.num_rows
+    df: Counter = Counter()
+    for txt in texts:
+        df.update(set(tokenize_simple(txt or "")))
+    ext = KeywordExtractor(ray.put(dict(df)), n, top=3)
+    out = ext(t.slice(0, 50))
+    # independent reference for the first 50 docs
+    want = []
+    for did, txt in zip(t["doc_id"].to_pylist()[:50], texts[:50]):
+        c = Counter(tokenize_simple(txt or ""))
+        sc = sorted((-math.floor(tf * math.log(
+            1 + (n - df[term] + 0.5) / (df[term] + 0.5)) * 1e6), term)
+            for term, tf in c.items())[:3]
+        for r, (neg, term) in enumerate(sc, 1):
+            want.append((did, r, term, -neg))
+    got = list(zip(out["doc_id"].to_pylist(), out["rank"].to_pylist(),
+                   out["term"].to_pylist(), out["score_micro"].to_pylist()))
+    assert got == want
