@@ -1469,6 +1469,29 @@ def q_cumulative_cardinality(sf_dir: str):
                                         HOUR_US)
 
 
+BUCKET_SORT_SIZE = 5
+
+
+def q_percentiles_bucket(sf_dir: str):
+    """ES percentiles_bucket pipeline agg: exact nearest-rank PCTS over
+    the hourly purchase histogram's bucket counts."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_percentiles_bucket(["purchase"], "ts", HOUR_US,
+                                    list(PCTS))
+
+
+def q_bucket_sort(sf_dir: str):
+    """ES bucket_sort pipeline agg: top-5 busiest purchase hours (count
+    desc, bucket asc tiebreak)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_bucket_sort(["purchase"], "ts", HOUR_US,
+                             size=BUCKET_SORT_SIZE)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -3001,6 +3024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_agg": q_normalize_agg,
         "bucket_script": q_bucket_script,
         "cumulative_cardinality": q_cumulative_cardinality,
+        "percentiles_bucket": q_percentiles_bucket,
+        "bucket_sort": q_bucket_sort,
         "derivative": q_derivative,
         "max_bucket": q_max_bucket,
         "facet_stats": q_facet_stats,
@@ -4091,6 +4116,30 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
                          WHERE f.first_b <= h.bucket) AS BIGINT)
                      AS cum_card
             FROM h ORDER BY h.bucket""",
+        "percentiles_bucket": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+            o AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM h),
+            cnt AS (SELECT count(*) AS m FROM h),
+            p(pct) AS (VALUES ({PCTS[0]}), ({PCTS[1]}), ({PCTS[2]}))
+            SELECT cast(p.pct AS BIGINT) AS pct,
+                   (SELECT cast(o.n AS BIGINT) FROM o CROSS JOIN cnt
+                    WHERE o.rn = greatest(
+                      cast(ceiling(p.pct / 100.0 * cnt.m) AS bigint), 1))
+                     AS value
+            FROM p ORDER BY pct""",
+        "bucket_sort": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+            r AS (
+              SELECT bucket, n,
+                     row_number() OVER (ORDER BY n DESC, bucket) AS rank
+              FROM h)
+            SELECT cast(rank AS BIGINT) AS rank, bucket,
+                   cast(n AS BIGINT) AS n
+            FROM r WHERE rank <= {BUCKET_SORT_SIZE} ORDER BY rank""",
         "facet_stats": f"""
             SELECT lang,
                    cast(count(*) AS bigint) AS n,

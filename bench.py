@@ -254,7 +254,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "cumulative_cardinality", "pinned", "span_not",
                  "bm25_compacted", "geo_sort", "url_blocklist",
                  "chunk_plan", "function_score_gauss",
-                 "compression_ratio", "doc_keywords"]:
+                 "compression_ratio", "doc_keywords",
+                 "percentiles_bucket", "bucket_sort"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -2518,6 +2518,48 @@ class Searcher:
                                   pa.int64()),
         })
 
+    def agg_percentiles_bucket(self, terms: list[str], field: str,
+                               interval_us: int,
+                               pcts: list[int]) -> pa.Table:
+        """ES ``percentiles_bucket`` pipeline aggregation: exact
+        nearest-rank percentiles (the :meth:`agg_percentiles` convention —
+        value at 1-based rank ``ceil(p/100 · n)``) over the sibling
+        date_histogram's PRESENT bucket counts.  Returns (pct, value);
+        empty histogram → NULL values."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        arr = np.sort(hist["n"].to_numpy())
+        n = arr.size
+        out = []
+        for p in pcts:
+            if n == 0:
+                out.append(None)
+            else:
+                rank = int(np.ceil(p / 100 * n))
+                out.append(int(arr[max(rank, 1) - 1]))
+        return pa.table({
+            "pct": pa.array(list(pcts), pa.int64()),
+            "value": pa.array(out, pa.int64()),
+        })
+
+    def agg_bucket_sort(self, terms: list[str], field: str,
+                        interval_us: int, size: int = 5,
+                        ascending: bool = False) -> pa.Table:
+        """ES ``bucket_sort`` pipeline aggregation: reorder the sibling
+        date_histogram's buckets by count (desc by default, ties by
+        bucket asc — ES's deterministic tiebreak on the sort key then
+        bucket key) and truncate to ``size`` — the "top N busiest hours"
+        shape.  Returns (rank, bucket, n)."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        b = hist["bucket"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((b, n if ascending else -n))[:size]
+        return pa.table({
+            "rank": pa.array(range(1, order.size + 1), pa.int64()),
+            "bucket": pa.array(b[order], pa.int64()).cast(
+                pa.timestamp("us")),
+            "n": pa.array(n[order], pa.int64()),
+        })
+
     def agg_normalize(self, terms: list[str], field: str,
                       interval_us: int) -> pa.Table:
         """ES ``normalize`` pipeline aggregation (``rescale_0_1``) over a

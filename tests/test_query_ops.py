@@ -1424,3 +1424,26 @@ def test_function_score_gauss_vs_bruteforce(wide_searcher):
                 and abs(chars[d] - origin) == scale]
     for d in at_scale:
         assert abs(full[d] - base[d] // 2) <= 1
+
+
+def test_percentiles_bucket_and_bucket_sort(pipeline_searcher):
+    import math
+    s, HOUR = pipeline_searcher
+    # purchase histogram counts: [3, 1, 2] (h0, h1, h3)
+    counts = sorted([3, 1, 2])
+    out = s.agg_percentiles_bucket(["purchase"], "ts_us", HOUR,
+                                   [50, 90, 99]).to_pylist()
+    for row, p in zip(out, (50, 90, 99)):
+        rank = max(math.ceil(p / 100 * len(counts)), 1)
+        assert (row["pct"], row["value"]) == (p, counts[rank - 1])
+    # empty histogram → NULLs
+    e = s.agg_percentiles_bucket(["zzz"], "ts_us", HOUR, [50]).to_pylist()
+    assert e[0]["value"] is None
+    bs = s.agg_bucket_sort(["purchase"], "ts_us", HOUR, size=2)
+    assert bs["n"].to_pylist() == [3, 2]
+    assert bs["bucket"].cast("int64").to_pylist() == [0, 3 * HOUR]
+    assert bs["rank"].to_pylist() == [1, 2]
+    # ascending flavor with tie: click counts h0=1,h2=4,h3=2
+    asc = s.agg_bucket_sort(["click"], "ts_us", HOUR, size=3,
+                            ascending=True)
+    assert asc["n"].to_pylist() == [1, 2, 4]
