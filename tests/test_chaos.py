@@ -98,7 +98,7 @@ import pyarrow.parquet as pq
 import ray
 ray.init(address="local", num_cpus=4, include_dashboard=False)
 from search_ingest_ray.pipelines.epochs import (apply_delta_epoch,
-    epoch_chain, latest_epoch, snapshot_dir)
+    compact_chain, epoch_chain, latest_epoch, snapshot_dir)
 from search_ingest_ray.query.multi import MultiEpochSearcher
 
 work = sys.argv[1]
@@ -139,6 +139,10 @@ KW = dict(id_col="url", analyzer="simple", num_term_partitions=2,
 apply_delta_epoch(root, None, 0, base_paths=[base], mode="full", **KW)
 apply_delta_epoch(root, [d1], 1, mode="full", **KW)
 apply_delta_epoch(root, [d2], 2, mode="delta", **KW)
+# compaction (force-merge) epoch: crash-resumable through the same
+# snapshot/prebuild markers — its e3 kill flags fire in the chaos run
+compact_chain(root, **{k: v for k, v in KW.items()
+                       if k != "num_buckets"})
 
 ms = MultiEpochSearcher(root)
 results = []
@@ -244,7 +248,11 @@ def test_epoch_apply_driver_crashes_resume_identically(tmp_path):
                  "killed_delta_meta_e2", "killed_snapshot_e2",
                  # delta-epoch WORKER deaths (old-version retokenize and
                  # dead-term-patch counting) — Ray task retry, not rerun
-                 "killed_old_dl", "killed_df_patch"):
+                 "killed_old_dl", "killed_df_patch",
+                 # compaction epoch: driver dies at the snapshot-link and
+                 # prebuild commit points; the rerun resumes to an
+                 # identical force-merged index
+                 "killed_snapshot_e3", "killed_epoch_prebuild_e3"):
         assert flag in chaos["killed"], chaos["killed"]
     assert clean["killed"] == []
     assert chaos["stats"] == clean["stats"]
