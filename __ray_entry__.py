@@ -1472,6 +1472,20 @@ def q_cumulative_cardinality(sf_dir: str):
 BUCKET_SORT_SIZE = 5
 
 
+# 2024-01-10 / 2024-01-20 midnight UTC in epoch micros
+DATE_RANGE_EDGES = (1704844800000000, 1705708800000000)
+
+
+def q_date_range(sf_dir: str):
+    """ES date_range aggregation over the purchase stream: half-open
+    ranges (-inf, Jan10), [Jan10, Jan20), [Jan20, +inf) — from inclusive,
+    to exclusive, EMPTY ranges kept (ES date_range semantics)."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_date_range(["purchase"], "ts", list(DATE_RANGE_EDGES))
+
+
 def q_percentiles_bucket(sf_dir: str):
     """ES percentiles_bucket pipeline agg: exact nearest-rank PCTS over
     the hourly purchase histogram's bucket counts."""
@@ -3025,6 +3039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_script": q_bucket_script,
         "cumulative_cardinality": q_cumulative_cardinality,
         "percentiles_bucket": q_percentiles_bucket,
+        "date_range": q_date_range,
         "bucket_sort": q_bucket_sort,
         "derivative": q_derivative,
         "max_bucket": q_max_bucket,
@@ -4129,6 +4144,22 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
                       cast(ceiling(p.pct / 100.0 * cnt.m) AS bigint), 1))
                      AS value
             FROM p ORDER BY pct""",
+        "date_range": f"""
+            WITH v AS (
+              SELECT epoch_us(ts) AS us FROM events
+              WHERE event_type = 'purchase' AND ts IS NOT NULL),
+            r(range_idx, from_us, to_us) AS (VALUES
+              (0, NULL, {DATE_RANGE_EDGES[0]}),
+              (1, {DATE_RANGE_EDGES[0]}, {DATE_RANGE_EDGES[1]}),
+              (2, {DATE_RANGE_EDGES[1]}, NULL))
+            SELECT cast(r.range_idx AS BIGINT) AS range_idx,
+                   cast(r.from_us AS BIGINT) AS from_us,
+                   cast(r.to_us AS BIGINT) AS to_us,
+                   cast((SELECT count(*) FROM v
+                         WHERE (r.from_us IS NULL OR v.us >= r.from_us)
+                           AND (r.to_us IS NULL OR v.us < r.to_us))
+                        AS BIGINT) AS n
+            FROM r ORDER BY range_idx""",
         "bucket_sort": f"""
             WITH h AS (
               SELECT date_trunc('hour', ts) AS bucket, count(*) AS n

@@ -2581,6 +2581,37 @@ class Searcher:
         return pa.table({"bucket": hist["bucket"], "n": hist["n"],
                          "norm_micro": norm})
 
+    def agg_date_range(self, terms: list[str], field: str,
+                       edges: list[int]) -> pa.Table:
+        """ES ``date_range`` aggregation: count the match set's timestamp
+        docvalues into the half-open ranges ``(-inf, e0), [e0, e1), …,
+        [eN, +inf)`` (ES's from-inclusive / to-exclusive convention),
+        keyed by range index.  Unlike ``range``/histogram, EMPTY ranges
+        are kept (ES date_range always returns every requested range).
+        One searchsorted over the sorted edge vector.  Null values are
+        skipped.  Returns (range_idx, from_us, to_us, n) — from/to NULL
+        at the open ends."""
+        docids = self._match_docids(terms)
+        e = np.asarray(sorted(int(x) for x in edges), dtype=np.int64)
+        nb = e.size + 1
+        counts = np.zeros(nb, dtype=np.int64)
+        if docids.size:
+            vals = self.fields.get(docids, [field])[field]
+            if not pa.types.is_floating(vals.type) and \
+                    vals.type != pa.int64():
+                vals = vals.cast(pa.timestamp("us")).cast(pa.int64())
+            micros = _int_docvals(vals)
+            idx = np.searchsorted(e, micros, side="right")
+            np.add.at(counts, idx, 1)
+        froms = [None] + [int(x) for x in e]
+        tos = [int(x) for x in e] + [None]
+        return pa.table({
+            "range_idx": pa.array(range(nb), pa.int64()),
+            "from_us": pa.array(froms, pa.int64()),
+            "to_us": pa.array(tos, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
     def agg_bucket_script(self, terms_a: list[str], terms_b: list[str],
                           field: str, interval_us: int) -> pa.Table:
         """ES ``bucket_script`` pipeline aggregation over a date_histogram

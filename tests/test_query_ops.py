@@ -1447,3 +1447,24 @@ def test_percentiles_bucket_and_bucket_sort(pipeline_searcher):
     asc = s.agg_bucket_sort(["click"], "ts_us", HOUR, size=3,
                             ascending=True)
     assert asc["n"].to_pylist() == [1, 2, 4]
+
+
+def test_date_range_agg(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    # purchase ts: h0×3, h1×1, h3×2 (each at +17us past the hour)
+    out = s.agg_date_range(["purchase"], "ts_us",
+                           [HOUR, 3 * HOUR]).to_pylist()
+    assert [(r["range_idx"], r["from_us"], r["to_us"], r["n"])
+            for r in out] == [
+        (0, None, HOUR, 3),            # (-inf, h1): the 3 h0 events
+        (1, HOUR, 3 * HOUR, 1),        # [h1, h3): the h1 event
+        (2, 3 * HOUR, None, 2),        # [h3, inf): the 2 h3 events
+    ]
+    # boundary: an event exactly AT an edge falls in the from-inclusive
+    # range — h1's event is at HOUR+17, so probe the exact edge value
+    exact = s.agg_date_range(["purchase"], "ts_us",
+                             [17, 3 * HOUR + 17]).to_pylist()
+    assert [r["n"] for r in exact] == [0, 4, 2]
+    # empty match set → all ranges kept with n=0
+    empty = s.agg_date_range(["zzz"], "ts_us", [HOUR]).to_pylist()
+    assert [r["n"] for r in empty] == [0, 0]
