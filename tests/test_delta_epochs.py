@@ -258,3 +258,71 @@ def test_delta_chain_bool_matches_full_rebuild(ray_session, base_dir,
                                  k=40)
         assert d1.tolist() == d2.tolist(), (must, should, must_not)
         assert m1.tolist() == m2.tolist(), (must, should, must_not)
+
+
+def test_ten_epoch_chain_matches_full_rebuild_then_compacts(
+        ray_session, base_dir, tmp_path):
+    """LONG chain stress: 10 consecutive delta epochs (updates, deletes,
+    inserts, re-inserts of deleted ids) — the dead-set masks, df patches
+    and cumulative stats must stay exact across the whole chain (scores
+    bit-identical to a from-scratch rebuild of the final snapshot), and
+    compact_chain must roll all 10 into one full epoch with identical
+    results."""
+    from search_ingest_ray.pipelines.epochs import compact_chain
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(30)]
+    root = str(tmp_path / "idx10")
+    apply_delta_epoch(root, None, 0,
+                      base_paths=[os.path.join(base_dir, "base.parquet")],
+                      **KW)
+    alive = set(range(N))
+    nxt = N
+    for e in range(1, 11):
+        rows = []
+        upd = rng.choice(sorted(alive), size=4, replace=False)
+        for u in upd:
+            rows.append((f"u{u}", " ".join(rng.choice(vocab, size=10)),
+                         e, "updated"))
+        if len(alive) > 10:
+            dele = int(rng.choice(sorted(alive - set(upd.tolist()))))
+            rows.append((f"u{dele}", "x", e, "deleted"))
+            alive.discard(dele)
+        if e % 3 == 0:   # insert a brand-new doc
+            rows.append((f"u{nxt}", " ".join(rng.choice(vocab, size=12)),
+                         e, "created"))
+            alive.add(nxt)
+            nxt += 1
+        if e == 7:       # re-insert a previously deleted id
+            dead = sorted(set(range(N)) - alive)
+            if dead:
+                rows.append((f"u{dead[0]}",
+                             " ".join(rng.choice(vocab, size=9)),
+                             e, "updated"))
+                alive.add(dead[0])
+        apply_delta_epoch(root, _delta(tmp_path, f"d10_{e}", rows), e,
+                          mode="delta", **KW)
+
+    chain = epoch_chain(root)
+    assert [m for _, m in chain] == ["full"] + ["delta"] * 10
+    ms = MultiEpochSearcher(root)
+    ref = _reference_searcher(root, tmp_path, "ten")
+    assert int(ms.stats["n_docs"]) == ref.params.n_docs == len(alive)
+    # exact cumulative avgdl == the rebuild's (total_tokens / n_docs)
+    assert abs(float(ms.stats["total_tokens"]) / int(ms.stats["n_docs"])
+               - ref.params.avgdl) < 1e-9
+    queries = [["w1", "w7"], ["w3"], ["w12", "w20", "w4"], ["w9", "w2"]]
+    for terms in queries:
+        d1, s1 = ms.search_terms(terms, k=25)
+        d2, s2 = ref.search_terms(terms, k=25)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+
+    compact_chain(root, **{k: v for k, v in KW.items()
+                           if k != "num_buckets"})
+    assert epoch_chain(root) == [(11, "full")]
+    ms2 = MultiEpochSearcher(root)
+    for terms in queries:
+        d1, s1 = ms2.search_terms(terms, k=25)
+        d2, s2 = ref.search_terms(terms, k=25)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
