@@ -426,6 +426,32 @@ def q_geotile(sf_dir: str):
     return s.agg_geotile(list(BM25_QUERY_TERMS), "geo", zoom=GEOTILE_ZOOM)
 
 
+GEOHASH_PRECISION = 3
+MOVING_PCT_WINDOW, MOVING_PCT = 3, 50
+
+
+def q_geohash(sf_dir: str):
+    """ES geohash_grid aggregation (precision 3): INTEGER-EXACT cell ids
+    — quantize lat/lon with floor division, interleave bits lon-first —
+    no trig, so the SQL oracle mirrors with pure arithmetic."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    return s.agg_geohash_grid(list(BM25_QUERY_TERMS), "geo",
+                              precision=GEOHASH_PRECISION)
+
+
+def q_moving_percentile(sf_dir: str):
+    """ES moving_percentiles pipeline agg (exact nearest-rank p50 over
+    the previous 3 buckets, current excluded; first bucket NULL) on the
+    hourly purchase histogram."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_moving_percentile(["purchase"], "ts", HOUR_US,
+                                   MOVING_PCT_WINDOW, MOVING_PCT)
+
+
 def q_geo_sort(sf_dir: str):
     """ES sort-by-_geo_distance (asc): the match set's top-k nearest
     geo_points to GEO_CENTER by haversine; the engine's IEEE op sequence
@@ -3007,6 +3033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": q_geo_bbox,
         "geotile": q_geotile,
         "geo_sort": q_geo_sort,
+        "geohash": q_geohash,
+        "moving_percentile": q_moving_percentile,
         "random_score": q_random_score,
         "geo_polygon": q_geo_polygon,
         "geo_shape": q_geo_shape,
@@ -4028,6 +4056,45 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
                         THEN (sum(v * w) * 1000000) // sum(w) END
                         AS BIGINT) AS wavg_micro
             FROM v""",
+        "geohash": (lambda bits, lon_b, lat_b: f"""
+            WITH g AS (
+              SELECT least(cast(floor(({_GEO_LON} + 180.0) / 360.0
+                                      * {float(1 << lon_b)!r}) AS BIGINT),
+                           {(1 << lon_b) - 1}) AS lon_q,
+                     least(cast(floor(({_GEO_LAT} + 90.0) / 180.0
+                                      * {float(1 << lat_b)!r}) AS BIGINT),
+                           {(1 << lat_b) - 1}) AS lat_q
+              FROM documents
+              WHERE len(list_filter({_TOKS},
+                    x -> x IN ('{t1}', '{t2}'))) > 0)
+            SELECT cast({" + ".join(
+                f"(((lon_q >> {lon_b - 1 - i // 2}) & 1) << {bits - 1 - i})"
+                if i % 2 == 0 else
+                f"(((lat_q >> {lat_b - 1 - i // 2}) & 1) << {bits - 1 - i})"
+                for i in range(bits))} AS BIGINT) AS cell,
+                   count(*) AS n
+            FROM g GROUP BY cell ORDER BY cell""")(
+                5 * GEOHASH_PRECISION, (5 * GEOHASH_PRECISION + 1) // 2,
+                (5 * GEOHASH_PRECISION) // 2),
+        "moving_percentile": f"""
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY bucket),
+            r AS (SELECT bucket, n,
+                         row_number() OVER (ORDER BY bucket) AS rn
+                  FROM h)
+            SELECT a.bucket, cast(a.n AS BIGINT) AS n,
+                   cast((SELECT s.n FROM (
+                       SELECT b.n,
+                              row_number() OVER (ORDER BY b.n) AS rk,
+                              count(*) OVER () AS m
+                       FROM r b
+                       WHERE b.rn BETWEEN a.rn - {MOVING_PCT_WINDOW}
+                                      AND a.rn - 1) s
+                     WHERE s.rk = greatest(cast(ceiling(
+                       {MOVING_PCT} / 100.0 * s.m) AS BIGINT), 1))
+                     AS BIGINT) AS pctl
+            FROM r a ORDER BY a.bucket""",
         "geo_sort": f"""
             WITH g AS (
               SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon

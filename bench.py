@@ -260,7 +260,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "bm25_compacted", "geo_sort", "url_blocklist",
                  "chunk_plan", "function_score_gauss",
                  "compression_ratio", "doc_keywords",
-                 "percentiles_bucket", "bucket_sort", "date_range"]:
+                 "percentiles_bucket", "bucket_sort", "date_range",
+                 "geohash", "moving_percentile"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -2044,6 +2044,69 @@ class Searcher:
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
+    def agg_geohash_grid(self, terms: list[str], field: str,
+                         precision: int = 3) -> pa.Table:
+        """ES ``geohash_grid`` aggregation: bucket the match set's
+        geo_points into geohash cells of ``precision`` base-32 characters
+        (5·precision bits, lon first, alternating lon/lat) and count per
+        cell, empty cells omitted.  INTEGER-EXACT end to end — quantize
+        lat/lon to 2^ceil(5p/2) levels with floor division, then
+        interleave bits — so the SQL oracle reproduces cell ids
+        bit-identically with pure arithmetic (no trig, unlike geotile).
+        Returns (cell, n) sorted by cell id; ``cell`` is the integer
+        geohash (the base-32 string is a display encoding of it)."""
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"cell": empty, "n": empty})
+        lat, lon = self._geo_latlon(docids, field)
+        bits = 5 * precision
+        lon_bits = (bits + 1) // 2   # lon gets the extra odd bit
+        lat_bits = bits // 2
+        # quantize: cell index = floor((x - lo) / span * 2^k), clamped
+        lon_q = np.minimum((np.floor((lon + 180.0) / 360.0
+                                     * float(1 << lon_bits))
+                            ).astype(np.int64), (1 << lon_bits) - 1)
+        lat_q = np.minimum((np.floor((lat + 90.0) / 180.0
+                                     * float(1 << lat_bits))
+                            ).astype(np.int64), (1 << lat_bits) - 1)
+        cell = np.zeros(lat_q.size, dtype=np.int64)
+        # interleave MSB-first: even positions (0,2,…) take lon bits,
+        # odd take lat bits — geohash bit order
+        for i in range(bits):
+            if i % 2 == 0:      # lon bit, from MSB
+                src = (lon_q >> (lon_bits - 1 - i // 2)) & 1
+            else:               # lat bit
+                src = (lat_q >> (lat_bits - 1 - i // 2)) & 1
+            cell = (cell << 1) | src
+        uniq, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def agg_moving_percentile(self, terms: list[str], field: str,
+                              interval_us: int, window: int,
+                              pct: int = 50) -> pa.Table:
+        """ES ``moving_percentiles`` pipeline agg (exact nearest-rank
+        flavor, shift=0 like moving_fn: frame = the previous ``window``
+        buckets, current excluded; first bucket NULL): per present
+        date_histogram bucket, the ``pct`` percentile of the frame's
+        counts at 1-based rank ``ceil(pct/100 · len)``.  O(buckets ·
+        window log window) on the tiny bucket vector.  Returns
+        (bucket, n, pctl)."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        out = []
+        for i in range(n.size):
+            lo = max(i - window, 0)
+            frame = np.sort(n[lo:i])
+            if frame.size == 0:
+                out.append(None)
+            else:
+                rank = max(int(np.ceil(pct / 100 * frame.size)), 1)
+                out.append(int(frame[rank - 1]))
+        return pa.table({"bucket": hist["bucket"], "n": hist["n"],
+                         "pctl": pa.array(out, pa.int64())})
+
     def random_score(self, terms: list[str], seed: int,
                      k: int = 10) -> pa.Table:
         """ES ``function_score`` with ``random_score`` (seeded,

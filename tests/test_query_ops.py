@@ -1468,3 +1468,55 @@ def test_date_range_agg(pipeline_searcher):
     # empty match set → all ranges kept with n=0
     empty = s.agg_date_range(["zzz"], "ts_us", [HOUR]).to_pylist()
     assert [r["n"] for r in empty] == [0, 0]
+
+
+def test_geohash_grid_vs_bruteforce(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import (documents_geo_index,
+                                                      geo_coords)
+    s = Searcher(documents_geo_index(sf_dir))
+    terms = ["merge", "scan"]
+    docids = s._match_docids(terms)
+    lat, lon = geo_coords(docids)
+    out = s.agg_geohash_grid(terms, "geo", precision=3)
+    from collections import Counter as _C
+    want: _C = _C()
+    for la, lo in zip(lat, lon):
+        lon_q = min(int(np.floor((lo + 180.0) / 360.0 * 256.0)), 255)
+        lat_q = min(int(np.floor((la + 90.0) / 180.0 * 128.0)), 127)
+        cell = 0
+        for i in range(15):
+            if i % 2 == 0:
+                bit = (lon_q >> (7 - i // 2)) & 1
+            else:
+                bit = (lat_q >> (6 - i // 2)) & 1
+            cell = (cell << 1) | bit
+        want[cell] += 1
+    got = dict(zip(out["cell"].to_pylist(), out["n"].to_pylist()))
+    assert got == dict(want)
+    assert sum(got.values()) == docids.size
+    # the standard geohash STRING for a known point decodes to our cell:
+    # geohash of (37.7749, -122.4194) at precision 3 is "9q8" =
+    # [9, 22, 8] in base-32 (0-9, b-z skipping a,i,l,o)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    ref_cell = 0
+    for ch in "9q8":
+        ref_cell = (ref_cell << 5) | b32.index(ch)
+    lon_q = min(int(np.floor((-122.4194 + 180.0) / 360.0 * 256.0)), 255)
+    lat_q = min(int(np.floor((37.7749 + 90.0) / 180.0 * 128.0)), 127)
+    cell = 0
+    for i in range(15):
+        bit = ((lon_q >> (7 - i // 2)) if i % 2 == 0
+               else (lat_q >> (6 - i // 2))) & 1
+        cell = (cell << 1) | bit
+    assert cell == ref_cell
+
+
+def test_moving_percentile(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    # purchase counts by bucket: [3, 1, 2] (h0, h1, h3)
+    out = s.agg_moving_percentile(["purchase"], "ts_us", HOUR,
+                                  window=3, pct=50).to_pylist()
+    # frames: h0 → [] → NULL; h1 → [3] → 3; h3 → [3,1] → p50 of
+    # sorted [1,3] at rank ceil(0.5*2)=1 → 1
+    assert [r["pctl"] for r in out] == [None, 3, 1]
+    assert [r["n"] for r in out] == [3, 1, 2]
