@@ -430,6 +430,21 @@ GEOHASH_PRECISION = 3
 MOVING_PCT_WINDOW, MOVING_PCT = 3, 50
 
 
+IP_PREFIX_LEN = 16
+
+
+def q_ip_prefix(sf_dir: str):
+    """ES ip_prefix aggregation: /16 network-prefix buckets over the
+    match set's ip-typed docvalues — the engine parses the stored dotted
+    strings, the oracle mirrors the synthetic generator's octet
+    arithmetic (10.(7·id%256).x.x → prefix int 10<<24 | octet<<16)."""
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(documents_geo_index(sf_dir))
+    return s.agg_ip_prefix(list(BM25_QUERY_TERMS), "ip",
+                           prefix_len=IP_PREFIX_LEN)
+
+
 def q_geohash(sf_dir: str):
     """ES geohash_grid aggregation (precision 3): INTEGER-EXACT cell ids
     — quantize lat/lon with floor division, interleave bits lon-first —
@@ -3034,6 +3049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotile": q_geotile,
         "geo_sort": q_geo_sort,
         "geohash": q_geohash,
+        "ip_prefix": q_ip_prefix,
         "moving_percentile": q_moving_percentile,
         "random_score": q_random_score,
         "geo_polygon": q_geo_polygon,
@@ -4076,6 +4092,14 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
             FROM g GROUP BY cell ORDER BY cell""")(
                 5 * GEOHASH_PRECISION, (5 * GEOHASH_PRECISION + 1) // 2,
                 (5 * GEOHASH_PRECISION) // 2),
+        "ip_prefix": f"""
+            SELECT cast(167772160 + ((doc_id * 7) % 256) * 65536
+                        AS BIGINT) AS prefix,
+                   count(*) AS n
+            FROM documents
+            WHERE len(list_filter({_TOKS},
+                  x -> x IN ('{t1}', '{t2}'))) > 0
+            GROUP BY prefix ORDER BY prefix""",
         "moving_percentile": f"""
             WITH h AS (
               SELECT date_trunc('hour', ts) AS bucket, count(*) AS n

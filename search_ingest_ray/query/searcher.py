@@ -2044,6 +2044,37 @@ class Searcher:
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
+    def agg_ip_prefix(self, terms: list[str], field: str,
+                      prefix_len: int = 16) -> pa.Table:
+        """ES ``ip_prefix`` aggregation (IPv4): bucket the match set's
+        ``ip``-typed docvalues by their /``prefix_len`` network prefix and
+        count, empty buckets omitted.  Returns (prefix, n) with ``prefix``
+        the integer network address (the dotted string is a display
+        encoding).  Parsing is per-value Python on the candidate path,
+        same trade-off as FieldStore's cidr mask (a scan-heavy ip
+        workload would cache parsed uint32s per shard); non-IPv4 / null
+        values are skipped (ES skips docs without a valid value)."""
+        import socket
+        import struct
+        docids = self._match_docids(terms)
+        if docids.size == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"prefix": empty, "n": empty})
+        vals = self.fields.get(docids, [field])[field].to_pylist()
+        mask = ((0xFFFFFFFF << (32 - prefix_len)) & 0xFFFFFFFF
+                if prefix_len else 0)
+        out = []
+        for v in vals:
+            try:
+                out.append(struct.unpack("!I", socket.inet_aton(v))[0]
+                           & mask)
+            except (OSError, TypeError):
+                continue
+        arr = np.asarray(out, dtype=np.int64)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table({"prefix": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
     def agg_geohash_grid(self, terms: list[str], field: str,
                          precision: int = 3) -> pa.Table:
         """ES ``geohash_grid`` aggregation: bucket the match set's

@@ -1520,3 +1520,21 @@ def test_moving_percentile(pipeline_searcher):
     # sorted [1,3] at rank ceil(0.5*2)=1 → 1
     assert [r["pctl"] for r in out] == [None, 3, 1]
     assert [r["n"] for r in out] == [3, 1, 2]
+
+
+def test_ip_prefix_vs_bruteforce(ray_session, sf_dir):
+    from search_ingest_ray.pipelines.flagship import documents_geo_index
+    s = Searcher(documents_geo_index(sf_dir))
+    terms = ["merge", "scan"]
+    docids = s._match_docids(terms)
+    from collections import Counter as _C
+    want: _C = _C()
+    for i in docids.tolist():
+        want[(10 << 24) | (((i * 7) % 256) << 16)] += 1
+    out = s.agg_ip_prefix(terms, "ip", prefix_len=16)
+    got = dict(zip(out["prefix"].to_pylist(), out["n"].to_pylist()))
+    assert got == dict(want)
+    # /8: every synthetic ip collapses into 10.0.0.0/8
+    one = s.agg_ip_prefix(terms, "ip", prefix_len=8)
+    assert one["prefix"].to_pylist() == [10 << 24]
+    assert one["n"].to_pylist() == [docids.size]
