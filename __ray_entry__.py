@@ -2206,6 +2206,23 @@ def q_span_not(sf_dir: str):
     return pa.table({"doc_id": pa.array(d, pa.int64())})
 
 
+SPAN_WITHIN_LITTLE, SPAN_WITHIN_SLOP = "window", 4
+
+
+def q_span_within(sf_dir: str):
+    """ES span_within: docs where a 'window' occurrence is enclosed by an
+    ordered (merge .. scan) span with <= 4 interior positions.  The
+    engine's nearest-A/nearest-B reduction is cross-validated by the
+    oracle's ANY-pair EXISTS formulation."""
+    from search_ingest_ray.pipelines.flagship import documents_index
+    from search_ingest_ray.query.searcher import Searcher
+    root = documents_index(sf_dir, analyzer="simple", with_positions=True)
+    s = Searcher(root)
+    d = s.span_within(SPAN_WITHIN_LITTLE, *BM25_QUERY_TERMS,
+                      slop=SPAN_WITHIN_SLOP)
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
 def q_phrase_slop(sf_dir: str):
     """Sloppy phrase (ordered, total gap ≤ slop) via the positional index;
     the SQL oracle is a bounded-gap regex over the space-separated tokens."""
@@ -3153,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_slop": q_phrase_slop,
         "intervals": q_intervals,
         "span_not": q_span_not,
+        "span_within": q_span_within,
         # SQL-oracled via md5-low64 token hashes (util.tok_hash_sql) +
         # hugeint mod-2^64 arithmetic in DuckDB
         "minhash_pairs": q_minhash_pairs,
@@ -5407,6 +5425,21 @@ ORDER BY rrf_micro DESC, doc_id LIMIT {BM25_K}""",
               SELECT 1 FROM p2 WHERE p2.doc_id = p1.doc_id
                 AND p2.pos >= p1.pos - {SPAN_NOT_PRE}
                 AND p2.pos <= p1.pos + {SPAN_NOT_POST})
+            ORDER BY doc_id""",
+        "span_within": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM base),
+            pc AS (SELECT doc_id, pos FROM tok
+                   WHERE term = '{SPAN_WITHIN_LITTLE}'),
+            p1 AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+            p2 AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}')
+            SELECT DISTINCT pc.doc_id FROM pc
+            WHERE EXISTS (
+              SELECT 1 FROM p1, p2
+              WHERE p1.doc_id = pc.doc_id AND p2.doc_id = pc.doc_id
+                AND p1.pos <= pc.pos AND p2.pos >= pc.pos
+                AND p2.pos - p1.pos - 1 <= {SPAN_WITHIN_SLOP})
             ORDER BY doc_id""",
         "token_jaccard": f"""
             WITH dt AS (

@@ -261,7 +261,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "chunk_plan", "function_score_gauss",
                  "compression_ratio", "doc_keywords",
                  "percentiles_bucket", "bucket_sort", "date_range",
-                 "geohash", "moving_percentile", "ip_prefix"]:
+                 "geohash", "moving_percentile", "ip_prefix",
+                 "span_within"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -2955,6 +2955,48 @@ class Searcher:
         surv = both[np.unique(dr1[~blocked])]
         return np.union1d(only, surv)
 
+    def span_within(self, little: str, big_first: str, big_second: str,
+                    slop: int = 2) -> np.ndarray:
+        """ES ``span_within`` query (single-term little, ordered two-term
+        ``span_near`` big): sorted docids with at least one ``little``
+        occurrence enclosed by a valid (``big_first`` … ``big_second``)
+        span with ≤ ``slop`` interior positions.  Containment reduces
+        EXACTLY to a local test per little position c: with A = the
+        nearest ``big_first`` at-or-before c and B = the nearest
+        ``big_second`` at-or-after c, some valid span contains c iff
+        ``B − A − 1 ≤ slop`` (any containing pair (a, b) has a ≤ A and
+        b ≥ B, so (A, B) minimizes the gap) — two searchsorteds over the
+        flattened (docrank, pos) keys, zero per-doc Python.
+        ``span_containing`` is the same predicate viewed from the big
+        span.  Requires positions."""
+        rows = self._lookup([little, big_first, big_second])
+        ents = {}
+        for t in (little, big_first, big_second):
+            ent = self._pos_entry(rows.get(t) or [])
+            if ent is None:
+                return np.empty(0, dtype=np.int64)
+            ents[t] = ent
+        cand = np.intersect1d(
+            np.intersect1d(ents[little]["sorted_docs"],
+                           ents[big_first]["sorted_docs"]),
+            ents[big_second]["sorted_docs"])
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+        kc = self._flat_pos_keys(ents[little], cand)
+        ka = self._flat_pos_keys(ents[big_first], cand)
+        kb = self._flat_pos_keys(ents[big_second], cand)
+        pos_mask = self._PHRASE_K - 1
+        drc, posc = kc >> 32, kc & pos_mask
+        ia = np.searchsorted(ka, kc, side="right") - 1
+        iac = np.maximum(ia, 0)
+        a_ok = (ia >= 0) & ((ka[iac] >> 32) == drc)
+        ib = np.searchsorted(kb, kc, side="left")
+        ibc = np.minimum(ib, kb.size - 1)
+        b_ok = (ib < kb.size) & ((kb[ibc] >> 32) == drc)
+        gap = (kb[ibc] & pos_mask) - (ka[iac] & pos_mask) - 1
+        ok = a_ok & b_ok & (gap <= slop)
+        return cand[np.unique(drc[ok])]
+
     # (docrank << 32) | position keys make the concatenation of all
     # candidates' per-doc sorted position lists GLOBALLY sorted, so one
     # searchsorted serves every candidate at once

@@ -1538,3 +1538,27 @@ def test_ip_prefix_vs_bruteforce(ray_session, sf_dir):
     one = s.agg_ip_prefix(terms, "ip", prefix_len=8)
     assert one["prefix"].to_pylist() == [10 << 24]
     assert one["n"].to_pylist() == [docids.size]
+
+
+def test_span_within_vs_bruteforce(docs_and_searcher):
+    t, s = docs_and_searcher
+
+    def ref(little, a, b, slop):
+        out = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = tokenize_simple(txt or "")
+            pc_ = [i for i, x in enumerate(toks) if x == little]
+            pa_ = [i for i, x in enumerate(toks) if x == a]
+            pb_ = [i for i, x in enumerate(toks) if x == b]
+            if any(ap <= c <= bp and bp - ap - 1 <= slop
+                   for c in pc_ for ap in pa_ for bp in pb_):
+                out.append(did)
+        return sorted(out)
+
+    for slop in (0, 2, 4, 10):
+        got = s.span_within("window", "merge", "scan", slop=slop)
+        assert got.tolist() == ref("window", "merge", "scan", slop), slop
+    # absent term → empty
+    assert s.span_within("zzznosuch", "merge", "scan").size == 0
+    assert s.span_within("window", "zzznosuch", "scan").size == 0
