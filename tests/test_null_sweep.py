@@ -81,6 +81,13 @@ def _int_field_calls(s, field):
         lambda: s.agg_percentile_ranks(TERMS, field, [3]),
         lambda: s.facet_stats(TERMS, "lang", field),
         lambda: s.facet_stats(TERMS, field, "stars"),
+        # round-5 consumers
+        lambda: s.agg_weighted_avg(TERMS, field, "stars"),
+        lambda: s.agg_weighted_avg(TERMS, "stars", field),
+        lambda: s.function_score_gauss(TERMS, field, origin=3, scale=4),
+        lambda: s.agg_date_range(TERMS, field, [2, 5]),
+        lambda: s.agg_cumulative_cardinality(TERMS, "ts", field,
+                                             3_600_000_000),
     ]
 
 
@@ -96,11 +103,21 @@ def _str_field_calls(s, field):
 
 
 def _ts_field_calls(s):
+    H = 3_600_000_000
     return [
-        lambda: s.agg_date_histogram(TERMS, "ts", 3_600_000_000),
-        lambda: s.agg_moving_selected(TERMS, "ts", 3_600_000_000,
-                                      window=2, min_n=1),
+        lambda: s.agg_date_histogram(TERMS, "ts", H),
+        lambda: s.agg_moving_selected(TERMS, "ts", H, window=2, min_n=1),
         lambda: s.search_sort_by(TERMS, "ts"),
+        # round-5 pipeline-agg consumers (partial-null ts)
+        lambda: s.agg_auto_date_histogram(TERMS, "ts", 10),
+        lambda: s.agg_stats_bucket(TERMS, "ts", H),
+        lambda: s.agg_normalize(TERMS, "ts", H),
+        lambda: s.agg_bucket_script(TERMS, TERMS, "ts", H),
+        lambda: s.agg_percentiles_bucket(TERMS, "ts", H, [50, 99]),
+        lambda: s.agg_bucket_sort(TERMS, "ts", H, size=3),
+        lambda: s.agg_moving_percentile(TERMS, "ts", H, window=2),
+        lambda: s.agg_date_range(TERMS, "ts", [1_700_003_600_000_000]),
+        lambda: s.agg_cumulative_cardinality(TERMS, "ts", "stars", H),
     ]
 
 
