@@ -138,3 +138,17 @@ def test_shard_actor_death_mid_serving_recovers_identically(pair):
     np.testing.assert_array_equal(s0, s2)
     # the restarted actor holds only its own partition again
     assert sharded.shard_loaded_partitions()[victim_tp] == [victim_tp]
+
+
+def test_sharded_span_ops_identical(pair):
+    """span_not / span_within inherit the scatter-gather lookup layer —
+    sharded results must be bit-identical to local."""
+    local, sharded = pair
+    for pre, post in ((0, 0), (2, 2), (5, 1)):
+        np.testing.assert_array_equal(
+            local.span_not("merge", "scan", pre=pre, post=post),
+            sharded.span_not("merge", "scan", pre=pre, post=post))
+    for slop in (0, 2, 6):
+        np.testing.assert_array_equal(
+            local.span_within("window", "merge", "scan", slop=slop),
+            sharded.span_within("window", "merge", "scan", slop=slop))
