@@ -1547,6 +1547,38 @@ def q_bucket_sort(sf_dir: str):
                              size=BUCKET_SORT_SIZE)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-epoch incremental exact dedup (the continuous-crawl shape):
+    docs whose doc_id % 3 == 0 form the PREVIOUS crawl's persisted
+    hash-bucketed state (functions/dedup.py write_seen_hashes, 8 B/doc);
+    the probe co-partitions new (id, hash) pairs against it — each
+    map_groups task lazily reads only ITS bucket's state files, text
+    never shuffles, state never broadcasts.  Survivors = docs whose
+    content hash is absent from the state (md5-low64, DuckDB-mirrored)."""
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.compute as pc
+
+    from search_ingest_ray.functions.dedup import (incremental_dedup,
+                                                   write_seen_hashes)
+    key = _hl.sha1(f"{sf_dir}:incdedup-v1".encode()).hexdigest()[:16]
+    state = _os.path.join("/tmp/search_ingest_ray_cache",
+                          f"incdedup-{key}")
+    if not _os.path.exists(_os.path.join(state, "_STATE_META.json")):
+        def _prev_crawl(t: pa.Table) -> pa.Table:
+            did = t["doc_id"]
+            mod3 = pc.subtract(did, pc.multiply(
+                pc.divide(did, pa.scalar(3, pa.int64())),
+                pa.scalar(3, pa.int64())))
+            return t.filter(pc.equal(mod3, pa.scalar(0, pa.int64())))
+
+        prev = _docs(sf_dir).map_batches(_prev_crawl,
+                                         batch_format="pyarrow")
+        write_seen_hashes(prev, state, num_buckets=16)
+    return incremental_dedup(_docs(sf_dir), state)
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -3040,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_range": q_bm25_filtered_range,
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
+        "incremental_dedup": q_incremental_dedup,
         "percolate": q_percolate,
         "weighted_sample": q_weighted_sample,
         "group_topk": q_group_topk,
@@ -5630,6 +5663,16 @@ SELECT doc_id, host FROM curl
 WHERE host NOT IN ({", ".join(f"'{h}'" for h in BLOCKED_HOSTS)})
 ORDER BY doc_id
 """,
+        "incremental_dedup": """
+            WITH h AS (
+              SELECT doc_id,
+                     (md5_number_lower(coalesce(text, ''))
+                      % 9223372036854775808)::BIGINT AS ch
+              FROM documents),
+            seen AS (SELECT DISTINCT ch FROM h WHERE doc_id % 3 = 0)
+            SELECT doc_id, ch AS content_hash FROM h
+            WHERE ch NOT IN (SELECT ch FROM seen)
+            ORDER BY doc_id""",
         "doc_keywords": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -262,7 +262,7 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "compression_ratio", "doc_keywords",
                  "percentiles_bucket", "bucket_sort", "date_range",
                  "geohash", "moving_percentile", "ip_prefix",
-                 "span_within"]:
+                 "span_within", "incremental_dedup"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

@@ -1077,3 +1077,93 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming=max_hamming),
         batch_format="pyarrow")
     return _distinct_pairs(cand, extra_min="hamming")
+
+
+# -- incremental (cross-epoch) exact dedup -----------------------------------
+
+
+def write_seen_hashes(ds, state_dir: str, *, text_col: str = "text",
+                      num_buckets: int = 32) -> str:
+    """Persist the corpus's content-hash SET as a hash-bucketed parquet
+    layout (``bucket=B/*.parquet``, one int64 column ``h``) — the crawl
+    state an INCREMENTAL dedup probes against.  Hashes only (8 B/doc),
+    bucketed by ``h % num_buckets`` so a later probe co-partitions
+    against exactly one bucket's files; at 10^12 docs each bucket is an
+    independently readable ~TB-scale shard set."""
+    import os as _os
+
+    import ray.data as rd  # noqa: F401  (ds is already a Dataset)
+
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two (the bucket "
+                         "tag is an exact bit mask — float modulo would "
+                         "lose low bits of 63-bit hashes)")
+
+    def hb(batch: pa.Table) -> pa.Table:
+        t = content_hash_batch(batch, text_col=text_col)
+        h = t["content_hash"]
+        b = pc.bit_wise_and(h, pa.scalar(num_buckets - 1, pa.int64()))
+        return pa.table({"h": h, "bucket": b})
+
+    hashed = ds.map_batches(hb, batch_format="pyarrow")
+    hashed.write_parquet(state_dir, partition_cols=["bucket"])
+    _os.makedirs(state_dir, exist_ok=True)
+    with open(_os.path.join(state_dir, "_STATE_META.json"), "w") as f:
+        import json as _json
+        f.write(_json.dumps({"num_buckets": num_buckets}))
+    return state_dir
+
+
+def incremental_dedup(ds, state_dir: str, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Cross-epoch exact dedup (the continuous-crawl shape): keep only
+    docs whose content hash is ABSENT from a previously persisted
+    :func:`write_seen_hashes` state.  The probe is CO-PARTITIONED: new
+    docs ship only (id, hash, bucket) — never text — through one
+    hash-keyed exchange, and each ``map_groups`` task lazily reads just
+    ITS bucket's state files inside the task (the state is never
+    broadcast, never driver-materialized), so both sides scale
+    independently: state 10^12 hashes, delta O(crawl batch).  Survivors
+    are returned as (doc_id, content_hash); fetching full rows is a
+    docstore join at export time."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(state_dir, "_STATE_META.json")) as f:
+        nb = int(_json.loads(f.read())["num_buckets"])
+
+    def hb(batch: pa.Table) -> pa.Table:
+        t = content_hash_batch(batch, text_col=text_col)
+        h = t["content_hash"]
+        return pa.table({
+            id_col: t[id_col], "h": h,
+            "bucket": pc.bit_wise_and(h, pa.scalar(nb - 1, pa.int64())),
+        })
+
+    def probe(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "content_hash": pa.array([], pa.int64())})
+        b = int(group["bucket"][0].as_py())
+        bd = _os.path.join(state_dir, f"bucket={b}")
+        seen = np.array([], dtype=np.int64)
+        if _os.path.isdir(bd):
+            import pyarrow.parquet as _pq
+            files = [_os.path.join(bd, f) for f in sorted(_os.listdir(bd))
+                     if f.endswith(".parquet")]
+            if files:
+                seen = pa.concat_tables(
+                    [_pq.read_table(f, columns=["h"]) for f in files]
+                )["h"].to_numpy(zero_copy_only=False)
+                seen = np.unique(seen)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(seen, h)
+        idx = np.minimum(idx, max(0, seen.size - 1))
+        dup = (seen[idx] == h) if seen.size else np.zeros(h.size, bool)
+        keep = group.filter(pa.array(~dup))
+        return pa.table({id_col: keep[id_col],
+                         "content_hash": keep["h"]})
+
+    tagged = ds.map_batches(hb, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(probe,
+                                               batch_format="pyarrow")

@@ -890,3 +890,48 @@ def test_doc_keywords_vs_bruteforce(ray_session, sf_dir):
     got = list(zip(out["doc_id"].to_pylist(), out["rank"].to_pylist(),
                    out["term"].to_pylist(), out["score_micro"].to_pylist()))
     assert got == want
+
+
+def test_incremental_dedup_vs_bruteforce(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_ingest_ray.functions.dedup import (incremental_dedup,
+                                                   write_seen_hashes)
+    # previous crawl: 4 docs; new crawl: 8 docs — 2 exact-text dups of
+    # the state, 1 internal pair that is NOT in the state (both kept:
+    # incremental dedup filters against PRIOR state only; within-batch
+    # dedup is exact_dedup's job)
+    prev = pa.table({
+        "doc_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "text": ["alpha one", "beta two", "gamma three", "delta four"],
+    })
+    new = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": ["alpha one",      # dup of state
+                 "fresh a", "fresh b",
+                 "gamma three",    # dup of state
+                 "fresh c", "twin", "twin",   # internal pair, kept
+                 None],            # null text: hash of "" — not in state
+    })
+    state = str(tmp_path / "state")
+    write_seen_hashes(rd.from_arrow(prev), state, num_buckets=4)
+    out = incremental_dedup(rd.from_arrow(new), state)
+    rows = sorted(r["doc_id"] for r in out.take_all())
+    assert rows == [1, 2, 4, 5, 6, 7]
+    # survivors' hashes match the md5-low64 family
+    got = {r["doc_id"]: r["content_hash"] for r in out.take_all()}
+    for did, txt in zip(new["doc_id"].to_pylist(),
+                        new["text"].to_pylist()):
+        if did in got:
+            h = int.from_bytes(
+                hashlib.md5((txt or "").encode()).digest()[8:],
+                "little") % (1 << 63)
+            assert got[did] == h, did
+    # power-of-two guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_seen_hashes(rd.from_arrow(prev), str(tmp_path / "s2"),
+                          num_buckets=12)
