@@ -1579,6 +1579,37 @@ def q_incremental_dedup(sf_dir: str):
     return incremental_dedup(_docs(sf_dir), state)
 
 
+def q_incremental_near_dup(sf_dir: str):
+    """Cross-epoch MinHash-LSH near-dup filter: docs with doc_id % 3 == 0
+    form the persisted band-key state (write_minhash_state); every doc
+    sharing >=1 LSH band key with it is dropped (candidate-level —
+    the production LSH-filter behavior).  Probe co-partitioned by
+    gk = band*NB + hash-bucket, state files read lazily per group,
+    survivors via the one-exchange id-keyed vote sum."""
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.compute as pc
+
+    from search_ingest_ray.functions.dedup import (
+        incremental_near_dup_filter, write_minhash_state)
+    key = _hl.sha1(f"{sf_dir}:incmh-v1".encode()).hexdigest()[:16]
+    state = _os.path.join("/tmp/search_ingest_ray_cache", f"incmh-{key}")
+    if not _os.path.exists(_os.path.join(state, "_STATE_META.json")):
+        def _prev(t: pa.Table) -> pa.Table:
+            did = t["doc_id"]
+            mod3 = pc.subtract(did, pc.multiply(
+                pc.divide(did, pa.scalar(3, pa.int64())),
+                pa.scalar(3, pa.int64())))
+            return t.filter(pc.equal(mod3, pa.scalar(0, pa.int64())))
+
+        write_minhash_state(
+            _docs(sf_dir).map_batches(_prev, batch_format="pyarrow"),
+            state, num_perm=32, bands=8, num_buckets=16)
+    return incremental_near_dup_filter(_docs(sf_dir), state,
+                                       concurrency=_pool(2))
+
+
 def q_dedup_exact(sf_dir: str):
     from search_ingest_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -3073,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "dedup_exact": q_dedup_exact,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "percolate": q_percolate,
         "weighted_sample": q_weighted_sample,
         "group_topk": q_group_topk,
@@ -5764,6 +5796,16 @@ WITH {_MH_BANDS_CTE}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+""",
+        "incremental_near_dup": f"""
+WITH {_MH_BANDS_CTE},
+state AS (SELECT DISTINCT band, band_hash FROM bands
+          WHERE doc_id % 3 = 0),
+hit AS (SELECT DISTINCT b.doc_id FROM bands b
+        JOIN state s ON s.band = b.band AND s.band_hash = b.band_hash)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+ORDER BY d.doc_id
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_MH_BANDS_CTE},

@@ -262,7 +262,8 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "compression_ratio", "doc_keywords",
                  "percentiles_bucket", "bucket_sort", "date_range",
                  "geohash", "moving_percentile", "ip_prefix",
-                 "span_within", "incremental_dedup"]:
+                 "span_within", "incremental_dedup",
+                 "incremental_near_dup"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

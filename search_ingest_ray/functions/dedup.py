@@ -1167,3 +1167,126 @@ def incremental_dedup(ds, state_dir: str, *, text_col: str = "text",
     tagged = ds.map_batches(hb, batch_format="pyarrow")
     return tagged.groupby("bucket").map_groups(probe,
                                                batch_format="pyarrow")
+
+
+# -- incremental (cross-epoch) MinHash-LSH near-dup filter -------------------
+
+
+def write_minhash_state(ds, state_dir: str, *, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 32,
+                        bands: int = 8, shingle_k: int = 3, seed: int = 7,
+                        num_buckets: int = 16,
+                        concurrency: int | None = None) -> str:
+    """Persist the corpus's LSH BAND-KEY set — (band, band_hash) pairs,
+    16 B/doc/band — partitioned by ``gk = band · num_buckets +
+    (band_hash & (num_buckets−1))`` so a later probe co-partitions
+    against exactly one directory per group (``gk`` uniquely encodes the
+    band, so membership inside a group tests band_hash alone).  The
+    near-dup analog of :func:`write_seen_hashes`."""
+    import json as _json
+    import os as _os
+
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    rows = ds.map_batches(
+        MinHashEmitter, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, seed=seed),
+        concurrency=concurrency or 2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gk = pc.add(
+            pc.multiply(pc.cast(t["band"], pa.int64()),
+                        pa.scalar(num_buckets, pa.int64())),
+            pc.bit_wise_and(t["band_hash"],
+                            pa.scalar(num_buckets - 1, pa.int64())))
+        return pa.table({"band_hash": t["band_hash"], "gk": gk})
+
+    rows.map_batches(tag, batch_format="pyarrow").write_parquet(
+        state_dir, partition_cols=["gk"])
+    _os.makedirs(state_dir, exist_ok=True)
+    with open(_os.path.join(state_dir, "_STATE_META.json"), "w") as f:
+        f.write(_json.dumps({"num_buckets": num_buckets,
+                             "num_perm": num_perm, "bands": bands,
+                             "shingle_k": shingle_k, "seed": seed}))
+    return state_dir
+
+
+def incremental_near_dup_filter(ds, state_dir: str, *,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                concurrency: int | None = None):
+    """Cross-epoch NEAR-dup filter (the continuous-crawl MinHash shape):
+    drop every doc sharing ≥1 LSH band key with a previously persisted
+    :func:`write_minhash_state` corpus.  Probe rows are (id, band_hash,
+    gk) — never text; each ``map_groups`` task lazily reads only ITS
+    group's state files (one sorted int64 membership searchsorted); the
+    collided-id votes and the id stream meet in one tiny id-keyed
+    groupby-sum (the corpus_filter vote pattern).  Candidate-level
+    semantics (any band collision drops — the production LSH-filter
+    behavior; Jaccard verification is :func:`dedup_clusters`' job).
+    Returns surviving (doc_id) rows."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(state_dir, "_STATE_META.json")) as f:
+        meta = _json.loads(f.read())
+    nb = int(meta["num_buckets"])
+
+    rows = ds.map_batches(
+        MinHashEmitter, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   num_perm=int(meta["num_perm"]),
+                                   bands=int(meta["bands"]),
+                                   shingle_k=int(meta["shingle_k"]),
+                                   seed=int(meta["seed"])),
+        concurrency=concurrency or 2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gk = pc.add(
+            pc.multiply(pc.cast(t["band"], pa.int64()),
+                        pa.scalar(nb, pa.int64())),
+            pc.bit_wise_and(t["band_hash"],
+                            pa.scalar(nb - 1, pa.int64())))
+        return pa.table({id_col: t["id"], "band_hash": t["band_hash"],
+                         "gk": gk})
+
+    def probe(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "hit": pa.array([], pa.int64())})
+        gk = int(group["gk"][0].as_py())
+        gd = _os.path.join(state_dir, f"gk={gk}")
+        seen = np.array([], dtype=np.int64)
+        if _os.path.isdir(gd):
+            import pyarrow.parquet as _pq
+            files = [_os.path.join(gd, f) for f in sorted(_os.listdir(gd))
+                     if f.endswith(".parquet")]
+            if files:
+                seen = np.unique(pa.concat_tables(
+                    [_pq.read_table(f, columns=["band_hash"])
+                     for f in files])["band_hash"]
+                    .to_numpy(zero_copy_only=False))
+        h = group["band_hash"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(seen, h), max(0, seen.size - 1))
+        dup = (seen[idx] == h) if seen.size else np.zeros(h.size, bool)
+        collided = np.unique(
+            group[id_col].to_numpy(zero_copy_only=False)[dup])
+        return pa.table({id_col: pa.array(collided, pa.int64()),
+                         "hit": pa.array(np.ones(collided.size,
+                                                 dtype=np.int64))})
+
+    hits = rows.map_batches(tag, batch_format="pyarrow") \
+        .groupby("gk").map_groups(probe, batch_format="pyarrow") \
+        .select_columns([id_col, "hit"])
+    ids = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "hit": pa.array(np.zeros(t.num_rows,
+                                                     dtype=np.int64))}),
+        batch_format="pyarrow")
+    summed = ids.union(hits).groupby(id_col).sum("hit")
+    return summed.map_batches(
+        lambda t: pa.table({id_col: t.filter(
+            pc.equal(t["sum(hit)"], 0))[id_col]}),
+        batch_format="pyarrow")

@@ -935,3 +935,51 @@ def test_incremental_dedup_vs_bruteforce(ray_session, tmp_path):
     with _pytest.raises(ValueError):
         write_seen_hashes(rd.from_arrow(prev), str(tmp_path / "s2"),
                           num_buckets=12)
+
+
+def test_incremental_near_dup_vs_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_ingest_ray.functions.dedup import (
+        MinHashEmitter, incremental_near_dup_filter, write_minhash_state)
+    # state: 3 docs; new: exact dup (all bands collide), a NEAR dup
+    # (shares most shingles -> >=1 band collides with high probability
+    # for 8 bands of 4 perms), and fresh docs
+    prev = pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "completely different content about merge strategies",
+                 "third document with unrelated words entirely here"],
+    })
+    new = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog tonight",
+                 "fresh totally novel text with nothing shared at all",
+                 "another new page mentioning scan windows and joins"],
+    })
+    state = str(tmp_path / "mh_state")
+    write_minhash_state(rd.from_arrow(prev), state, num_perm=32, bands=8,
+                        num_buckets=8)
+    out = incremental_near_dup_filter(rd.from_arrow(new), state)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    # brute-force reference: emit band keys for both sides with the SAME
+    # emitter and drop new docs sharing any (band, band_hash)
+    em = MinHashEmitter(num_perm=32, bands=8)
+    pk = em(prev)
+    nk = em(new)
+    state_keys = set(zip(pk["band"].to_pylist(),
+                         pk["band_hash"].to_pylist()))
+    want = sorted({d for d, b, h in zip(nk["id"].to_pylist(),
+                                        nk["band"].to_pylist(),
+                                        nk["band_hash"].to_pylist())
+                   if not any((b2, h2) in state_keys
+                              for b2, h2 in [(b, h)])}
+                  - {d for d, b, h in zip(nk["id"].to_pylist(),
+                                          nk["band"].to_pylist(),
+                                          nk["band_hash"].to_pylist())
+                     if (b, h) in state_keys})
+    assert got == want
+    # the exact dup was dropped; the fresh docs survived
+    assert 0 not in got and 2 in got and 3 in got
