@@ -198,6 +198,11 @@ def warm_aux_indexes(sf_dir: str) -> dict:
             sf_dir, analyzer="simple", compact=True)),
         ("geo", lambda: flagship.documents_geo_index(sf_dir)),
         ("events", lambda: flagship.events_index(sf_dir)),
+        # incremental-dedup persisted states (first touch writes them)
+        ("incdedup_state", lambda: e.q_incremental_dedup(sf_dir)
+            .materialize()),
+        ("incmh_state", lambda: e.q_incremental_near_dup(sf_dir)
+            .materialize()),
     ]:
         t0 = time.monotonic()
         fn()
