@@ -199,3 +199,27 @@ def test_serve_actor_death_self_heals(ray_session, tmp_path):
     r0 = [json.loads(x) for x in outs0.getvalue().splitlines()]
     r1 = [json.loads(x) for x in outs1.getvalue().splitlines()]
     assert [x["hits"] for x in r1] == [x["hits"] for x in r0]
+
+
+def test_serve_actor_death_mid_daemon_recovers(ray_session, tmp_path):
+    """Chaos: a serve actor is killed between request streams (restart
+    allowed — a lost serving process); max_restarts must transparently
+    restart it with a re-warmed Searcher and the next stream's responses
+    stay identical and in order."""
+    import ray
+
+    from search_ingest_ray.serve import ServePool
+    root = _mk_index(tmp_path)
+    reqs = [{"op": "query", "id": i, "query": q}
+            for i, q in enumerate(["alpha", "beta", "gamma"] * 4)]
+    payload = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    sp = ServePool(root, actors=3)
+    outsA = io.StringIO()
+    assert sp.run(io.StringIO(payload), outsA) == len(reqs)
+    ray.kill(sp._actors[1], no_restart=False)
+    outsB = io.StringIO()
+    assert sp.run(io.StringIO(payload), outsB) == len(reqs)
+    ra = [json.loads(x) for x in outsA.getvalue().splitlines()]
+    rb = [json.loads(x) for x in outsB.getvalue().splitlines()]
+    assert [x["id"] for x in rb] == [x["id"] for x in ra]
+    assert [x["hits"] for x in rb] == [x["hits"] for x in ra]
