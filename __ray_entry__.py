@@ -1499,6 +1499,18 @@ def q_bucket_script(sf_dir: str):
     return s.agg_bucket_script(["purchase"], ["click"], "ts", HOUR_US)
 
 
+MINUTE_US = 60_000_000
+
+
+def q_rate_agg(sf_dir: str):
+    """ES rate aggregation: hourly purchase buckets re-expressed as exact
+    per-minute rates in integer micro."""
+    from search_ingest_ray.pipelines.flagship import events_index
+    from search_ingest_ray.query.searcher import Searcher
+    s = Searcher(events_index(sf_dir))
+    return s.agg_rate(["purchase"], "ts", HOUR_US, MINUTE_US)
+
+
 def q_cumulative_cardinality(sf_dir: str):
     """ES cumulative_cardinality pipeline agg: per hourly purchase bucket,
     the exact number of distinct user_ids seen so far ("new users per
@@ -3166,6 +3178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_cardinality": q_cumulative_cardinality,
         "percentiles_bucket": q_percentiles_bucket,
         "date_range": q_date_range,
+        "rate_agg": q_rate_agg,
         "bucket_sort": q_bucket_sort,
         "derivative": q_derivative,
         "max_bucket": q_max_bucket,
@@ -4305,6 +4318,13 @@ FROM m WHERE n >= {MOVING_MIN_N} ORDER BY bucket""",
                          WHERE f.first_b <= h.bucket) AS BIGINT)
                      AS cum_card
             FROM h ORDER BY h.bucket""",
+        "rate_agg": f"""
+            SELECT date_trunc('hour', ts) AS bucket,
+                   cast(count(*) AS BIGINT) AS n,
+                   cast((count(*)::HUGEINT * {MINUTE_US} * 1000000)
+                        // {HOUR_US} AS BIGINT) AS rate_micro
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY bucket ORDER BY bucket""",
         "percentiles_bucket": f"""
             WITH h AS (
               SELECT date_trunc('hour', ts) AS bucket, count(*) AS n

@@ -268,7 +268,7 @@ def bench_sf_queries(sf_dir: str) -> dict:
                  "percentiles_bucket", "bucket_sort", "date_range",
                  "geohash", "moving_percentile", "ip_prefix",
                  "span_within", "incremental_dedup",
-                 "incremental_near_dup"]:
+                 "incremental_near_dup", "rate_agg"]:
         fn = e.queries()[name]
         t0 = time.monotonic()
         res = fn(sf_dir)

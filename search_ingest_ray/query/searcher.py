@@ -2732,6 +2732,21 @@ class Searcher:
             "ratio_micro": pa.array(ratio, pa.int64()),
         })
 
+    def agg_rate(self, terms: list[str], field: str, interval_us: int,
+                 unit_us: int) -> pa.Table:
+        """ES ``rate`` aggregation inside a date_histogram: per present
+        bucket, the event rate re-expressed per ``unit_us`` (e.g. hourly
+        buckets reported as per-minute rates) — exact integer micro:
+        ``rate_micro = n · unit_us · 1e6 // interval_us``.  Returns
+        (bucket, n, rate_micro)."""
+        hist = self.agg_date_histogram(terms, field, interval_us)
+        n = hist["n"].to_numpy()
+        rate = n.astype(object) * unit_us * 1_000_000 // interval_us
+        return pa.table({
+            "bucket": hist["bucket"], "n": hist["n"],
+            "rate_micro": pa.array([int(x) for x in rate], pa.int64()),
+        })
+
     def agg_cumulative_cardinality(self, terms: list[str], date_field: str,
                                    key_field: str,
                                    interval_us: int) -> pa.Table:

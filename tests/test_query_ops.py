@@ -1562,3 +1562,13 @@ def test_span_within_vs_bruteforce(docs_and_searcher):
     # absent term → empty
     assert s.span_within("zzznosuch", "merge", "scan").size == 0
     assert s.span_within("window", "zzznosuch", "scan").size == 0
+
+
+def test_rate_agg(pipeline_searcher):
+    s, HOUR = pipeline_searcher
+    out = s.agg_rate(["purchase"], "ts_us", HOUR, 60_000_000).to_pylist()
+    # counts [3,1,2] → per-minute micro = n * 1e6 // 60
+    assert [r["rate_micro"] for r in out] == [
+        3 * 60_000_000 * 1_000_000 // HOUR,
+        1 * 60_000_000 * 1_000_000 // HOUR,
+        2 * 60_000_000 * 1_000_000 // HOUR]
